@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Query-set template mirrors the reference's TPC-H bench stages
+(modules/bench/src/main/clojure/xtdb/bench/tpch.clj: cold then hot;
+we report the hot pass, column `value` = total seconds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "op_window_row_number",
+    "op_group_by_aggs",
+    "bitemp_current_state",
+    "pipe_dedup_exact",
+    "pipe_ann_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    from xtdb_spark.session import build_spark
+    from xtdb_spark.queries import QUERIES
+
+    spark = build_spark("xtdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # cold pass: warm JVM/codegen caches, not timed per reference's
+    # cold/hot split (tpch.clj:41-68)
+    for name in HEADLINE:
+        QUERIES[name].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_hot_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

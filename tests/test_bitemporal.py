@@ -1,0 +1,140 @@
+"""Bitemporal engine tests — modeled on the reference's as-of and
+polygon test corpus (src/test/clojure/xtdb/as_of_test.clj,
+core/src/test/kotlin/xtdb/bitemporal/)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from xtdb_spark import bitemporal
+
+
+def T(s):
+    return datetime.fromisoformat(s)
+
+
+def events_df(spark, rows):
+    """rows: (iid, value, vf, vt, sf, op)"""
+    data = [
+        {"_iid": iid, "value": v,
+         "_valid_from": T(vf), "_valid_to": T(vt) if vt else None,
+         "_system_from": T(sf), "op": op}
+        for iid, v, vf, vt, sf, op in rows
+    ]
+    schema = ("_iid long, value string, _valid_from timestamp, "
+              "_valid_to timestamp, _system_from timestamp, op string")
+    return spark.createDataFrame(data, schema=schema)
+
+
+def test_current_state_put_update_delete(spark):
+    ev = events_df(spark, [
+        (1, "v1", "2024-01-01", None, "2024-01-01", "put"),
+        (1, "v2", "2024-01-02", None, "2024-01-02", "put"),
+        (2, "x1", "2024-01-01", None, "2024-01-01", "put"),
+        (2, None, "2024-01-03", None, "2024-01-03", "delete"),
+        (3, "y1", "2024-01-01", None, "2024-01-01", "put"),
+        (3, None, "2024-01-02", None, "2024-01-02", "erase"),
+    ])
+    cur = bitemporal.resolve_asof(ev).orderBy("_iid").collect()
+    assert [(r["_iid"], r["value"]) for r in cur] == [(1, "v2")]
+
+
+def test_asof_system_time_travel(spark):
+    ev = events_df(spark, [
+        (1, "v1", "2024-01-01", None, "2024-01-01", "put"),
+        (1, "v2", "2024-01-05", None, "2024-01-05", "put"),
+    ])
+    old = bitemporal.resolve_asof(ev, system_time="2024-01-03").collect()
+    assert [(r["_iid"], r["value"]) for r in old] == [(1, "v1")]
+
+
+def test_asof_valid_time(spark):
+    # explicit valid ranges: v1 valid Jan, v2 valid Feb
+    ev = events_df(spark, [
+        (1, "jan", "2024-01-01", "2024-02-01", "2024-01-01", "put"),
+        (1, "feb", "2024-02-01", "2024-03-01", "2024-01-01", "put"),
+    ])
+    jan = bitemporal.resolve_asof(ev, valid_time="2024-01-15").collect()
+    feb = bitemporal.resolve_asof(ev, valid_time="2024-02-15").collect()
+    mar = bitemporal.resolve_asof(ev, valid_time="2024-03-15").collect()
+    assert [r["value"] for r in jan] == ["jan"]
+    assert [r["value"] for r in feb] == ["feb"]
+    assert mar == []
+
+
+def test_later_event_supersedes_overlap(spark):
+    # v2 (later system time) covers a sub-range of v1's valid time
+    ev = events_df(spark, [
+        (1, "v1", "2024-01-01", "2024-04-01", "2024-01-01", "put"),
+        (1, "v2", "2024-02-01", "2024-03-01", "2024-01-10", "put"),
+    ])
+    assert bitemporal.resolve_asof(ev, valid_time="2024-01-15").collect()[0]["value"] == "v1"
+    assert bitemporal.resolve_asof(ev, valid_time="2024-02-15").collect()[0]["value"] == "v2"
+    assert bitemporal.resolve_asof(ev, valid_time="2024-03-15").collect()[0]["value"] == "v1"
+    # before v2 was recorded, v1 ruled everywhere
+    assert bitemporal.resolve_asof(ev, valid_time="2024-02-15",
+                                   system_time="2024-01-05").collect()[0]["value"] == "v1"
+
+
+def test_polygon_rectangles_staircase(spark):
+    ev = events_df(spark, [
+        (1, "v1", "2024-01-01", "2024-04-01", "2024-01-01", "put"),
+        (1, "v2", "2024-02-01", "2024-03-01", "2024-01-10", "put"),
+    ])
+    hist = bitemporal.polygon_history(ev, ["value"])
+    rows = {(r["value"], str(r["_valid_from"]), str(r["_valid_to"]),
+             str(r["_system_to"])) for r in hist.collect()}
+    # v2: one open rectangle
+    assert ("v2", "2024-02-01 00:00:00", "2024-03-01 00:00:00", "None") in rows
+    # v1: clipped into [Jan,Feb) open, [Feb,Mar) closed at sys=Jan10, [Mar,Apr) open
+    assert ("v1", "2024-01-01 00:00:00", "2024-02-01 00:00:00", "None") in rows
+    assert ("v1", "2024-02-01 00:00:00", "2024-03-01 00:00:00",
+            "2024-01-10 00:00:00") in rows
+    assert ("v1", "2024-03-01 00:00:00", "2024-04-01 00:00:00", "None") in rows
+    assert len(rows) == 4
+
+
+def test_polygon_delete_clips(spark):
+    ev = events_df(spark, [
+        (1, "v1", "2024-01-01", None, "2024-01-01", "put"),
+        (1, None, "2024-02-01", None, "2024-02-01", "delete"),
+    ])
+    hist = bitemporal.polygon_history(ev, ["value"])
+    rows = {(str(r["_valid_from"]), str(r["_valid_to"]), str(r["_system_to"]))
+            for r in hist.collect()}
+    # v1 alive for [Jan,Feb) forever; [Feb,∞) only until the delete landed
+    assert ("2024-01-01 00:00:00", "2024-02-01 00:00:00", "None") in rows
+    assert ("2024-02-01 00:00:00", "None", "2024-02-01 00:00:00") in rows
+    assert len(rows) == 2
+
+
+def test_store_roundtrip(store):
+    store.put("users", [{"_id": 1, "name": "alice"}, {"_id": 2, "name": "bob"}],
+              system_from="2024-01-01")
+    store.put("users", [{"_id": 1, "name": "alicia"}], system_from="2024-01-02")
+    store.delete("users", [2], system_from="2024-01-03")
+    cur = store.scan("users").orderBy("_id").collect()
+    assert [(r["_id"], r["name"]) for r in cur] == [(1, "alicia")]
+    old = store.scan("users", system_time="2024-01-01 12:00:00").orderBy("_id").collect()
+    assert [(r["_id"], r["name"]) for r in old] == [(1, "alice"), (2, "bob")]
+
+
+def test_store_erase_and_patch(store):
+    store.put("docs", [{"_id": 1, "a": 1, "b": 2}, {"_id": 2, "a": 10, "b": 20}],
+              system_from="2024-01-01")
+    store.patch("docs", [{"_id": 1, "b": 99}], system_from="2024-01-02")
+    cur = {r["_id"]: (r["a"], r["b"]) for r in store.scan("docs").collect()}
+    assert cur == {1: (1, 99), 2: (10, 20)}
+    store.erase("docs", [1], system_from="2024-01-03")
+    # erase removes the id from ALL system time
+    assert [r["_id"] for r in store.scan("docs").collect()] == [2]
+    assert [r["_id"] for r in
+            store.scan("docs", system_time="2024-01-01 12:00:00").collect()] == [2]
+
+
+def test_forbidden_schemas(store):
+    import pytest
+
+    for schema in ("xt", "information_schema", "pg_catalog"):
+        with pytest.raises(ValueError):
+            store.put(f"{schema}.t", [{"_id": 1}])

@@ -1,0 +1,209 @@
+"""Bitemporal visibility resolution — the Spark re-expression of the
+reference's Polygon/Ceiling scan kernels.
+
+Reference semantics (studied, not ported line-by-line):
+- storage holds *events* `(_iid, doc…, _valid_from, _valid_to,
+  _system_from, op ∈ {put, delete, erase})`
+  (reference api/src/main/clojure/xtdb/tx_ops.clj:65-133)
+- newer events (higher `_system_from`) supersede older ones over the
+  valid-time range they cover; `erase` wipes an `_iid` entirely
+  (reference core/src/main/kotlin/xtdb/bitemporal/PolygonCalculator.kt:22-50)
+- a query carries TemporalBounds in both dimensions
+  (reference core/src/main/clojure/xtdb/operator/scan.clj:62-114);
+  the default is VALID_TIME AS OF now / SYSTEM_TIME AS OF now
+  (scan.clj:307-310).
+
+Spark design (SURVEY.md §1.4):
+- **Point-in-time queries (the 95% path) are exact with pure window
+  expressions** — no UDF: the visible version of an `_iid` at
+  (valid V, system S) is the event with the greatest `_system_from`
+  among events whose valid range covers V and `_system_from <= S`;
+  it is visible iff it is a `put` and the iid has no erase.
+  This stays in whole-stage codegen and the partition-by-_iid window
+  shuffles once on `_iid` — at 100 TB the event files are clustered
+  by `_iid` (TableStore bucketing) so the shuffle is cheap/elided.
+- **Range/history queries (`FOR ALL VALID_TIME` etc.) enumerate
+  polygon rectangles** via a grouped Arrow-batched pandas UDF
+  (`applyInPandas` per `_iid`) implementing the ceiling sweep —
+  the general case genuinely needs per-iid sequential state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
+
+MAX_TS = "9999-12-31 23:59:59"
+META_COLS = ("_iid", "_valid_from", "_valid_to", "_system_from", "op")
+
+
+def _ts(x) -> Column:
+    c = x if isinstance(x, Column) else F.lit(x)
+    return c.cast("timestamp")
+
+
+def _end_or_inf(col: Column) -> Column:
+    return F.coalesce(col, F.lit(MAX_TS).cast("timestamp"))
+
+
+def drop_erased(events: DataFrame, system_time=None) -> DataFrame:
+    """Remove every event of any iid that has an `erase` event —
+    erase is retroactive across all system time
+    (reference PolygonCalculator.kt:23-24,44-46)."""
+    erased = events.filter(F.col("op") == "erase").select("_iid").distinct()
+    return events.join(erased, "_iid", "left_anti")
+
+
+def resolve_asof(
+    events: DataFrame,
+    valid_time=None,
+    system_time=None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Point-in-time snapshot: rows visible at (valid_time, system_time),
+    both defaulting to "now" (reference scan.clj:307-310 default bounds).
+
+    Pure window computation — exact XTDB semantics for point queries:
+    later events supersede earlier ones wherever their valid ranges
+    overlap, so at a single valid point V only the system-latest
+    covering event matters.
+    """
+    ev = drop_erased(events)
+    if system_time is not None:
+        ev = ev.filter(F.col("_system_from") <= _ts(system_time))
+    v = _ts(valid_time) if valid_time is not None else F.current_timestamp()
+    ev = ev.filter((F.col("_valid_from") <= v)
+                   & (v < _end_or_inf(F.col("_valid_to"))))
+    w = Window.partitionBy("_iid").orderBy(F.desc("_system_from"),
+                                           F.desc("_valid_from"))
+    out = (ev.withColumn("_rn", F.row_number().over(w))
+           .filter((F.col("_rn") == 1) & (F.col("op") == "put"))
+           .drop("_rn"))
+    return out if keep_meta else out.drop(*[c for c in META_COLS if c != "_iid"])
+
+
+def with_system_to(events: DataFrame) -> DataFrame:
+    """FOR ALL SYSTEM_TIME version chain: derive `_system_to` as the
+    `_system_from` of the next event of the same iid covering the same
+    valid-from (the state-table pattern). Exact when valid ranges per
+    iid are keyed by `_valid_from` (the overwhelmingly common shape);
+    the general overlapping case goes through `polygon_history`."""
+    w = Window.partitionBy("_iid", "_valid_from").orderBy("_system_from")
+    return events.withColumn("_system_to", F.lead("_system_from").over(w))
+
+
+_POLY_FIELDS = [
+    StructField("_valid_from", TimestampType()),
+    StructField("_valid_to", TimestampType()),
+    StructField("_system_from", TimestampType()),
+    StructField("_system_to", TimestampType()),
+]
+
+
+def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
+    """Full bitemporal rectangle enumeration (`FOR ALL VALID_TIME FOR
+    ALL SYSTEM_TIME`): for every put event, the staircase of
+    (valid_from, valid_to, system_from, system_to) rectangles during
+    which it was the visible version.
+
+    Algorithm (re-derived from the reference's behavior, implemented
+    independently): per iid, sweep events newest-system-first keeping a
+    *ceiling* step function over the valid axis = the earliest later
+    system time that overwrote each valid segment
+    (reference core/src/main/kotlin/xtdb/bitemporal/Ceiling.kt,
+    Polygon.kt:8-77 — behavioral parity, fresh implementation).
+
+    Runs as applyInPandas grouped by `_iid`: one shuffle on _iid, then
+    embarrassingly parallel; per-group state is tiny (#versions of one
+    entity), so this scales to any number of iids.
+    """
+    ev = drop_erased(events)
+    max_ts = pd.Timestamp("2262-04-10")  # pandas-representable "infinity"
+
+    schema = StructType(
+        [StructField("_iid", ev.schema["_iid"].dataType)]
+        + [StructField(c, ev.schema[c].dataType) for c in doc_cols]
+        + _POLY_FIELDS
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_system_from", ascending=False, kind="mergesort")
+        # ceiling: sorted valid-axis boundaries `pts` with `vals[i]` the
+        # system ceiling over [pts[i], pts[i+1])
+        pts: list = [pd.Timestamp.min, max_ts]
+        vals: list = [max_ts]
+        out_rows: list[dict] = []
+        # (itertuples mangles _-prefixed names; dict records keep them)
+        for r in pdf.to_dict(orient="records"):
+            vf = r["_valid_from"]
+            vt = r["_valid_to"] if pd.notna(r["_valid_to"]) else max_ts
+            sf = r["_system_from"]
+            if vt <= vf:
+                continue
+            # 1. emit rectangles: intersect [vf, vt) with ceiling segments
+            if r["op"] == "put":
+                for i in range(len(vals)):
+                    a, b, c = pts[i], pts[i + 1], vals[i]
+                    lo, hi = max(a, vf), min(b, vt)
+                    if lo < hi and c > sf:
+                        out_rows.append({
+                            **{k: r[k] for k in r
+                               if k not in ("_valid_from", "_valid_to",
+                                            "_system_from", "op")},
+                            "_valid_from": lo,
+                            "_valid_to": None if hi == max_ts else hi,
+                            "_system_from": sf,
+                            "_system_to": None if c == max_ts else c,
+                        })
+            # 2. lower the ceiling to sf over [vf, vt): split each
+            #    segment at vf/vt, override covered sub-segments,
+            #    merge adjacent equal-valued segments
+            new_pts, new_vals = [pts[0]], []
+            for i in range(len(vals)):
+                a, b, c = pts[i], pts[i + 1], vals[i]
+                cut = [a] + [x for x in (vf, vt) if a < x < b] + [b]
+                for j in range(len(cut) - 1):
+                    lo, hi = cut[j], cut[j + 1]
+                    val = sf if (vf <= lo and hi <= vt) else c
+                    if new_vals and new_vals[-1] == val:
+                        new_pts[-1] = hi
+                    else:
+                        new_vals.append(val)
+                        new_pts.append(hi)
+            pts, vals = new_pts, new_vals
+        cols = ["_iid", *doc_cols, "_valid_from", "_valid_to",
+                "_system_from", "_system_to"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    return ev.groupBy("_iid").applyInPandas(sweep, schema)
+
+
+def resolve_valid_range(
+    events: DataFrame,
+    valid_from,
+    valid_to,
+    system_time=None,
+    doc_cols: list[str] | None = None,
+) -> DataFrame:
+    """FOR VALID_TIME BETWEEN/FROM…TO: all versions whose resolved
+    valid rectangle intersects [valid_from, valid_to), as of the given
+    system time. Built on the polygon enumeration."""
+    ev = events
+    if system_time is not None:
+        ev = ev.filter(F.col("_system_from") <= _ts(system_time))
+    doc_cols = doc_cols or [c for c in events.columns if c not in META_COLS]
+    hist = polygon_history(ev, doc_cols)
+    # current system slice + valid-range intersection
+    sys_live = hist.filter(F.col("_system_to").isNull()) if system_time is None \
+        else hist.filter((F.col("_system_from") <= _ts(system_time))
+                         & (_end_or_inf(F.col("_system_to")) > _ts(system_time)))
+    return sys_live.filter(
+        (F.col("_valid_from") < _ts(valid_to))
+        & (_ts(valid_from) < _end_or_inf(F.col("_valid_to"))))

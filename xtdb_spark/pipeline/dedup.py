@@ -1,0 +1,153 @@
+"""Deduplication operators for corpus prep at scale.
+
+Strategies (each returns DataFrames, shuffles only on blocking keys):
+
+- exact: hash-groupBy on a normalized fingerprint. One shuffle.
+- n-gram Jaccard: word n-gram sets, exact pairwise Jaccard within
+  blocking buckets (shared rare n-gram). Exact but candidate-bounded.
+- MinHash + LSH: k min-hashes per doc (k aggregate expressions over
+  exploded shingles — JVM-side, no UDF), banded into b buckets,
+  candidate pairs from bucket self-join, verified with exact Jaccard.
+  The classic scale path: cost ~ O(docs × shingles) + bucket joins.
+- SimHash: 32-bit projection fingerprint via per-bit majority vote
+  (32 conditional-sum aggregates), near-dup = small Hamming distance,
+  blocked on bytes (any equal byte → candidate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xtdb_spark.pipeline.text import fingerprint
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+    Returns (fingerprint, n_docs, keep_id, dup_ids-as-sorted-string)."""
+    return (docs
+            .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"),
+                 F.array_join(F.sort_array(F.collect_list(id_col)), ",")
+                 .alias("all_ids")))
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one shingle. |A∩B| from a shingle-join count; |A∪B| =
+    |A|+|B|−|A∩B|. Blocking on shared shingles keeps the join sparse;
+    at 100 TB you'd block on *rare* shingles only (df-filtered)."""
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      word_ngrams(F.col(text_col), n).alias("grams"))
+          .withColumn("n_grams", F.size("grams"))
+          .select("id", "n_grams", F.explode("grams").alias("gram")))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("n_inter")))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per doc. Each permutation is
+    xxhash64(shingle, seed_i); the signature element is the min over
+    shingles — k aggregate expressions in ONE groupBy pass."""
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
+    aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3, k: int = 32,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """MinHash LSH: band the signature (k/bands rows per band), bucket
+    docs by (band_idx, band_hash), self-join buckets for candidates,
+    then verify with exact Jaccard. Returns verified pairs."""
+    sigs = minhash_signatures(docs, id_col, text_col, n, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.hash(*[F.col(f"mh_{bi * rows_per_band + j}")
+                          for j in range(rows_per_band)]).alias("bh"))
+        for bi in range(bands)
+    ]
+    buckets = (sigs.select("id", F.explode(F.array(*band_cols)).alias("b"))
+               .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")))
+    cand = (buckets.alias("x")
+            .join(buckets.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bh") == F.col("y.bh"))
+                  & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    return (cand.join(exact, ["id_a", "id_b"])
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit_i = majority vote of token
+    hash bit_i. One explode + one groupBy with `bits` conditional
+    sums — no UDF, fully JVM-side."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                          r"\s+")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    ones = [F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)))
+            .alias(f"ones_{i}") for i in range(bits)]
+    g = toks.groupBy("id").agg(F.count("*").alias("n_toks"), *ones)
+    sim = None
+    for i in range(bits):
+        bit = (F.col(f"ones_{i}") * 2 > F.col("n_toks")).cast("long") * (2 ** i)
+        sim = bit if sim is None else sim + bit
+    return g.select("id", "n_toks", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on any equal byte of the
+    fingerprint (pigeonhole: hamming ≤ 3 over 4 bytes ⇒ ≥1 byte
+    equal), verify Hamming distance with bit_count."""
+    sh = simhash(docs, id_col, text_col, bits=32)
+    bytes_ = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("byte_idx"),
+                     F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255))
+                     .alias("byte_val"))
+            for i in range(4)])).alias("b")) \
+        .select("id", "simhash", "b.byte_idx", "b.byte_val")
+    cand = (bytes_.alias("x")
+            .join(bytes_.alias("y"),
+                  (F.col("x.byte_idx") == F.col("y.byte_idx"))
+                  & (F.col("x.byte_val") == F.col("y.byte_val"))
+                  & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                    F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

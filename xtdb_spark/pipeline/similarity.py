@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. The dot product is a
+  `zip_with` + `aggregate` fold — JVM-side, no Python. Cost
+  O(queries × corpus); fine when queries are broadcast-small.
+- LSH-bucketed ANN: random-hyperplane signature (sign of dot with
+  deterministic pseudo-random planes derived from xxhash64), bucket
+  equi-join, exact re-rank within buckets. The 100 TB path: corpus
+  hashed once, queries probe matching buckets only.
+- embedding near-dup: pairs with cosine ≥ threshold via LSH blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic double sum."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k neighbors per query vector. Queries broadcast;
+    ranking key (cosine DESC, id) is total → deterministic."""
+    c = corpus.select(F.col(id_col).alias("nn_id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       as_double_array(F.col(q_vec_col)).alias("qv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .select("q_id", "nn_id",
+                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane LSH signature as a bit-packed long. Plane
+    p's component j is a deterministic pseudo-random ±1 derived from
+    xxhash64(p, j) — reproducible across runs and engines, no
+    driver-side randomness, no data movement."""
+    bits = []
+    for p in range(n_planes):
+        comp = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)),
+                       lambda x, j: x * F.when(
+                           F.pmod(F.xxhash64(F.lit(p), j), F.lit(2)) == 0,
+                           F.lit(1.0)).otherwise(F.lit(-1.0))),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+        bits.append((comp > 0).cast("long") * (2 ** p))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                 n_planes: int = 12, id_col: str = "vec_id",
+                 vec_col: str = "embedding", q_id_col: str = "q_id",
+                 q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: bucket corpus+queries by hyperplane
+    signature, exact cosine re-rank within each bucket. Recall < 1 by
+    design; the candidate join is bucket-local (shuffle on signature
+    instead of a full cross join)."""
+    c = corpus.select(F.col(id_col).alias("nn_id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    c = c.withColumn("sig", hyperplane_signature(F.col("v"), dim, n_planes))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       as_double_array(F.col(q_vec_col)).alias("qv"))
+    q = q.withColumn("sig", hyperplane_signature(F.col("qv"), dim, n_planes))
+    scored = (q.join(c, "sig")
+              .select("q_id", "nn_id",
+                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

@@ -1,0 +1,83 @@
+"""Text analysis over document tables — language ID, quality scoring,
+token counting, fingerprinting. Pure Column expressions (JVM-side,
+whole-stage codegen); designed so the same logic is expressible in
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic marker-word sets for the n-gram/stopword language
+# heuristic (scores are computed identically in the SQL oracle)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count regex word-pieces (runs of letters, runs
+    of digits, single punctuation) — a deterministic stand-in for a
+    real tokenizer's token count."""
+    stripped = F.regexp_replace(text, r"[A-Za-z]+|[0-9]+", "")
+    pieces = F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"),
+                             lambda w: w != F.lit("")))
+    return pieces + F.length(F.regexp_replace(stripped, r"\s", ""))
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list."""
+    t = tokens(F.lower(text))
+    return F.size(F.filter(t, lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: argmax over per-language hit
+    counts, ties broken by language code order, 'und' when all zero."""
+    scores = [(lang, marker_hits(text, m)) for lang, m in sorted(LANG_MARKERS.items())]
+    # argmax: first language (alphabetical) with maximal score,
+    # 'und' if the max score is 0
+    max_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when(score == max_score, F.lit(lang)).otherwise(expr)
+    return F.when(max_score <= 0, F.lit("und")).otherwise(expr)
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(F.lower(text))
+    return marker_hits(text, STOPWORDS).cast("double") / F.size(t)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic: mean word length band +
+    stopword presence + length band, scaled to [0, 1]."""
+    t = tokens(text)
+    n = F.size(t)
+    avg_wlen = (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n)
+    len_ok = (n >= 10) & (n <= 10000)
+    wlen_ok = (avg_wlen >= 3.0) & (avg_wlen <= 10.0)
+    stop_ok = stopword_ratio(text) > 0.05
+    return (len_ok.cast("int") + wlen_ok.cast("int") + stop_ok.cast("int")) \
+        .cast("double") / 3.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase,
+    whitespace-collapsed text — the exact-dup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

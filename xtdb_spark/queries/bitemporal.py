@@ -1,0 +1,170 @@
+"""Bitemporal correctness queries, cross-checked against DuckDB.
+
+The driver's `events` table is deterministically reinterpreted as a
+bitemporal event log (entity = user_id, `_system_from` = ts, op =
+'delete' when event_type = 'error' else 'put'), then resolved with the
+engine's window-based visibility logic (xtdb_spark.bitemporal). The
+oracle expresses the same XTDB semantics as plain window SQL — an
+independent derivation on an independent engine.
+
+Reference semantics under test: scan temporal bounds
+(core/src/main/clojure/xtdb/operator/scan.clj:62-114), supersession
+(core/src/main/kotlin/xtdb/bitemporal/PolygonCalculator.kt:22-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark import bitemporal
+from xtdb_spark.queries.registry import ld, register
+
+
+def _as_event_log(spark, sf_dir):
+    """events parquet → bitemporal event frame. Valid time = [ts, ∞);
+    system time = ts; 'error' events are deletes."""
+    e = ld(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").alias("_id"),
+        F.col("value"),
+        F.col("event_type"),
+        F.col("user_id").alias("_iid"),  # already a compact unique key
+        F.col("ts").alias("_valid_from"),
+        F.lit(None).cast("timestamp").alias("_valid_to"),
+        F.col("ts").alias("_system_from"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("put").alias("op"),
+    )
+
+
+_ORACLE_EVENTS = """
+    WITH ev AS (
+      SELECT user_id AS _id, value, ts AS _system_from, ts AS _valid_from,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op
+      FROM events
+    )
+"""
+
+
+@register(
+    "bitemp_current_state",
+    _ORACLE_EVENTS + """
+    SELECT _id, value FROM (
+      SELECT _id, value, op,
+             ROW_NUMBER() OVER (PARTITION BY _id
+                                ORDER BY _system_from DESC) AS rn
+      FROM ev)
+    WHERE rn = 1 AND op = 'put'
+    """,
+)
+def current_state(spark, sf_dir):
+    """Default scan: VALID_TIME AS OF now, SYSTEM_TIME AS OF now
+    (reference scan.clj:307-310)."""
+    ev = _as_event_log(spark, sf_dir)
+    return bitemporal.resolve_asof(ev).select("_id", "value")
+
+
+@register(
+    "bitemp_asof_system_time",
+    _ORACLE_EVENTS + """
+    SELECT _id, value FROM (
+      SELECT _id, value, op,
+             ROW_NUMBER() OVER (PARTITION BY _id
+                                ORDER BY _system_from DESC) AS rn
+      FROM ev WHERE _system_from <= TIMESTAMP '2024-01-15')
+    WHERE rn = 1 AND op = 'put'
+    """,
+)
+def asof_system(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF — time-travel to a past snapshot."""
+    ev = _as_event_log(spark, sf_dir)
+    return bitemporal.resolve_asof(ev, system_time="2024-01-15").select("_id", "value")
+
+
+@register(
+    "bitemp_asof_valid_time",
+    _ORACLE_EVENTS + """
+    SELECT _id, value FROM (
+      SELECT _id, value, op,
+             ROW_NUMBER() OVER (PARTITION BY _id
+                                ORDER BY _system_from DESC) AS rn
+      FROM ev WHERE _valid_from <= TIMESTAMP '2024-01-10 12:00:00')
+    WHERE rn = 1 AND op = 'put'
+    """,
+)
+def asof_valid(spark, sf_dir):
+    """FOR VALID_TIME AS OF — rows whose valid interval covers V,
+    system-latest wins (valid_to = ∞ here, so covering ⇔
+    _valid_from <= V)."""
+    ev = _as_event_log(spark, sf_dir)
+    return bitemporal.resolve_asof(ev, valid_time="2024-01-10 12:00:00") \
+        .select("_id", "value")
+
+
+@register(
+    "bitemp_system_history",
+    _ORACLE_EVENTS + """
+    SELECT _id,
+           COUNT(*) AS n_versions,
+           COUNT(*) FILTER (WHERE op = 'delete') AS n_deletes,
+           MIN(_system_from) AS first_seen,
+           MAX(_system_from) AS last_seen,
+           COUNT(_system_to) AS n_superseded
+    FROM (SELECT _id, op, _system_from,
+                 LEAD(_system_from) OVER (PARTITION BY _id, _valid_from
+                                          ORDER BY _system_from) AS _system_to
+          FROM ev)
+    GROUP BY _id
+    """,
+)
+def system_history(spark, sf_dir):
+    """FOR ALL SYSTEM_TIME: full version chain with derived
+    `_system_to` (xtdb_spark.bitemporal.with_system_to)."""
+    ev = _as_event_log(spark, sf_dir)
+    h = bitemporal.with_system_to(ev)
+    return h.groupBy("_id").agg(
+        F.count("*").alias("n_versions"),
+        F.count(F.when(F.col("op") == "delete", 1)).alias("n_deletes"),
+        F.min("_system_from").alias("first_seen"),
+        F.max("_system_from").alias("last_seen"),
+        F.count("_system_to").alias("n_superseded"),
+    )
+
+
+@register(
+    "bitemp_polygon_rectangles",
+    _ORACLE_EVENTS + """
+    -- Degenerate geometry of this event shape (valid_from = system_from,
+    -- valid_to = ∞, vf strictly increasing in system order): when the
+    -- ceiling sweep reaches event i, the ceiling is two segments
+    -- ([-∞, vf_{i+1}) → ∞, [vf_{i+1}, ∞) → sf_{i+1}), so each put with a
+    -- successor yields exactly 2 rectangles ([vf_i, vf_{i+1}) × [sf_i, ∞)
+    -- and [vf_{i+1}, ∞) × [sf_i, sf_{i+1})) and the entity-latest put
+    -- yields 1 — with exactly one system-open rectangle per put.
+    SELECT _id,
+           CAST(SUM(CASE WHEN next_sf IS NULL THEN 1 ELSE 2 END) AS BIGINT)
+             AS n_rects,
+           MIN(_valid_from) AS min_vf,
+           MAX(_system_from) AS max_sf,
+           COUNT(*) AS n_open
+    FROM (
+      SELECT _id, _valid_from, _system_from, op,
+             LEAD(_system_from) OVER (PARTITION BY _id
+                                      ORDER BY _system_from) AS next_sf
+      FROM ev) t
+    WHERE op = 'put'
+    GROUP BY _id
+    """,
+)
+def polygon_rectangles(spark, sf_dir):
+    """FOR ALL VALID_TIME FOR ALL SYSTEM_TIME — the full polygon
+    enumeration (applyInPandas ceiling sweep, bitemporal.polygon_history)
+    aggregated per entity, cross-checked against a closed-form oracle
+    valid for this event shape (see SQL comment)."""
+    ev = _as_event_log(spark, sf_dir)
+    hist = bitemporal.polygon_history(ev, ["_id", "value", "event_type"])
+    return hist.groupBy("_id").agg(
+        F.count("*").alias("n_rects"),
+        F.min("_valid_from").alias("min_vf"),
+        F.max("_system_from").alias("max_sf"),
+        F.count(F.when(F.col("_system_to").isNull(), 1)).alias("n_open"),
+    )

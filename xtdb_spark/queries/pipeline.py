@@ -1,0 +1,245 @@
+"""Training-data pipeline queries over documents/embeddings, oracle-
+checked where ANSI-SQL-expressible (MinHash/SimHash/LSH are verified
+rows-only — the banding internals aren't reasonably expressible in
+SQL; their *exact-Jaccard verification stage* is the oracle-checked
+part via pipe_dedup_ngram_jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.pipeline import dedup, similarity, text
+from xtdb_spark.queries.registry import ld, register
+
+
+@register(
+    "pipe_dedup_exact",
+    r"""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized md5 fingerprint."""
+    d = ld(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).select("fp", "n_docs", "keep_id")
+
+
+@register(
+    "pipe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x != '')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                x -> x != ''))
+                + length(regexp_replace(regexp_replace(text,
+                          '[A-Za-z]+|[0-9]+', '', 'g'), '\s', '', 'g'))
+                AS INTEGER) AS n_pieces
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("int").alias("n_pieces"),
+    )
+
+
+_STOP_SQL = "', '".join(text.STOPWORDS)
+
+
+@register(
+    "pipe_text_quality",
+    rf"""
+    SELECT doc_id, n_tokens,
+           ROUND(nonspace_chars / n_tokens, 6) AS avg_word_len,
+           ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+           ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1 ELSE 0 END
+                + CASE WHEN nonspace_chars / n_tokens >= 3.0
+                        AND nonspace_chars / n_tokens <= 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN n_stop / n_tokens > 0.05 THEN 1 ELSE 0 END) / 3.0, 6)
+             AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               AS nonspace_chars,
+             CAST(len(list_filter(toks, t -> list_contains(['{_STOP_SQL}'], t)))
+               AS DOUBLE) AS n_stop
+      FROM (SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents))
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/word-length/stopword-ratio heuristics."""
+    d = ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = text.token_count(t).cast("double")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n, 6)
+        .alias("avg_word_len"),
+        F.round(text.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(text.quality_score(t), 6).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: ("CAST(len(list_filter(toks, t -> list_contains(["
+               + ", ".join(f"'{w}'" for w in words) + "], t))) AS BIGINT)")
+        for lang, words in sorted(text.LANG_MARKERS.items())
+    }
+    cols = ",\n".join(f"{expr} AS hits_{lang}" for lang, expr in hits.items())
+    langs = sorted(text.LANG_MARKERS)
+    max_expr = "GREATEST(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + max_expr + " <= 0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN hits_{la} = {max_expr} THEN '{la}' "
+    case += "END"
+    return rf"""
+    SELECT doc_id, {case} AS pred_lang, lang AS labeled_lang
+    FROM (SELECT doc_id, lang, {cols}
+          FROM (SELECT doc_id, lang,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents))
+    """
+
+
+@register("pipe_lang_id", _lang_sql())
+def lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (argmax, alphabetical ties)."""
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    text.lang_id(F.col("text")).alias("pred_lang"),
+                    F.col("lang").alias("labeled_lang"))
+
+
+@register(
+    "pipe_dedup_ngram_jaccard",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(words)-2, 1))])
+               AS grams
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs (blocked on shared
+    shingles Spark-side; the oracle brute-forces all pairs — same
+    result since jaccard > 0 ⇒ shared shingle)."""
+    d = ld(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("pipe_dedup_minhash_lsh")  # rows-only: banding not SQL-expressible
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands) candidate generation, exact-Jaccard
+    verified. The verification stage shares its oracle with
+    pipe_dedup_ngram_jaccard."""
+    d = ld(spark, sf_dir, "documents")
+    return (dedup.minhash_lsh_pairs(d, k=32, bands=8, threshold=0.2)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+@register("pipe_dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs, Hamming ≤ 3, byte-blocked."""
+    d = ld(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
+
+
+@register(
+    "pipe_ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 10)
+    SELECT q_id, nn_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT q_id, nn_id,
+             ROUND(list_cosine_similarity(qv, v), 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY ROUND(list_cosine_similarity(qv, v), 6)
+                                         DESC, nn_id) AS rnk
+      FROM q CROSS JOIN c)
+    WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline). Ranked by the
+    ROUNDED similarity in both engines so last-ulp float noise can't
+    flip ranks."""
+    from pyspark.sql import Window
+
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        similarity.as_double_array(F.col("embedding")).alias("qv"))
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("nn_id"),
+        similarity.as_double_array(F.col("embedding")).alias("v"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .select("q_id", "nn_id",
+                      F.round(similarity.cosine(F.col("qv"), F.col("v")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5))
+
+
+@register("pipe_ann_lsh")  # rows-only: approximate by design
+def ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN — the scale path (no cross join)."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_lsh_topk(c, q, dim=64, k=5, n_planes=8) \
+        .select("q_id", "nn_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+
+
+@register(
+    "pipe_embedding_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(sqrt(list_dot_product(v, v)), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector-norm stats per label — F.aggregate fold, exact decimal
+    mean."""
+    e = ld(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array(F.col("embedding"))
+    nrm = F.round(similarity.norm(v), 6).cast("decimal(18,6)")
+    return (e.select("label", nrm.alias("nrm"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 (F.sum("nrm").cast("double") / F.count("*")).alias("avg_norm")))

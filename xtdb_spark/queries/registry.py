@@ -1,0 +1,96 @@
+"""Registry backing __spark_entry__.queries() / oracle_sql().
+
+Cross-engine hash-stability rules used throughout the catalog:
+
+- Floating-point SUM/AVG are order-dependent, and Spark's partial
+  aggregation order is nondeterministic — so every money aggregate is
+  computed as an exact `DECIMAL(18,2)` (or wider) sum and only then
+  cast back to DOUBLE. Decimal addition is associative, so the result
+  is bit-identical at any parallelism AND matches DuckDB running the
+  same cast. Per-row double arithmetic (e.g. price * (1-discount)) is
+  IEEE-deterministic and identical across engines; only reductions
+  need the decimal detour.
+- DuckDB SUM(BIGINT) returns HUGEINT → always CAST(... AS BIGINT)
+  in oracles.
+- Transcendental functions (exp/ln/pow/trig) may differ in the last
+  ulp between JVM and libm → results rounded via `round(x, 6)`.
+- Column names are aliased identically on both sides (driver sorts
+  columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB, or None → rows-only check
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one testdata table. Plain parquet scan → Catalyst gets
+    predicate pushdown + column pruning for free.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects — read nanos as long (runtime conf, so it
+    works in the driver's own session too) and truncate to micros
+    JVM-side (`ts div 1000`, integer division: double division would
+    lose precision at ns magnitude). DuckDB truncates ns→µs the same
+    way, so oracle comparisons line up exactly."""
+    if table == "events":
+        spark.conf.set(NANOS_CONF, "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --- hash-stable aggregate helpers -------------------------------------------
+
+def dsum(col: Column, alias: str, scale: str = "decimal(38,6)") -> Column:
+    """Order-insensitive double sum: exact decimal accumulate → double."""
+    return F.sum(col.cast(scale)).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str, scale: str = "decimal(38,6)") -> Column:
+    """Order-insensitive double average (exact sum / count)."""
+    return (F.sum(col.cast(scale)).cast("double") /
+            F.count(col).cast("double")).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: str = "DECIMAL(38,6)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: str = "DECIMAL(38,6)") -> str:
+    return (f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE)"
+            f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}")
