@@ -1,0 +1,110 @@
+"""Tests for as-of join, sessionize, periods, XTQL DSL."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.functions import periods as P
+from xtdb_spark.operators.asof import asof_join, sessionize
+
+
+def T(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00"), "a"), (1, T("2024-01-01 12:00"), "b"),
+         (2, T("2024-01-01 10:00"), "c")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, T("2024-01-01 09:00"), 100.0), (1, T("2024-01-01 11:00"), 200.0),
+         (3, T("2024-01-01 08:00"), 999.0)],
+        "k long, ts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["v"])
+    got = {(r["k"], r["tag"]): r["v"] for r in out.collect()}
+    assert got == {(1, "a"): 100.0, (1, "b"): 200.0, (2, "c"): None}
+
+
+def test_asof_join_tie_inclusive(spark):
+    left = spark.createDataFrame([(1, T("2024-01-01 10:00"), "x")],
+                                 "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, T("2024-01-01 10:00"), 5.0)],
+                                  "k long, ts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["v"]).collect()
+    assert out[0]["v"] == 5.0  # <= semantics
+    strict = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                       right_cols=["v"], strict=True).collect()
+    assert strict[0]["v"] is None  # < semantics
+
+
+def test_sessionize(spark):
+    rows = [(1, T("2024-01-01 10:00")), (1, T("2024-01-01 10:10")),
+            (1, T("2024-01-01 11:30")), (2, T("2024-01-01 09:00"))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = sessionize(df, key="u", ts="ts", gap_minutes=30)
+    got = {(r["u"], str(r["ts"])): r["session_seq"] for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 1
+    assert got[(1, "2024-01-01 10:10:00")] == 1
+    assert got[(1, "2024-01-01 11:30:00")] == 2
+    assert got[(2, "2024-01-01 09:00:00")] == 1
+
+
+def test_period_predicates(spark):
+    df = spark.range(1)
+    p1 = P.period(F.lit("2024-01-01"), F.lit("2024-02-01"))
+    p2 = P.period(F.lit("2024-01-15"), F.lit("2024-03-01"))
+    p3 = P.period(F.lit("2024-02-01"), F.lit("2024-03-01"))
+    p_inf = P.period(F.lit("2024-01-01"), None)
+    row = df.select(
+        P.p_overlaps(p1, p2).alias("o12"),
+        P.p_overlaps(p1, p3).alias("o13"),
+        P.p_immediately_precedes(p1, p3).alias("ip13"),
+        P.p_contains(p_inf, p2).alias("cinf"),
+        P.p_contains_ts(p1, F.lit("2024-01-31 23:59:59")).alias("cts"),
+        P.p_contains_ts(p1, F.lit("2024-02-01 00:00:00")).alias("cts_end"),
+        P.p_precedes(p1, p3).alias("prec"),
+        P.p_succeeds(p3, p1).alias("succ"),
+        P.p_upper_inf(p_inf).alias("uinf"),
+    ).collect()[0]
+    assert row["o12"] and not row["o13"]
+    assert row["ip13"]
+    assert row["cinf"]
+    assert row["cts"] and not row["cts_end"]  # half-open [from, to)
+    assert row["prec"] and row["succ"]
+    assert row["uinf"]
+
+
+def test_xtql_pipeline(store):
+    from xtdb_spark import xtql as x
+
+    class XT:
+        def __init__(self, store):
+            self.store = store
+            self.spark = store.spark
+
+        def scan(self, table, **kw):
+            return self.store.scan(table, **kw)
+
+    store.put("people", [{"_id": 1, "name": "ada", "city": "london"},
+                         {"_id": 2, "name": "bob", "city": "paris"}],
+              system_from="2024-01-01")
+    store.put("visits", [{"_id": 10, "city": "london", "n": 3},
+                         {"_id": 11, "city": "paris", "n": 5},
+                         {"_id": 12, "city": "london", "n": 2}],
+              system_from="2024-01-01")
+    xt = XT(store)
+    out = x.q(
+        xt,
+        x.unify(
+            x.from_("people", bind={"_id": "person_id"}),
+            x.from_("visits", bind={"_id": "visit_id"}),
+        ),
+        x.where(F.col("n") > 1),
+        x.aggregate("name", total=F.sum("n")),
+        x.order_by("name"),
+    )
+    assert [(r["name"], r["total"]) for r in out.collect()] == [
+        ("ada", 5), ("bob", 5)]

@@ -1,0 +1,99 @@
+"""Tests for dedup / similarity / text / multimodal pipeline ops."""
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.pipeline import dedup, similarity, text
+from xtdb_spark.pipeline.multimodal import extract_features, make_fake_media
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "THE  quick brown fox jumps over the lazy dog"),  # normalizes to 1
+        (4, "completely different content about spark engines"),
+        (5, "el gato y el perro en la casa de la abuela"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_duplicates(docs_df(spark))
+    groups = {r["keep_id"]: r["n_docs"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1 and 3 normalize identically
+    assert groups[2] == 1
+
+
+def test_ngram_jaccard(spark):
+    pairs = dedup.ngram_jaccard_pairs(docs_df(spark), n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got and 0.4 < got[(1, 2)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(docs_df(spark), k=32, bands=8,
+                                    threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got
+    assert (1, 2) in got
+
+
+def test_simhash_near_pairs(spark):
+    pairs = dedup.simhash_near_pairs(docs_df(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got  # identical after lowering
+
+
+def test_cosine_topk(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(100, [1.0, 0.05])],
+                                    "q_id long, q_vec array<double>")
+    out = similarity.cosine_topk(corpus, queries, k=2).collect()
+    assert [r["nn_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 3]
+
+
+def test_lang_id_and_quality(spark):
+    d = docs_df(spark)
+    out = {r["doc_id"]: (r["lang"], r["q"]) for r in d.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("lang"),
+        text.quality_score(F.col("text")).alias("q")).collect()}
+    assert out[1][0] == "en"
+    assert out[5][0] == "es"
+    assert 0.0 <= out[1][1] <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    d = docs_df(spark)
+    fps = {r["doc_id"]: r["fp"] for r in
+           d.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media(spark, n=30)
+    feats = extract_features(media, batch_size=8, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["feat_dim"] == 4
+    assert by_id[0]["n_bytes"] > 0
+    assert len(by_id[0]["checksum"]) == 32
+    # deterministic: same input → same checksum on rerun
+    again = {r["media_id"]: r["checksum"] for r in
+             extract_features(media, batch_size=8, fake_decode=True).collect()}
+    assert again == {k: v["checksum"] for k, v in by_id.items()}
+
+
+def test_multimodal_decode_gated(spark):
+    media = make_fake_media(spark, n=2)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        extract_features(media).collect()  # NotImplementedError in worker

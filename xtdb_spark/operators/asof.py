@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join and sessionization.
+
+The reference has no dedicated range/as-of join — temporal joins are
+theta predicates over period functions (SURVEY §2.3). These are the
+standard time-series operators a Spark engine should provide natively,
+so we exceed parity here with a *shuffle-optimal* implementation.
+
+As-of join via union + carry-forward window (NO per-group UDF, no
+range explosion): tag both sides, union, single window sorted by
+(key, ts) with `last(..., ignorenulls)` carrying the right side's
+latest values forward onto left rows. One shuffle on the join key,
+linear work — survives any scale where a window over the key fits a
+partition (same constraint as any as-of semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    `right_ts <= left_ts` (or `<` when strict) for the same key `on`.
+
+    Right rows sort before left rows on ts ties (so `<=` semantics
+    match DuckDB's ASOF JOIN); `strict=True` flips the tie order.
+    """
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in (on, right_ts)]
+    lt = left.withColumn("__ts", F.col(left_ts)) \
+        .withColumn("__side", F.lit(1 if not strict else 0))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if not strict else 1).alias("__side"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__rts", F.col("__ts"))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(on).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
+          for c in right_cols],
+        F.last("__rts", ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    out = (carried.filter(F.col("__side") == (1 if not strict else 0))
+           .drop(*right_cols, "__rts"))
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__c_{c}", c)
+    return (out.withColumnRenamed("__c_ts", f"asof_{right_ts}")
+            .drop("__ts", "__side"))
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    previous event of the same key exceeds `gap_minutes`. Classic
+    lag + cumulative-sum window — one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_s = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(w))
+    new_session = (gap_s.isNull() | (gap_s > gap_minutes * 60)).cast("long")
+    return (events
+            .withColumn("__new", new_session)
+            .withColumn("session_seq",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("__new"))

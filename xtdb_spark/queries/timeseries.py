@@ -1,0 +1,66 @@
+"""Time-series operator queries: as-of join (DuckDB ASOF JOIN as the
+oracle) and sessionization (window-SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.operators.asof import asof_join, sessionize
+from xtdb_spark.queries.registry import ld, register
+
+
+@register(
+    "ts_asof_join",
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, p.value AS last_purchase_value,
+           p.ts AS asof_ts
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def ts_asof_join_q(spark, sf_dir):
+    """As-of join: each click picks up the user's most recent prior
+    purchase. Union + carry-forward window — one shuffle, no UDF."""
+    e = ld(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value"))
+    joined = asof_join(clicks, purchases, on="user_id",
+                       left_ts="ts", right_ts="ts", right_cols=["value"])
+    return joined.select("event_id", "user_id",
+                         F.col("value").alias("last_purchase_value"),
+                         F.col("asof_ts"))
+
+
+@register(
+    "ts_sessionize",
+    """
+    SELECT user_id,
+           CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events))
+    GROUP BY user_id
+    """,
+)
+def ts_sessionize_q(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions."""
+    e = ld(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count("*").alias("n_events"))

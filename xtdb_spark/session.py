@@ -77,17 +77,17 @@ class XtdbSession:
         self.store = TableStore(spark, warehouse)
 
     # --- tx ops (reference api/src/main/clojure/xtdb/tx_ops.clj) ---
-    def put(self, table, rows, valid_from=None, valid_to=None):
-        return self.store.put(table, rows, valid_from, valid_to)
+    def put(self, table, rows, valid_from=None, valid_to=None, **kw):
+        return self.store.put(table, rows, valid_from, valid_to, **kw)
 
-    def delete(self, table, ids, valid_from=None, valid_to=None):
-        return self.store.delete(table, ids, valid_from, valid_to)
+    def delete(self, table, ids, valid_from=None, valid_to=None, **kw):
+        return self.store.delete(table, ids, valid_from, valid_to, **kw)
 
-    def erase(self, table, ids):
-        return self.store.erase(table, ids)
+    def erase(self, table, ids, **kw):
+        return self.store.erase(table, ids, **kw)
 
-    def patch(self, table, rows, valid_from=None, valid_to=None):
-        return self.store.patch(table, rows, valid_from, valid_to)
+    def patch(self, table, rows, valid_from=None, valid_to=None, **kw):
+        return self.store.patch(table, rows, valid_from, valid_to, **kw)
 
     # --- query ---
     def scan(self, table, valid_time=None, system_time=None, all_valid_time=False,
