@@ -1,0 +1,57 @@
+"""Plan inspection utilities: the engine's answer to the reference's
+EXPLAIN / EXPLAIN ANALYZE (reference query.clj:210-277, which reports
+per-cursor timing + pushdown stats).
+
+Used by tests and the plan-audit tool to assert that:
+- column pruning reached the parquet scan (ReadSchema),
+- filters were pushed down (PushedFilters),
+- small dimensions broadcast (BroadcastHashJoin / BroadcastExchange),
+- the hot path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@dataclass
+class PlanFacts:
+    text: str
+    n_scans: int
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_shuffles: int
+    codegen_spans: int
+
+    def scan_reads_only(self, *cols: str) -> bool:
+        """True if every parquet scan reads a subset of `cols`."""
+        allowed = set(cols)
+        for rs in self.read_schemas:
+            got = set(re.findall(r"(\w+):", rs))
+            if not got <= allowed:
+                return False
+        return True
+
+
+def analyze(df: DataFrame) -> PlanFacts:
+    text = formatted_plan(df)
+    return PlanFacts(
+        text=text,
+        n_scans=len(re.findall(r"Scan parquet", text)),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
+        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", text)),
+        n_sortmerge_joins=len(re.findall(r"SortMergeJoin", text)),
+        n_shuffles=len(re.findall(r"Exchange (?:hash|range)partitioning", text)),
+        codegen_spans=len(re.findall(r"\*\(\d+\)|WholeStageCodegen", text)),
+    )

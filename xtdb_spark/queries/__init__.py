@@ -14,6 +14,7 @@ from xtdb_spark.queries.registry import QUERIES, oracle_map, query_map, register
 from xtdb_spark.queries import tpch  # noqa: F401
 from xtdb_spark.queries import operators  # noqa: F401
 from xtdb_spark.queries import functions  # noqa: F401
+from xtdb_spark.queries import functions2  # noqa: F401
 from xtdb_spark.queries import bitemporal  # noqa: F401
 from xtdb_spark.queries import timeseries  # noqa: F401
 from xtdb_spark.queries import pipeline  # noqa: F401

@@ -1,0 +1,142 @@
+"""Second scalar-function battery: URI accessors, interval/temporal
+arithmetic, overlay/octet string ops, CTE reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.queries.registry import dsum, ld, register
+
+
+@register(
+    "fn_uri_battery",
+    r"""
+    SELECT doc_id, uri,
+           regexp_extract(uri, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+           regexp_extract(uri, '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1) AS host,
+           regexp_extract(uri, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(uri, '\?([^#]*)', 1) AS query,
+           regexp_extract(uri, '#(.*)$', 1) AS fragment
+    FROM (SELECT doc_id,
+                 'https://user@host' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                   || '?q=' || lang || '#frag' || CAST(doc_id % 3 AS VARCHAR) AS uri
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def uri_battery(spark, sf_dir):
+    """URI accessor functions (reference expression/uri.clj:30-64:
+    uri_scheme/host/path/query/fragment) via regexp extraction — the
+    same expressions both engines run, all Catalyst-side."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    uri = F.concat(F.lit("https://user@host"), (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                   F.lit("?q="), F.col("lang"),
+                   F.lit("#frag"), (F.col("doc_id") % 3).cast("string"))
+    d = d.select("doc_id", uri.alias("uri"))
+    return d.select(
+        "doc_id", "uri",
+        F.regexp_extract("uri", r"^([a-z][a-z0-9+.-]*):", 1).alias("scheme"),
+        F.regexp_extract("uri", r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1)
+        .alias("host"),
+        F.regexp_extract("uri", r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+        .alias("path"),
+        F.regexp_extract("uri", r"\?([^#]*)", 1).alias("query"),
+        F.regexp_extract("uri", r"#(.*)$", 1).alias("fragment"),
+    )
+
+
+@register(
+    "fn_interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           o_orderdate - INTERVAL 2 HOUR AS t_minus_2h,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
+             AS days_to_y2k,
+           CAST((EXTRACT(YEAR FROM TIMESTAMP '2000-06-15')
+                 - EXTRACT(YEAR FROM o_orderdate)) * 12
+                + (EXTRACT(MONTH FROM TIMESTAMP '2000-06-15')
+                   - EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS months_apart,
+           date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+             - INTERVAL 1 DAY AS month_end
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def interval_arithmetic(spark, sf_dir):
+    """Datetime ± interval arithmetic and age-style differences
+    (reference expression/temporal.clj: the +/- interval defmethods,
+    `age`, `date_trunc`). month-difference uses an explicit
+    year*12+month formula — identical in both engines (Spark's
+    months_between and DuckDB's age() round differently)."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    y2k = F.lit("2000-01-01").cast("timestamp")
+    jun = F.lit("2000-06-15").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 2 HOUR")).alias("t_minus_2h"),
+        F.datediff(y2k.cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long").alias("days_to_y2k"),
+        ((F.year(jun) - F.year("o_orderdate")) * 12
+         + (F.month(jun) - F.month("o_orderdate"))).cast("long")
+        .alias("months_apart"),
+        (F.date_trunc("month", F.col("o_orderdate")) + F.expr("INTERVAL 1 MONTH")
+         - F.expr("INTERVAL 1 DAY")).alias("month_end"),
+    )
+
+
+@register(
+    "fn_overlay_octet",
+    """
+    SELECT p_partkey,
+           left(p_name, 1) || 'XX' || substr(p_name, 4) AS overlaid,
+           CAST(octet_length(CAST(p_name AS BLOB)) AS INTEGER) AS octets,
+           CAST(bit_length(p_brand) AS INTEGER) AS bits,
+           left(p_name, 4) AS l4, right(p_name, 3) AS r3,
+           repeat(p_brand, 2) AS doubled,
+           CAST(strpos(p_type, 'O') AS INTEGER) AS o_pos
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def overlay_octet(spark, sf_dir):
+    """overlay/octet_length (reference expression.clj:1589-1592,
+    1562-1572) + left/right/repeat/strpos."""
+    p = ld(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.overlay("p_name", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
+        F.octet_length("p_name").alias("octets"),
+        F.bit_length("p_brand").alias("bits"),
+        F.substring("p_name", 1, 4).alias("l4"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.instr(F.col("p_type"), "O").alias("o_pos"),
+    )
+
+
+@register(
+    "op_cte_let",
+    """
+    WITH seg_stats AS (
+      SELECT c_mktsegment AS seg, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b
+    FROM seg_stats a JOIN seg_stats b ON a.n < b.n
+    """,
+)
+def cte_let(spark, sf_dir):
+    """:relation/:let CTE — bind once, reference twice (reference
+    operator/let.clj:12-62). Spark analogue: .cache() the bound
+    relation so both references reuse one materialization."""
+    c = ld(spark, sf_dir, "customer")
+    seg = (c.groupBy(F.col("c_mktsegment").alias("seg"))
+           .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), "total"))
+           .cache())
+    a, b = seg.alias("a"), seg.alias("b")
+    return (a.join(b, F.col("a.n") < F.col("b.n"))
+            .select(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"),
+                    F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b")))

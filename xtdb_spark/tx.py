@@ -133,6 +133,38 @@ class TableStore:
         self._append(table, self._events_df(merged, "put", valid_from, valid_to, st))
         return st
 
+    # ---- maintenance ----
+
+    def optimize(self, table: str, n_files: int | None = None) -> int:
+        """Compaction: rewrite the table's event files clustered by
+        `_iid` and sorted by (`_iid`, `_system_from`).
+
+        The reference runs LSM-style background compaction of trie
+        levels bucketed by iid prefix (reference compactor.clj:11-21,
+        trie/Bucketer.kt); the Spark analogue is range-repartitioning
+        on `_iid` so each file owns an iid range — point lookups and
+        the per-iid resolution window then touch few files, and the
+        window shuffle is cheap because data is already clustered.
+        Equivalent to Delta OPTIMIZE ... ZORDER BY (_iid).
+
+        Returns the number of files written."""
+        import glob
+        import shutil
+
+        path = self._path(table)
+        ev = self.events(table)
+        if n_files is None:
+            n_bytes = sum(os.path.getsize(f)
+                          for f in glob.glob(os.path.join(path, "*.parquet")))
+            n_files = max(1, n_bytes // (128 * 1024 * 1024) + 1)
+        tmp = path + "__compacting"
+        (ev.repartitionByRange(int(n_files), "_iid")
+         .sortWithinPartitions("_iid", "_system_from")
+         .write.mode("overwrite").parquet(tmp))
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+
     # ---- reads ----
 
     def events(self, table: str) -> DataFrame:
