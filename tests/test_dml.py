@@ -1,0 +1,67 @@
+"""SQL DML tests — reference update_test.clj / sql_test.clj DML
+analogues."""
+
+import pytest
+
+from xtdb_spark.session import XtdbSession
+from xtdb_spark.sql.dml import AssertFailed
+from xtdb_spark.tx import TableStore
+
+
+@pytest.fixture()
+def xt(spark, tmp_path):
+    s = XtdbSession.__new__(XtdbSession)
+    s.spark = spark
+    s.store = TableStore(spark, str(tmp_path / "wh"))
+    s.sql = XtdbSession.sql.__get__(s)
+    s.scan = XtdbSession.scan.__get__(s)
+    return s
+
+
+def state(xt, table):
+    return sorted(tuple(r) for r in
+                  xt.scan(table).drop("_iid").collect())
+
+
+def test_insert_values_and_select(xt):
+    xt.sql("INSERT INTO t (_id, name, score) VALUES (1, 'ada', 10), (2, 'bob', 5)")
+    assert state(xt, "t") == [(1, "ada", 10), (2, "bob", 5)]
+    xt.sql("INSERT INTO t2 (_id, name) SELECT _id + 100, name FROM t")
+    assert state(xt, "t2") == [(101, "ada"), (102, "bob")]
+
+
+def test_update_where(xt):
+    xt.sql("INSERT INTO u (_id, name, score) VALUES (1, 'ada', 10), (2, 'bob', 5)")
+    xt.sql("UPDATE u SET score = score * 2 WHERE name = 'bob'")
+    assert state(xt, "u") == [(1, "ada", 10), (2, "bob", 10)]
+    # full history kept
+    assert xt.scan("u", all_system_time=True).count() == 3
+
+
+def test_delete_and_erase(xt):
+    xt.sql("INSERT INTO d (_id, v) VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    xt.sql("DELETE FROM d WHERE v = 'y'")
+    assert [t[0] for t in state(xt, "d")] == [1, 3]
+    # delete keeps history; erase destroys it
+    assert xt.scan("d", all_system_time=True).where("_id = 2").count() == 1
+    xt.sql("ERASE FROM d WHERE _id = 1")
+    assert xt.scan("d", all_system_time=True).where("_id = 1").count() == 0
+
+
+def test_update_portion_of_valid_time(xt):
+    xt.store.put("p", [{"_id": 1, "rate": 100}], system_from="2024-01-01")
+    xt.sql("UPDATE p FOR PORTION OF VALID_TIME FROM '2024-06-01' TO '2024-09-01' "
+           "SET rate = 150")
+    june = xt.scan("p", valid_time="2024-07-01").collect()
+    jan = xt.scan("p", valid_time="2024-02-01").collect()
+    oct_ = xt.scan("p", valid_time="2024-10-01").collect()
+    assert june[0]["rate"] == 150
+    assert jan[0]["rate"] == 100
+    assert oct_[0]["rate"] == 100
+
+
+def test_assert(xt):
+    xt.sql("INSERT INTO a (_id, n) VALUES (1, 5)")
+    xt.sql("ASSERT (SELECT COUNT(*) FROM a) = 1")
+    with pytest.raises(AssertFailed):
+        xt.sql("ASSERT (SELECT COUNT(*) FROM a) > 10")

@@ -1,0 +1,171 @@
+"""DML statements over the SQL surface.
+
+Reference: INSERT/UPDATE/DELETE/ERASE/PATCH/ASSERT are planned as
+relational algebra over the target table and executed at tx-index
+time (reference Sql.g4:16-45; query.clj:478-495 prepareTxSql;
+sql.clj:2925-3051), producing event rows appended to the log.
+
+Spark design: each statement compiles to a SELECT over the table's
+*current state* (or an inline VALUES relation), evaluated by Spark
+SQL, whose result is appended as events through the TableStore —
+the same "DML is a query producing (_iid, doc, valid-range) rows"
+model the reference uses. Supported forms:
+
+    INSERT INTO t (c1, c2, ...) VALUES (...), (...)
+    INSERT INTO t SELECT ...
+    UPDATE t [FOR PORTION OF VALID_TIME FROM 'a' TO 'b']
+             SET c = expr [, ...] [WHERE pred]
+    DELETE FROM t [FOR PORTION OF VALID_TIME FROM 'a' TO 'b'] [WHERE pred]
+    ERASE FROM t [WHERE pred]
+    ASSERT <condition SQL over current state>
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[\w.]+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"VALUES\s*(?P<values>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[\w.]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<select>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PORTION_RE = (r"(?:\s+FOR\s+PORTION\s+OF\s+VALID_TIME\s+FROM\s+"
+               r"(?:TIMESTAMP\s+)?'(?P<vf>[^']+)'\s+TO\s+"
+               r"(?:TIMESTAMP\s+)?'(?P<vt>[^']+)')?")
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+(?P<table>[\w.]+){_PORTION_RE}\s+"
+    r"SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+){_PORTION_RE}"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ERASE_RE = re.compile(
+    r"^\s*ERASE\s+FROM\s+(?P<table>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASSERT_RE = re.compile(r"^\s*ASSERT\s+(?P<cond>.+)$", re.IGNORECASE | re.DOTALL)
+
+DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|ERASE|ASSERT)\b", re.IGNORECASE)
+
+
+class AssertFailed(Exception):
+    """Reference: ASSERT aborts the transaction (Sql.g4:35)."""
+
+
+def is_dml(query: str) -> bool:
+    return DML_RE.match(query) is not None
+
+
+def _split_sets(sets: str) -> list[tuple[str, str]]:
+    """Split `a = expr, b = expr` respecting parens/quotes."""
+    parts, depth, cur, in_str = [], 0, "", False
+    for ch in sets:
+        if ch == "'" :
+            in_str = not in_str
+        elif not in_str:
+            if ch in "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+        cur += ch
+    parts.append(cur)
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out.append((col.strip(), expr.strip()))
+    return out
+
+
+def _current_view(xt, table: str) -> str:
+    view = f"xt_dml_{re.sub(r'[^A-Za-z0-9]', '_', table)}"
+    xt.store.scan(table).createOrReplaceTempView(view)
+    return view
+
+
+def execute_dml(xt, query: str):
+    spark = xt.spark
+
+    m = _INSERT_VALUES_RE.match(query)
+    if m:
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        rel = spark.sql(
+            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
+        return xt.store.put(m.group("table"), rel)
+
+    m = _INSERT_SELECT_RE.match(query)
+    if m:
+        from xtdb_spark.sql.rewriter import rewrite
+
+        rel = spark.sql(rewrite(xt, m.group("select")))
+        if m.group("cols"):
+            rel = rel.toDF(*[c.strip() for c in m.group("cols").split(",")])
+        return xt.store.put(m.group("table"), rel)
+
+    m = _UPDATE_RE.match(query)
+    if m:
+        table, where = m.group("table"), m.group("where")
+        view = _current_view(xt, table)
+        sets = dict(_split_sets(m.group("sets")))
+        cur_cols = [c for c in spark.table(view).columns if c != "_iid"]
+        for col, expr in sets.items():
+            if not re.fullmatch(r"[A-Za-z_]\w*", col) or not expr.strip():
+                raise ValueError(f"malformed SET clause near {col!r}")
+            if col not in cur_cols:
+                raise ValueError(f"UPDATE {table}: unknown column {col!r}")
+            if col == "_id":
+                raise ValueError("cannot UPDATE _id")
+        proj = ", ".join(f"({sets[c]}) AS {c}" if c in sets else c
+                         for c in cur_cols)
+        rel = spark.sql(f"SELECT {proj} FROM {view}"
+                        + (f" WHERE {where}" if where else ""))
+        return xt.store.put(table, rel, valid_from=m.group("vf"),
+                            valid_to=m.group("vt"))
+
+    m = _DELETE_RE.match(query)
+    if m:
+        table, where = m.group("table"), m.group("where")
+        view = _current_view(xt, table)
+        ids = spark.sql(f"SELECT _id FROM {view}"
+                        + (f" WHERE {where}" if where else ""))
+        id_list = [r["_id"] for r in ids.collect()]
+        if not id_list:
+            return None
+        return xt.store.delete(table, id_list, valid_from=m.group("vf"),
+                               valid_to=m.group("vt"))
+
+    m = _ERASE_RE.match(query)
+    if m:
+        table, where = m.group("table"), m.group("where")
+        view = _current_view(xt, table)
+        ids = spark.sql(f"SELECT _id FROM {view}"
+                        + (f" WHERE {where}" if where else ""))
+        id_list = [r["_id"] for r in ids.collect()]
+        if not id_list:
+            return None
+        return xt.store.erase(table, id_list)
+
+    m = _ASSERT_RE.match(query)
+    if m:
+        from xtdb_spark.sql.rewriter import rewrite
+
+        cond = rewrite(xt, m.group("cond"))
+        ok = spark.sql(f"SELECT ({cond}) AS ok").collect()[0]["ok"]
+        if not ok:
+            raise AssertFailed(f"ASSERT failed: {m.group('cond').strip()}")
+        return None
+
+    raise ValueError(f"unsupported DML statement: {query[:120]}")

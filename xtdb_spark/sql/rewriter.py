@@ -147,6 +147,10 @@ def _table_exists(store, table: str) -> bool:
 
 
 def rewrite_and_run(xt, query: str, args: list | None = None):
+    from xtdb_spark.sql import dml
+
+    if dml.is_dml(query):
+        return dml.execute_dml(xt, query)
     sql = rewrite(xt, query)
     if args:
         return xt.spark.sql(sql, args=args)

@@ -66,7 +66,20 @@ class TableStore:
 
     def _events_df(self, rows, op: str, valid_from, valid_to,
                    system_from) -> DataFrame:
-        df = rows if isinstance(rows, DataFrame) else self.spark.createDataFrame(rows)
+        if isinstance(rows, DataFrame):
+            df = rows
+        else:
+            # local-rows puts are small: one output file, not one per
+            # default partition (avoids the small-file problem)
+            df = self.spark.createDataFrame(rows).coalesce(1)
+        # widest-type canonicalization (SURVEY §1.3 strategy (c)):
+        # integral → bigint, fractional → double, so later appends
+        # from differently-inferred sources always schema-merge
+        for name, dtype in df.dtypes:
+            if dtype in ("tinyint", "smallint", "int"):
+                df = df.withColumn(name, F.col(name).cast("long"))
+            elif dtype == "float":
+                df = df.withColumn(name, F.col(name).cast("double"))
         if "_id" not in df.columns:
             raise ValueError("every document needs an `_id`")
         vf = (F.lit(valid_from).cast("timestamp") if valid_from is not None
