@@ -1,0 +1,82 @@
+"""Dynamic/union type tests — the mixed-type column case from
+FIXTURES.md §3 / reference types.clj dense unions, plus the
+james-bond-style nested/sparse document fixture."""
+
+from pyspark.sql import functions as F
+
+from xtdb_spark import dyntypes as dt
+
+
+def test_mixed_column_roundtrip(spark):
+    rows = [
+        {"_id": 1, "v": 42},
+        {"_id": 2, "v": "hello"},
+        {"_id": 3, "v": True},
+        {"_id": 4, "v": None},
+        {"_id": 5, "v": 7},
+    ]
+    df = dt.encode_rows(spark, rows)
+    assert df.schema["v"].dataType.typeName() == "struct"
+    got = {r["_id"]: (r["leg"], r["s"]) for r in df.select(
+        "_id", dt.leg(F.col("v")).alias("leg"),
+        dt.as_string(F.col("v")).alias("s")).collect()}
+    assert got[1] == ("i64", "42")
+    assert got[2] == ("str", "hello")
+    assert got[3] == ("bool", "true")
+    assert got[4] == (None, None)
+
+    ints = df.filter(dt.dyn_equals(F.col("v"), 42)).select("_id").collect()
+    assert [r["_id"] for r in ints] == [1]
+    typed = df.select("_id", dt.get_leg(F.col("v"), "i64").alias("i")).collect()
+    assert {r["_id"]: r["i"] for r in typed} == {1: 42, 2: None, 3: None,
+                                                4: None, 5: 7}
+
+
+def test_numeric_lub_widens(spark):
+    df = dt.encode_rows(spark, [{"_id": 1, "x": 1}, {"_id": 2, "x": 2.5}])
+    assert dict(df.dtypes)["x"] == "double"
+    assert sorted(r["x"] for r in df.collect()) == [1.0, 2.5]
+
+
+def test_homogeneous_stays_native(spark):
+    df = dt.encode_rows(spark, [{"_id": 1, "n": 5}, {"_id": 2, "n": 6}])
+    assert dict(df.dtypes)["n"] == "bigint"
+
+
+def test_cross_type_sort_total_order(spark):
+    rows = [{"_id": i, "v": v} for i, v in
+            enumerate([3, "apple", True, 1, "zoo"])]
+    df = dt.encode_rows(spark, rows)
+    ordered = [r["_id"] for r in
+               df.orderBy(dt.dyn_compare_key(F.col("v"))).collect()]
+    # bool < i64 < str by leg name; values ordered within leg
+    assert ordered == [2, 3, 0, 1, 4]
+
+
+def test_sparse_nested_documents(store):
+    """james_bond.edn-style fixture: nested arrays, sparse columns,
+    absent-column null semantics (reference src/test/clojure/xtdb/
+    james_bond.clj)."""
+    films = [
+        {"_id": "dr-no", "film_name": "Dr. No", "film_year": 1962,
+         "film_vehicles": ["sunbeam-alpine"], "film_bond": "sean-connery"},
+        {"_id": "goldfinger", "film_name": "Goldfinger", "film_year": 1964,
+         "film_vehicles": ["aston-martin-db5", "ford-mustang"],
+         "film_bond": "sean-connery"},
+        # sparse: no vehicles column value
+        {"_id": "spectre", "film_name": "Spectre", "film_year": 2015,
+         "film_vehicles": None, "film_bond": "daniel-craig"},
+    ]
+    store.put("films", films, system_from="2024-01-01")
+    cur = store.scan("films")
+    assert cur.count() == 3
+    # unnest with absent-column null semantics
+    exploded = (cur.select("_id", F.explode_outer("film_vehicles").alias("v"))
+                .collect())
+    got = {(r["_id"], r["v"]) for r in exploded}
+    assert ("goldfinger", "aston-martin-db5") in got
+    assert ("spectre", None) in got
+    by_bond = (cur.groupBy("film_bond").agg(F.count("*").alias("n"))
+               .collect())
+    assert {r["film_bond"]: r["n"] for r in by_bond} == {
+        "sean-connery": 2, "daniel-craig": 1}
