@@ -1,0 +1,174 @@
+"""Realistic event-analytics workload queries (ClickBench/funnel
+style — the reference benches these shapes via clickbench.clj and
+readings.clj), all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xtdb_spark.queries.registry import dsum, ld, register, sql_dsum
+
+
+@register(
+    "an_top_users_by_value",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dsum('value', 'total_value')},
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 25
+    """,
+)
+def top_users(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 dsum(F.col("value"), "total_value"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .orderBy(F.desc("total_value"), "user_id").limit(25))
+
+
+@register(
+    "an_funnel_signup_purchase",
+    """
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    converted AS (
+      SELECT DISTINCT s.user_id
+      FROM first_signup s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.signup_ts)
+    SELECT (SELECT COUNT(*) FROM first_signup) AS n_signups,
+           (SELECT COUNT(*) FROM converted) AS n_converted
+    """,
+)
+def funnel(spark, sf_dir):
+    """Conversion funnel: users who purchased after first signup."""
+    e = ld(spark, sf_dir, "events")
+    first_signup = (e.filter(F.col("event_type") == "signup")
+                    .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("pts"))
+    converted = (first_signup.join(purchases, "user_id")
+                 .filter(F.col("pts") > F.col("signup_ts"))
+                 .select("user_id").distinct())
+    return (first_signup.agg(F.count("*").alias("n_signups"))
+            .crossJoin(converted.agg(F.count("*").alias("n_converted"))))
+
+
+@register(
+    "an_daily_retention",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events)
+    SELECT a.d AS day, COUNT(*) AS n_retained
+    FROM daily a JOIN daily b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    """,
+)
+def daily_retention(spark, sf_dir):
+    """Next-day retention: users active on day D and D+1."""
+    e = ld(spark, sf_dir, "events")
+    daily = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    a, b = daily.alias("a"), daily.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("b.d") == F.col("a.d") + F.expr("INTERVAL 1 DAY")))
+            .groupBy(F.col("a.d").alias("day"))
+            .agg(F.count("*").alias("n_retained")))
+
+
+@register(
+    "an_event_type_share_per_day",
+    """
+    SELECT d, event_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY d) AS DOUBLE)
+             AS share
+    FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type, COUNT(*) AS n
+          FROM events GROUP BY d, event_type)
+    """,
+)
+def event_type_share(spark, sf_dir):
+    """Aggregate + window-over-aggregate (share of day's traffic)."""
+    e = ld(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("d")
+    return daily.select(
+        "d", "event_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double"))
+        .alias("share"))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume', 'revenue')}
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                               AND TIMESTAMP '1996-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark, sf_dir):
+    """TPC-H Q7 adapted: bidirectional nation-pair trade volume —
+    self-joined broadcast dimension with a disjunctive pair filter."""
+    s = ld(spark, sf_dir, "supplier")
+    l = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31"))
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    n1 = F.broadcast(ld(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("nk1"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(ld(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("nk2"),
+                             F.col("n_name").alias("cust_nation")))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (s.join(l, s.s_suppkey == l.l_suppkey)
+            .join(o, o.o_orderkey == l.l_orderkey)
+            .join(c, c.c_custkey == o.o_custkey)
+            .join(n1, F.col("s_nationkey") == F.col("nk1"))
+            .join(n2, F.col("c_nationkey") == F.col("nk2"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(dsum(vol, "revenue")))
+
+
+@register(
+    "tpch_q12_late_shipments",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE epoch(l_shipdate) - epoch(o_orderdate)
+                            > 90 * 86400) AS late_count,
+           COUNT(*) AS total_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12 adapted (no l_shipmode in testdata): late-shipment
+    counts per order priority via conditional aggregation."""
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    late = (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+            > 90 * 86400)
+    return (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.when(late, 1)).alias("late_count"),
+                 F.count("*").alias("total_count")))
