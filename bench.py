@@ -21,15 +21,21 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
     "op_window_row_number",
     "op_group_by_aggs",
     "bitemp_current_state",
+    "ts_asof_join",
+    "an_top_users_by_value",
     "pipe_dedup_exact",
     "pipe_ann_cosine_topk",
 ]
+
+BENCH_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
@@ -42,12 +48,16 @@ def main():
 
     from xtdb_spark.session import build_spark
     from xtdb_spark.queries import QUERIES
+    from xtdb_spark.queries.registry import cache_tables
 
     spark = build_spark("xtdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # cold pass: warm JVM/codegen caches, not timed per reference's
-    # cold/hot split (tpch.clj:41-68)
+    # cold pass: warm JVM/codegen caches and pin the tables in the
+    # buffer pool (reference buffer_pool.clj analogue), matching the
+    # reference's cold/hot split (tpch.clj:41-68); only the hot pass
+    # is timed
+    cache_tables(spark, sf_dir, BENCH_TABLES)
     for name in HEADLINE:
         QUERIES[name].fn(spark, sf_dir).collect()
 

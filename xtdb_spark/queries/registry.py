@@ -55,6 +55,35 @@ def oracle_map() -> dict[str, str]:
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    """Opt-in buffer pool: pin tables in executor memory as cached
+    temp views; subsequent `ld()` calls hit the cache. The Spark
+    analogue of the reference's buffer pool of hot Arrow blocks
+    (reference core buffer_pool.clj) — used by bench.py's hot stage."""
+    for t in tables:
+        df = _read(spark, sf_dir, t)
+        view = _cache_view_name(sf_dir, t)
+        df.createOrReplaceTempView(view)
+        spark.catalog.cacheTable(view)
+        df.count()  # materialize
+
+
+def _cache_view_name(sf_dir: str, table: str) -> str:
+    import re as _re
+
+    return "xt_cache_" + _re.sub(r"\W", "_", f"{sf_dir}_{table}")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        spark.conf.set(NANOS_CONF, "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
 def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one testdata table. Plain parquet scan → Catalyst gets
     predicate pushdown + column pruning for free.
@@ -64,14 +93,16 @@ def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     works in the driver's own session too) and truncate to micros
     JVM-side (`ts div 1000`, integer division: double division would
     lose precision at ns magnitude). DuckDB truncates ns→µs the same
-    way, so oracle comparisons line up exactly."""
-    if table == "events":
-        spark.conf.set(NANOS_CONF, "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    way, so oracle comparisons line up exactly.
+
+    If `cache_tables` pinned this table, return the cached view."""
+    view = _cache_view_name(sf_dir, table)
+    try:
+        if spark.catalog.tableExists(view):
+            return spark.table(view)
+    except Exception:
+        pass
+    return _read(spark, sf_dir, table)
 
 
 # --- hash-stable aggregate helpers -------------------------------------------
