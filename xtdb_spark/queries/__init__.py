@@ -12,6 +12,7 @@ from xtdb_spark.queries.registry import QUERIES, oracle_map, query_map, register
 
 # import for registration side effects
 from xtdb_spark.queries import tpch  # noqa: F401
+from xtdb_spark.queries import tpch2  # noqa: F401
 from xtdb_spark.queries import operators  # noqa: F401
 from xtdb_spark.queries import functions  # noqa: F401
 from xtdb_spark.queries import functions2  # noqa: F401
