@@ -53,14 +53,20 @@ def _decode_image_bytes(content: bytes, fake_decode: bool = False) -> list[float
             float(sum(content[:16]) % 256)]
 
 
-def extract_features(media: DataFrame, batch_size: int = 64,
+def extract_features(media: DataFrame, batch_size: int | None = 64,
                      fake_decode: bool = False) -> DataFrame:
     """Decode + featurize media rows via mapInPandas (arrow-batched).
     Pure plumbing demo: checksum and byte-stats are computed for real,
-    the decode step goes through the stub."""
+    the decode step goes through the stub.
+
+    batch_size caps rows per arrow batch so a batch of decoded media
+    fits executor memory; it is a session-wide conf, so pass None to
+    leave the session default untouched (e.g. when mixing with other
+    arrow-heavy work)."""
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -243,3 +243,38 @@ def embedding_norms(spark, sf_dir):
             .groupBy("label")
             .agg(F.count("*").alias("n"),
                  (F.sum("nrm").cast("double") / F.count("*")).alias("avg_norm")))
+
+
+@register(
+    "pipe_dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 6) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked on `label` — the
+    blocking key bounds the pair blowup exactly like an LSH bucket
+    join would at 100 TB (pairs only form inside a block, so the
+    self-join shuffles on the block key instead of going quadratic).
+    Threshold 0.3 is calibrated to the synthetic embeddings (random
+    vectors: intra-label max cos ≈ 0.47); real near-dup corpora use
+    ≥0.9. Rounded to 6dp in both engines so last-ulp float noise
+    can't flip the threshold comparison."""
+    e = ld(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 similarity.as_double_array(F.col("embedding")).alias("ev"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"),
+                 F.col("ev").alias("ev_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"),
+                 F.col("ev").alias("ev_b"))
+    return (a.join(b, (F.col("lbl_a") == F.col("lbl_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b",
+                    F.round(similarity.cosine(F.col("ev_a"), F.col("ev_b")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.3))
