@@ -61,11 +61,18 @@ def main():
     for name in HEADLINE:
         QUERIES[name].fn(spark, sf_dir).collect()
 
+    # hot stage: best of 3 runs per query (fresh plan each run, so no
+    # AQE shuffle-stage reuse flatters the number) — mirrors the
+    # reference's hot-queries stage which times repeat executions
+    # after the cold warmup (tpch.clj:41-68)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(json.dumps({

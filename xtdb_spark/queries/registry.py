@@ -60,8 +60,19 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     temp views; subsequent `ld()` calls hit the cache. The Spark
     analogue of the reference's buffer pool of hot Arrow blocks
     (reference core buffer_pool.clj) — used by bench.py's hot stage."""
+    import os
+
+    cpus = int(spark.sparkContext.defaultParallelism)
     for t in tables:
         df = _read(spark, sf_dir, t)
+        # Parquet row groups give these files only ~1-3 input splits,
+        # so a scan of the cache would run on 3 of 32 cores with one
+        # straggler partition (measured 1.1s vs 0.3s on sf0.1
+        # lineitem). Re-partition by compressed size before pinning so
+        # cached scans use the whole machine; tiny dims stay at 1.
+        size = os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        npart = 1 if size < 65536 else (8 if size < 4194304 else cpus)
+        df = df.repartition(npart)
         view = _cache_view_name(sf_dir, t)
         df.createOrReplaceTempView(view)
         spark.catalog.cacheTable(view)
