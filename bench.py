@@ -16,15 +16,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# full TPC-H battery (q21 excluded, matching the reference bench's
+# default q-set, tpch.clj:12-13) + operator / bitemporal / pipeline
+# heads
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
     "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
     "op_window_row_number",
     "op_group_by_aggs",
     "bitemp_current_state",

@@ -58,27 +58,36 @@ _REV = "l_extendedprice * (1 - l_discount)"
 def q2(spark, sf_dir):
     """Q2 adapted: unit price from lineitem stands in for partsupp
     supply cost. The correlated MIN subquery is decorrelated into a
-    per-part aggregate joined back on (partkey, cost) — at 100 TB
-    the `supply` aggregate shuffles once on (partkey, suppkey) and
-    the min-per-part reuses that partitioning."""
+    per-part aggregate joined back on (partkey, cost).
+
+    Scale shape: the part filter and the EU-supplier set are both
+    broadcast-semi-joined into lineitem BEFORE the (partkey, suppkey)
+    aggregate — the reference's iid/bloom sideways pushdown
+    (join.clj:172-226) — so the only big shuffle aggregates the
+    surviving sliver instead of all of lineitem."""
     l = ld(spark, sf_dir, "lineitem")
-    supply = (l.groupBy(F.col("l_partkey").alias("partkey"),
-                        F.col("l_suppkey").alias("suppkey"))
-              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                   .alias("cost")))
     p = ld(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
     s = ld(spark, sf_dir, "supplier")
     n = F.broadcast(ld(spark, sf_dir, "nation"))
     r = F.broadcast(ld(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
-    # EU-located (supplier, part, cost) offers
-    eu = (supply.join(s, supply.suppkey == s.s_suppkey)
-          .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-          .join(r, F.col("n_regionkey") == F.col("r_regionkey")))
-    best = eu.groupBy("partkey").agg(F.min("cost").alias("min_cost"))
-    return (eu.join(best, ["partkey"])
+    eu_supp = (s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+               .join(r, F.col("n_regionkey") == F.col("r_regionkey")))
+    pruned = (l
+              .join(F.broadcast(p.select("p_partkey")),
+                    F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+              .join(F.broadcast(eu_supp.select("s_suppkey")),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"))
+    supply = (pruned.groupBy(F.col("l_partkey").alias("partkey"),
+                             F.col("l_suppkey").alias("suppkey"))
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("cost")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("partkey")
+    return (supply.withColumn("min_cost", F.min("cost").over(w))
             .filter(F.col("cost") == F.col("min_cost"))
-            .join(p, F.col("partkey") == p.p_partkey)
+            .join(F.broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
                     F.col("cost").alias("supplycost"))
             .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -207,9 +216,12 @@ def q11(spark, sf_dir):
              .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
              .groupBy(F.col("l_partkey").alias("partkey"))
              .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("val")))
-    total = value.agg((F.sum("val").cast("double") * F.lit(0.001))
-                      .alias("threshold"))
-    return (value.crossJoin(F.broadcast(total))
+    # global-scalar threshold as an empty-partition window: one pass
+    # over `value` instead of re-computing the aggregate subtree (the
+    # post-agg rel is tiny, so the single-partition window is free)
+    from pyspark.sql import Window
+    total = F.sum("val").over(Window.partitionBy())
+    return (value.withColumn("threshold", total.cast("double") * F.lit(0.001))
             .filter(F.col("val").cast("double") > F.col("threshold"))
             .select("partkey", F.col("val").cast("double").alias("part_value"))
             .orderBy(F.desc("part_value"), "partkey"))
@@ -266,9 +278,11 @@ def q15(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     revenue = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
                .agg(F.sum(rev).alias("total_rev")))
-    best = revenue.agg(F.max("total_rev").alias("max_rev"))
+    from pyspark.sql import Window
     s = ld(spark, sf_dir, "supplier")
-    return (revenue.crossJoin(F.broadcast(best))
+    return (revenue
+            .withColumn("max_rev",
+                        F.max("total_rev").over(Window.partitionBy()))
             .filter(F.col("total_rev") == F.col("max_rev"))
             .join(s, F.col("s_suppkey") == F.col("supplier_no"))
             .select("s_suppkey", "s_name",
@@ -325,13 +339,18 @@ def q17(spark, sf_dir):
     exact decimal sum/count avg keeps the `<` comparison identical
     on both engines."""
     l = ld(spark, sf_dir, "lineitem")
-    part_avg = (l.groupBy(F.col("l_partkey").alias("pk"))
+    p = ld(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # per-part avg only matters for Brand#3 parts — semi-join-prune
+    # lineitem before the aggregate (correlation-key restriction, so
+    # the result is unchanged)
+    l_brand = l.join(F.broadcast(p.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    part_avg = (l_brand.groupBy(F.col("l_partkey").alias("pk"))
                 .agg(((F.sum(F.col("l_quantity").cast("decimal(38,6)"))
                        .cast("double"))
                       / F.count("l_quantity").cast("double")).alias("avg_qty")))
-    p = ld(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    return (l.join(p, F.col("p_partkey") == F.col("l_partkey"))
-            .join(part_avg, F.col("pk") == F.col("l_partkey"))
+    return (l_brand.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
                   .cast("double") / F.lit(7.0)).alias("avg_yearly")))
