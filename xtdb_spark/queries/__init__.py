@@ -22,5 +22,6 @@ from xtdb_spark.queries import analytics  # noqa: F401
 from xtdb_spark.queries import pipeline  # noqa: F401
 from xtdb_spark.queries import streaming  # noqa: F401
 from xtdb_spark.queries import meta  # noqa: F401
+from xtdb_spark.queries import xtql_entries  # noqa: F401
 
 __all__ = ["QUERIES", "register", "query_map", "oracle_map"]

@@ -1,0 +1,93 @@
+"""XTQL entry-point + literal-relation catalog entries.
+
+The reference's second query language (XTQL, reference
+core/src/main/clojure/xtdb/xtql.clj:293-593) plans to the same
+logical plan as SQL; here the DSL (xtdb_spark/xtql.py) builds the
+same DataFrames the SQL path would, so these entries prove the
+second entry point produces oracle-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.queries.registry import dsum, ld, register, sql_dsum
+from xtdb_spark.xtql import (
+    aggregate, from_df, limit, order_by, q, return_, unify, where,
+)
+
+
+@register(
+    "xtql_pipeline_agg",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'spend')}
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    ORDER BY spend DESC, o_custkey
+    LIMIT 50
+    """,
+)
+def pipeline_agg(spark, sf_dir):
+    """XTQL pipeline: from → where → aggregate → order-by → limit
+    (reference xtql.clj Pipeline/From/Where/Aggregate/OrderBy/Limit)."""
+    return q(None,
+             from_df(ld(spark, sf_dir, "orders")),
+             where(F.col("o_orderstatus") == "F"),
+             aggregate("o_custkey",
+                       n_orders=F.count("*"),
+                       spend=dsum(F.col("o_totalprice"), "spend")),
+             order_by(F.desc("spend"), "o_custkey"),
+             limit(50))
+
+
+@register(
+    "xtql_unify_join",
+    """
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def unify_join(spark, sf_dir):
+    """XTQL unify: datalog-style join on a shared logic variable
+    (reference xtql.clj Unify → natural join on shared columns).
+    `nk` is the shared var binding c_nationkey ↔ n_nationkey."""
+    return q(None,
+             unify(
+                 from_df(ld(spark, sf_dir, "customer"),
+                         bind={"c_nationkey": "nk"}),
+                 from_df(ld(spark, sf_dir, "nation"),
+                         bind={"n_nationkey": "nk"}),
+             ),
+             aggregate("n_name",
+                       n_customers=F.count("*"),
+                       total_bal=F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                       .cast("double").alias("total_bal")),
+             order_by("n_name"))
+
+
+@register(
+    "op_table_values",
+    """
+    SELECT t.r_regionkey, CAST(t.bonus AS DOUBLE) AS bonus, r.r_name
+    FROM (VALUES (0, 1.5), (1, 2.5), (2, 3.5), (3, 4.5), (4, 5.5))
+         AS t(r_regionkey, bonus)
+    JOIN region r ON r.r_regionkey = t.r_regionkey
+    ORDER BY t.r_regionkey
+    """,
+)
+def table_values(spark, sf_dir):
+    """:table literal-rows operator (reference operator/table.clj:25-206)
+    joined against a scanned table — literal rels broadcast."""
+    rows = [(i, 1.5 + i) for i in range(5)]
+    t = spark.createDataFrame(rows, "r_regionkey int, bonus double")
+    r = ld(spark, sf_dir, "region")
+    return (F.broadcast(t)
+            .join(r.withColumnRenamed("r_regionkey", "rk"),
+                  F.col("rk") == t.r_regionkey)
+            .select("r_regionkey", "bonus", "r_name")
+            .orderBy("r_regionkey"))

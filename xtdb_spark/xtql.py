@@ -62,6 +62,22 @@ def rel(rows) -> Step:
     return step
 
 
+def from_df(df: DataFrame, bind: dict[str, str] | None = None) -> Step:
+    """Source step over an existing DataFrame — the reference's
+    prepared-RA entry point (query.clj:166-172 plan-query accepts raw
+    relations), and what lets XTQL pipelines run over any Spark
+    source, not just the bitemporal store."""
+
+    def step(_xt, _prev):
+        out = df
+        if bind:
+            for col, var in bind.items():
+                out = out.withColumnRenamed(col, var)
+        return out
+
+    return step
+
+
 def where(*preds: Column) -> Step:
     def step(_xt, df):
         for p in preds:
