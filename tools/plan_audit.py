@@ -25,6 +25,11 @@ def main():
     ]
     spark = build_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # audit the static plan: with AQE on, codegen spans and join
+    # strategies only materialize at runtime, so the explain output
+    # under-reports them (runtime plans are usually better — AQE
+    # upgrades to broadcast etc.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         f = analyze(df)

@@ -22,6 +22,16 @@ def formatted_plan(df: DataFrame) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+
+
+def codegen_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen")
+
+
 @dataclass
 class PlanFacts:
     text: str
@@ -45,6 +55,11 @@ class PlanFacts:
 
 def analyze(df: DataFrame) -> PlanFacts:
     text = formatted_plan(df)
+    cg = codegen_plan(df)
+    # formatted mode lists `(N) Exchange` nodes with the partitioning
+    # on an Arguments: line; BroadcastExchange is not a shuffle.
+    # Codegen span count comes from the dedicated codegen mode (AQE
+    # hides `*(N)` markers in simple mode before execution).
     return PlanFacts(
         text=text,
         n_scans=len(re.findall(r"Scan parquet", text)),
@@ -52,6 +67,8 @@ def analyze(df: DataFrame) -> PlanFacts:
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
         n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", text)),
         n_sortmerge_joins=len(re.findall(r"SortMergeJoin", text)),
-        n_shuffles=len(re.findall(r"Exchange (?:hash|range)partitioning", text)),
-        codegen_spans=len(re.findall(r"\*\(\d+\)|WholeStageCodegen", text)),
+        n_shuffles=len(re.findall(
+            r"Arguments: (?:hash|range)partitioning", text)),
+        codegen_spans=int((re.search(
+            r"Found (\d+) WholeStageCodegen subtrees", cg) or [0, 0])[1]),
     )
