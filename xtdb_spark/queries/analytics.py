@@ -172,3 +172,72 @@ def q12(spark, sf_dir):
             .groupBy("o_orderpriority")
             .agg(F.count(F.when(late, 1)).alias("late_count"),
                  F.count("*").alias("total_count")))
+
+
+@register(
+    "fn_json_extract",
+    """
+    SELECT k_bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM (SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS k_bucket, value
+          FROM events)
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON path extraction over a string column (the reference's
+    dynamic nested-document access, get_field over :transit docs —
+    expression.clj:1930-1961 — maps to get_json_object for
+    JSON-serialized payloads). Stays JVM-side: get_json_object is a
+    built-in, no Python UDF."""
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.select((k / F.lit(10)).cast("int").alias("k_bucket"), "value")
+            .groupBy("k_bucket")
+            .agg(F.count("*").alias("n"),
+                 dsum(F.col("value"), "total_value"))
+            .orderBy("k_bucket"))
+
+
+@register(
+    "an_hourly_traffic",
+    """
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour_of_day,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY hour_of_day, event_type
+    ORDER BY hour_of_day, event_type
+    """,
+)
+def hourly_traffic(spark, sf_dir):
+    """ClickBench-style time histogram (reference clickbench.clj
+    query shapes)."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("hour_of_day", "event_type"))
+
+
+@register(
+    "an_value_percentiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (reference
+    percentile_cont, group_by.clj:353-465). Exact (not approx) so the
+    DuckDB comparison is bit-stable after 6dp rounding."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+            .orderBy("event_type"))
