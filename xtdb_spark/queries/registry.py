@@ -64,6 +64,8 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
 
     cpus = int(spark.sparkContext.defaultParallelism)
     for t in tables:
+        _CACHED_VIEWS.add(_cache_view_name(sf_dir, t))
+    for t in tables:
         df = _read(spark, sf_dir, t)
         # Parquet row groups give these files only ~1-3 input splits,
         # so a scan of the cache would run on 3 of 32 cores with one
@@ -83,6 +85,12 @@ def _cache_view_name(sf_dir: str, table: str) -> str:
     import re as _re
 
     return "xt_cache_" + _re.sub(r"\W", "_", f"{sf_dir}_{table}")
+
+
+# process-local record of pinned views: ld() consults this instead of
+# paying a catalog RPC per table load (measurable at bench's
+# tables-per-query × best-of-3 volume)
+_CACHED_VIEWS: set[str] = set()
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -108,11 +116,8 @@ def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     If `cache_tables` pinned this table, return the cached view."""
     view = _cache_view_name(sf_dir, table)
-    try:
-        if spark.catalog.tableExists(view):
-            return spark.table(view)
-    except Exception:
-        pass
+    if view in _CACHED_VIEWS:
+        return spark.table(view)
     return _read(spark, sf_dir, table)
 
 

@@ -264,19 +264,21 @@ def q14(spark, sf_dir):
     """,
 )
 def q18(spark, sf_dir):
-    """Aggregate-subquery semi-join + re-aggregation."""
+    """Aggregate-subquery IN + re-aggregation. The subquery's
+    per-order SUM *is* the outer query's sum_qty (grouping keys are
+    unique per order), so one aggregation serves both — lineitem is
+    shuffled once instead of twice."""
     c = ld(spark, sf_dir, "customer")
     o = ld(spark, sf_dir, "orders")
     l = ld(spark, sf_dir, "lineitem")
     big = (l.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
-           .filter(F.col("q") > 300).select("l_orderkey"))
+           .filter(F.col("q") > 300))
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.col("q").cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

@@ -313,8 +313,11 @@ def q16(spark, sf_dir):
     l = ld(spark, sf_dir, "lineitem")
     bad = ld(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0) \
         .select("s_suppkey")
+    # prune with the selective part filter BEFORE the count-distinct
+    # expand (semi-join keeps only qualifying parts' lineitems, so the
+    # distinct shuffles a sliver of lineitem)
     return (l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
