@@ -33,3 +33,43 @@ def test_windowed_counts_batch_equivalence(spark):
            for r in windowed_counts(df).collect()}
     assert out[("2024-01-01 10:00:00", "a")] == (5, 5.0)
     assert out[("2024-01-01 11:00:00", "b")] == (1, 2.0)
+
+
+def test_stateful_sessionize_stream_carries_state(spark, tmp_path):
+    """applyInPandasWithState sessionization: a user's session spans
+    two micro-batches; the state store must carry it across."""
+    import os
+    import time
+
+    from xtdb_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+    # batch 1: u1 events at 10:00/10:05; u2 at 09:00
+    b1 = [(datetime(2024, 1, 1, 10, 0), 1), (datetime(2024, 1, 1, 10, 5), 1),
+          (datetime(2024, 1, 1, 9, 0), 2)]
+    # batch 2: u1 continues inside gap (10:20) AND starts a new
+    # session (12:00) — the 10:00 session must close with 3 events
+    b2 = [(datetime(2024, 1, 1, 10, 20), 1), (datetime(2024, 1, 1, 12, 0), 1)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)  # file source orders batches by mod time
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM sess").collect()
+    closed = [r for r in rows if r["closed"] and r["user_id"] == 1]
+    assert len(closed) == 1
+    assert closed[0]["n_events"] == 3  # 10:00 + 10:05 (batch1) + 10:20 (batch2)
+    assert str(closed[0]["session_start"]) == "2024-01-01 10:00:00"
+    assert str(closed[0]["session_end"]) == "2024-01-01 10:20:00"
+    # open sessions snapshotted: u1's 12:00 and u2's 09:00
+    open_u1 = [r for r in rows if not r["closed"] and r["user_id"] == 1]
+    assert any(str(r["session_start"]) == "2024-01-01 12:00:00" for r in open_u1)
+    assert any(r["user_id"] == 2 and not r["closed"] for r in rows)
