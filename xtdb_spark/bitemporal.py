@@ -97,6 +97,28 @@ def with_system_to(events: DataFrame) -> DataFrame:
     return events.withColumn("_system_to", F.lead("_system_from").over(w))
 
 
+def valid_history(events: DataFrame) -> DataFrame:
+    """Current-system-time validity timeline per entity (what
+    `FOR VALID_TIME FROM a TO b` filters): each event's effective
+    valid interval is its own range clipped by the next event's
+    `_valid_from` (a later event — put OR delete — supersedes the
+    overlap, reference PolygonCalculator.kt:22-50 for the system-
+    latest slice; `_valid_to_eff` keeps the original end when the
+    next event starts later, leaving a gap). Exact when events per
+    iid arrive in increasing (`_valid_from`, `_system_from`) order —
+    the append-flow shape; arbitrary retroactive writes go through
+    `polygon_history`. Deletes clip their predecessors, then drop
+    out. One window shuffle on `_iid`; no UDF."""
+    w = Window.partitionBy("_iid").orderBy("_valid_from", "_system_from")
+    nxt = F.lead("_valid_from").over(w)
+    return (events
+            .withColumn("_valid_to_eff",
+                        F.when(nxt.isNull(), F.col("_valid_to"))
+                        .otherwise(F.least(_end_or_inf(F.col("_valid_to")),
+                                           nxt)))
+            .filter(F.col("op") == "put"))
+
+
 _POLY_FIELDS = [
     StructField("_valid_from", TimestampType()),
     StructField("_valid_to", TimestampType()),

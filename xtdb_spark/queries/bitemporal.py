@@ -168,3 +168,56 @@ def polygon_rectangles(spark, sf_dir):
         F.max("_system_from").alias("max_sf"),
         F.count(F.when(F.col("_system_to").isNull(), 1)).alias("n_open"),
     )
+
+
+@register(
+    "bitemp_valid_between",
+    """
+    WITH ev AS (
+      SELECT user_id AS _id, value, ts AS _valid_from,
+             CASE WHEN event_type = 'purchase'
+                  THEN ts + INTERVAL 7 DAY ELSE NULL END AS _valid_to,
+             ts AS _system_from,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op
+      FROM events),
+    hist AS (
+      SELECT _id, value, _valid_from, op,
+             CASE WHEN next_vf IS NULL THEN _valid_to
+                  ELSE LEAST(COALESCE(_valid_to, TIMESTAMP '9999-12-31'),
+                             next_vf) END AS _valid_to_eff
+      FROM (SELECT *, LEAD(_valid_from) OVER (PARTITION BY _id
+                      ORDER BY _valid_from, _system_from) AS next_vf
+            FROM ev))
+    SELECT _id, value, _valid_from, _valid_to_eff
+    FROM hist
+    WHERE op = 'put'
+      AND _valid_from < TIMESTAMP '2024-01-12'
+      AND (_valid_to_eff IS NULL OR _valid_to_eff > TIMESTAMP '2024-01-10')
+    """,
+)
+def valid_between(spark, sf_dir):
+    """FOR VALID_TIME FROM '2024-01-10' TO '2024-01-12' — versions
+    whose *effective* valid interval (own range clipped by successor
+    events, bounded ranges for purchases) overlaps the query window
+    (reference temporal-bounds eval, scan.clj:62-114). Exercises
+    bounded AND open valid_to plus supersession gaps."""
+    e = ld(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("user_id").alias("_id"),
+        F.col("value"),
+        F.col("user_id").alias("_iid"),
+        F.col("ts").alias("_valid_from"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("ts") + F.expr("INTERVAL 7 DAY"))
+        .otherwise(F.lit(None).cast("timestamp")).alias("_valid_to"),
+        F.col("ts").alias("_system_from"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put").alias("op"),
+    )
+    h = bitemporal.valid_history(ev)
+    a = F.lit("2024-01-10").cast("timestamp")
+    b = F.lit("2024-01-12").cast("timestamp")
+    return (h.filter((F.col("_valid_from") < b)
+                     & (F.col("_valid_to_eff").isNull()
+                        | (F.col("_valid_to_eff") > a)))
+            .select("_id", "value", "_valid_from", "_valid_to_eff"))
