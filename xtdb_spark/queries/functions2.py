@@ -140,3 +140,38 @@ def cte_let(spark, sf_dir):
     return (a.join(b, F.col("a.n") < F.col("b.n"))
             .select(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"),
                     F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b")))
+
+
+@register(
+    "fn_bit_ops_battery",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 7 AS bor,
+           xor(o_orderkey, 129) AS bxor,
+           ~o_orderkey AS bnot,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           GREATEST(o_totalprice, 500.0) AS hi,
+           LEAST(o_totalprice, 500.0) AS lo,
+           string_split(o_orderpriority, '-') AS parts
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def bit_ops_battery(spark, sf_dir):
+    """Bit ops (reference expression.clj:960-999), greatest/least
+    (:1032-1040), string_to_array (:1654-1667)."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(7)).alias("bor"),
+        k.bitwiseXOR(F.lit(129)).alias("bxor"),
+        F.expr("~o_orderkey").alias("bnot"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.greatest(F.col("o_totalprice"), F.lit(500.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(500.0)).alias("lo"),
+        F.split(F.col("o_orderpriority"), "-").alias("parts"),
+    )
