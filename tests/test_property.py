@@ -143,3 +143,52 @@ def test_resolve_asof_matches_model(spark, raw_events, vq, sq):
                     for (eid, vf, vt, sfm, op, val) in events]
     want = _model_visible(model_events, vq, sq * 60 + 59)
     assert got == want, f"events={events} vq={vq} sq={sq}"
+
+
+# --- polygon enumeration vs 2D brute force -----------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(event_strategy, min_size=1, max_size=10))
+def test_polygon_history_covers_plane_correctly(spark, raw_events):
+    """For every (valid, system) grid point: the brute-force winner
+    (system-latest covering put) must be covered by exactly one of
+    that event's rectangles; delete-or-nothing points by none."""
+    events = []
+    seen = {}
+    for pos, (eid, vf, vt, sf, op) in enumerate(raw_events):
+        bump = seen.get((eid, sf), 0)
+        seen[(eid, sf)] = bump + 1
+        events.append((eid, vf, vt, sf * 60 + bump, op, pos))
+
+    rows = [(eid, val, eid,
+             _t(vf), _t(None if (vt is None or vt <= vf) else vt),
+             BASE + timedelta(minutes=sfm), op)
+            for (eid, vf, vt, sfm, op, val) in events]
+    df = spark.createDataFrame(
+        rows, "_id int, value int, _iid int, _valid_from timestamp, "
+              "_valid_to timestamp, _system_from timestamp, op string")
+    rects = bitemporal.polygon_history(df, ["value"]).collect()
+
+    far = datetime(2200, 1, 1)
+    by_point = {}
+    for r in rects:
+        vf, vt = r["_valid_from"], r["_valid_to"] or far
+        sf, stt = r["_system_from"], r["_system_to"] or far
+        for v in range(0, 12):
+            for s in range(0, 11):
+                V = _t(v)
+                S = BASE + timedelta(minutes=s * 60 + 59)
+                if vf <= V < vt and sf <= S < stt:
+                    key = (r["_iid"], v, s)
+                    assert key not in by_point, f"overlap at {key}"
+                    by_point[key] = r["value"]
+
+    for v in range(0, 12):
+        for s in range(0, 11):
+            want = _model_visible(events, v, s * 60 + 59)
+            for eid in {e[0] for e in events}:
+                got_val = by_point.get((eid, v, s))
+                assert got_val == want.get(eid), (
+                    f"(id={eid}, V={v}, S={s}): rects say {got_val}, "
+                    f"model says {want.get(eid)}; events={events}")
