@@ -91,3 +91,32 @@ def table_values(spark, sf_dir):
                   F.col("rk") == t.r_regionkey)
             .select("r_regionkey", "bonus", "r_name")
             .orderBy("r_regionkey"))
+
+
+@register(
+    "xtql_nest_many",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT COALESCE(list(o_orderkey ORDER BY o_orderkey), [])
+            FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 40000) AS big_orders
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+)
+def nest_many_entry(spark, sf_dir):
+    """NEST_MANY — XTDB's nested-document SQL sugar (SURVEY §7 step
+    4): correlated subquery becomes an array column. Decorrelated to
+    groupBy + collect_list + left join; empty matches give []."""
+    from xtdb_spark.xtql import from_df, nest_many, order_by, q, where
+
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (ld(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 40000)
+         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"))
+    return q(None,
+             from_df(c),
+             where(F.col("c_custkey") < 100),
+             nest_many(o, ["c_custkey"], F.col("o_orderkey"), "big_orders"),
+             order_by("c_custkey"))

@@ -188,6 +188,37 @@ def unnest(col: str, alias: str | None = None) -> Step:
     return step
 
 
+def nest_many(child: DataFrame, on: list[str], payload: Column,
+              alias: str) -> Step:
+    """XTDB SQL's NEST_MANY (correlated subquery → array column of
+    the matching child rows): LEFT JOIN + collect_list, the
+    decorrelated plan. `payload` is what each child row contributes
+    (a column or struct); arrays are sorted for determinism."""
+
+    def step(_xt, df):
+        nested = (child.groupBy(*on)
+                  .agg(F.sort_array(F.collect_list(payload)).alias(alias)))
+        out = df.join(nested, on, "left")
+        return out.withColumn(
+            alias, F.coalesce(F.col(alias), F.array().cast(
+                out.schema[alias].dataType)))
+
+    return step
+
+
+def nest_one(child: DataFrame, on: list[str], payload: Column,
+             alias: str) -> Step:
+    """XTDB SQL's NEST_ONE (correlated scalar row → struct column):
+    first matching child row by payload order."""
+
+    def step(_xt, df):
+        nested = (child.groupBy(*on)
+                  .agg(F.min(payload).alias(alias)))
+        return df.join(nested, on, "left")
+
+    return step
+
+
 def union_all(other: Step) -> Step:
     def step(xt, df):
         return df.unionByName(other(xt, None), allowMissingColumns=True)
