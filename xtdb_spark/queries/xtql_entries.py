@@ -120,3 +120,45 @@ def nest_many_entry(spark, sf_dir):
              where(F.col("c_custkey") < 100),
              nest_many(o, ["c_custkey"], F.col("o_orderkey"), "big_orders"),
              order_by("c_custkey"))
+
+
+@register(
+    "dyn_union_column",
+    """
+    SELECT leg, COUNT(*) AS n,
+           CAST(SUM(CAST(f64_val AS DECIMAL(38,6))) AS DOUBLE) AS sum_f64,
+           MIN(str_val) AS min_str
+    FROM (SELECT CASE WHEN event_type = 'purchase' THEN 'f64'
+                      ELSE 'str' END AS leg,
+                 CASE WHEN event_type = 'purchase' THEN value END AS f64_val,
+                 CASE WHEN event_type <> 'purchase' THEN event_type
+                      END AS str_val
+          FROM events)
+    GROUP BY leg ORDER BY leg
+    """,
+)
+def dyn_union_column(spark, sf_dir):
+    """Dynamic/union-typed column (SURVEY §1.2 dense-union → §1.3
+    legs-struct encoding, xtdb_spark/dyntypes.py): a column holding
+    doubles for purchases and strings otherwise, aggregated by leg
+    with typed access. The observable semantics (tag + typed access
+    with NULL on mismatch) are what DuckDB replicates."""
+    from xtdb_spark import dyntypes as D
+
+    e = ld(spark, sf_dir, "events")
+    is_num = F.col("event_type") == "purchase"
+    dyn = F.struct(
+        F.when(is_num, "f64").otherwise("str").alias("_leg"),
+        F.lit(None).cast("bigint").alias("i64"),
+        F.when(is_num, F.col("value")).alias("f64"),
+        F.when(~is_num, F.col("event_type")).alias("str"),
+        F.lit(None).cast("boolean").alias("bool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = e.select(dyn.alias("v"))
+    return (d.groupBy(D.leg(F.col("v")).alias("leg"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(D.get_leg(F.col("v"), "f64").cast("decimal(38,6)"))
+                 .cast("double").alias("sum_f64"),
+                 F.min(D.get_leg(F.col("v"), "str")).alias("min_str"))
+            .orderBy("leg"))
