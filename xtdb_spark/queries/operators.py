@@ -662,3 +662,73 @@ def window_range_frame(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
     """)
+
+
+@register(
+    "op_join_salted",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value * c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS weighted
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Salted skew join (xtdb_spark/operators/skew.py): the fact side
+    scatters over 8 salt buckets, the dim side replicates x8 — the
+    power-law-key defense at 100 TB. Salting is result-neutral, so
+    the oracle is the PLAIN join: the check proves the rewrite exact."""
+    from xtdb_spark.operators.skew import salted_join
+
+    e = ld(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = salted_join(e, c, "c_custkey", salt=8)
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("value") * F.col("c_acctbal"))
+                       .cast("decimal(38,6)")).cast("double").alias("weighted"))
+            .orderBy("event_type"))
+
+
+@register(
+    "an_topk_per_type",
+    """
+    SELECT event_type, user_id, value, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT event_type, user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_type(spark, sf_dir):
+    """Top-k per group — rank-filter shape (ClickBench staple)."""
+    from pyspark.sql import Window
+
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (e.select("event_type", "user_id", "value",
+                     F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+@register(
+    "fn_regexp_extract",
+    """
+    SELECT regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           COUNT(*) AS n
+    FROM part
+    WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+    GROUP BY noun ORDER BY noun
+    """,
+)
+def regexp_extract_fn(spark, sf_dir):
+    """regexp_extract + regexp predicate (reference like_regex /
+    regexp_replace family, expression.clj:1146-1161)."""
+    p = ld(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").rlike("^[a-z]+ [a-z]+$"))
+            .select(F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2)
+                    .alias("noun"))
+            .groupBy("noun").agg(F.count("*").alias("n"))
+            .orderBy("noun"))
