@@ -73,3 +73,24 @@ def test_info_schema_views(spark, tmp_path):
     cols = spark.sql("SELECT column_name FROM information_schema_columns "
                      "WHERE table_name = 'users'").collect()
     assert {"_id", "name", "_iid"} <= {r["column_name"] for r in cols}
+
+
+def test_sql_system_time_between(spark, tmp_path):
+    """FOR SYSTEM_TIME FROM a TO b: every belief held about the
+    current valid point during the span (audit query)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("acct", [{"_id": 1, "bal": 10}], system_from="2024-01-01")
+    xt.store.put("acct", [{"_id": 1, "bal": 20}], system_from="2024-02-01")
+    xt.store.put("acct", [{"_id": 1, "bal": 30}], system_from="2024-03-01")
+
+    from xtdb_spark.sql.rewriter import parse_clauses, rewrite_and_run
+
+    b = parse_clauses("FOR SYSTEM_TIME BETWEEN '2024-01-15' AND '2024-02-15'")
+    assert b.system_range == ("2024-01-15", "2024-02-15")
+
+    rows = rewrite_and_run(
+        xt, "SELECT bal FROM acct "
+            "FOR SYSTEM_TIME FROM '2024-01-15' TO '2024-02-15'").collect()
+    # bal=10 was believed until 02-01, bal=20 from 02-01; bal=30 is
+    # outside the window
+    assert sorted(r["bal"] for r in rows) == [10, 20]

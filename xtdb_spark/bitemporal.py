@@ -229,3 +229,25 @@ def resolve_valid_range(
     return sys_live.filter(
         (F.col("_valid_from") < _ts(valid_to))
         & (_ts(valid_from) < _end_or_inf(F.col("_valid_to"))))
+
+
+def resolve_system_range(
+    events: DataFrame,
+    system_from,
+    system_to,
+    valid_time=None,
+    doc_cols: list[str] | None = None,
+) -> DataFrame:
+    """FOR SYSTEM_TIME BETWEEN/FROM…TO: every version visible at the
+    (given or current) valid point at *some* system time in
+    [system_from, system_to) — the audit query "what did we believe
+    about V during that span". Built on the polygon enumeration: for
+    a fixed valid point each event's visibility is one system
+    interval, so the overlap filter yields each version at most once."""
+    doc_cols = doc_cols or [c for c in events.columns if c not in META_COLS]
+    hist = polygon_history(events, doc_cols)
+    v = F.current_timestamp() if valid_time is None else _ts(valid_time)
+    return hist.filter(
+        (F.col("_valid_from") <= v) & (v < _end_or_inf(F.col("_valid_to")))
+        & (F.col("_system_from") < _ts(system_to))
+        & (_ts(system_from) < _end_or_inf(F.col("_system_to"))))

@@ -34,6 +34,8 @@ _VT_PATTERNS = [
 ]
 _ST_PATTERNS = [
     ("st_asof", rf"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+{_TS % 'st_asof'}"),
+    ("st_between", rf"FOR\s+SYSTEM_TIME\s+BETWEEN\s+{_TS % 'st_from'}\s+AND\s+{_TS % 'st_to'}"),
+    ("st_fromto", rf"FOR\s+SYSTEM_TIME\s+FROM\s+{_TS % 'st_from2'}\s+TO\s+{_TS % 'st_to2'}"),
     ("st_all", r"FOR\s+ALL\s+SYSTEM_TIME"),
 ]
 
@@ -50,6 +52,8 @@ _CLAUSE_PART = (
     rf"|VALID_TIME\s+BETWEEN\s+{_QTS}\s+AND\s+{_QTS}"
     rf"|VALID_TIME\s+FROM\s+{_QTS}\s+TO\s+{_QTS}"
     rf"|SYSTEM_TIME\s+AS\s+OF\s+{_QTS}"
+    rf"|SYSTEM_TIME\s+BETWEEN\s+{_QTS}\s+AND\s+{_QTS}"
+    rf"|SYSTEM_TIME\s+FROM\s+{_QTS}\s+TO\s+{_QTS}"
     r")"
 )
 
@@ -68,12 +72,13 @@ class TemporalBounds:
     valid_range: tuple[str, str] | None = None
     all_valid: bool = False
     system_asof: str | None = None
+    system_range: tuple[str, str] | None = None
     all_system: bool = False
 
     def view_suffix(self) -> str:
         parts = []
         for v in (self.valid_asof, self.valid_range, self.system_asof,
-                  self.all_valid, self.all_system):
+                  self.system_range, self.all_valid, self.all_system):
             parts.append(re.sub(r"\W", "_", str(v)))
         return "__".join(parts)
 
@@ -92,6 +97,10 @@ def parse_clauses(clause_text: str) -> TemporalBounds:
             b.all_valid = True
         elif gd.get("st_asof"):
             b.system_asof = gd["st_asof"]
+        elif gd.get("st_from") and gd.get("st_to"):
+            b.system_range = (gd["st_from"], gd["st_to"])
+        elif gd.get("st_from2") and gd.get("st_to2"):
+            b.system_range = (gd["st_from2"], gd["st_to2"])
         elif gd.get("st_all_g"):
             b.all_system = True
     return b
@@ -104,6 +113,10 @@ def scan_with_bounds(store, table: str, b: TemporalBounds):
         ev = store.events(table)
         return bitemporal.resolve_valid_range(
             ev, b.valid_range[0], b.valid_range[1], b.system_asof)
+    if b.system_range is not None:
+        ev = store.events(table)
+        return bitemporal.resolve_system_range(
+            ev, b.system_range[0], b.system_range[1], b.valid_asof)
     return store.scan(
         table,
         valid_time=b.valid_asof,
