@@ -175,3 +175,39 @@ def bit_ops_battery(spark, sf_dir):
         F.least(F.col("o_totalprice"), F.lit(500.0)).alias("lo"),
         F.split(F.col("o_orderpriority"), "-").alias("parts"),
     )
+
+
+@register(
+    "fn_age_parts",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', age(TIMESTAMP '2000-01-01', o_orderdate))
+                AS INTEGER) AS y,
+           CAST(date_part('month', age(TIMESTAMP '2000-01-01', o_orderdate))
+                AS INTEGER) AS m,
+           CAST(date_part('day', age(TIMESTAMP '2000-01-01', o_orderdate))
+                AS INTEGER) AS d
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderdate < TIMESTAMP '2000-01-01'
+    """,
+)
+def age_parts(spark, sf_dir):
+    """`age` (reference expression/temporal.clj, 5 defmethods):
+    calendar year/month/day decomposition of a timestamp difference,
+    Postgres borrow convention (day deficit borrows the length of the
+    EARLIER date's month — not a calendar walk). Pure field
+    arithmetic, no UDF."""
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") < 2000)
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")))
+    a = F.col("o_orderdate")
+    by, bm, bd = F.lit(2000), F.lit(1), F.lit(1)
+    d_raw = bd - F.dayofmonth(a)
+    borrow_d = (d_raw < 0).cast("int")
+    d = d_raw + borrow_d * F.dayofmonth(F.last_day(a))
+    m_raw = bm - F.month(a) - borrow_d
+    borrow_m = (m_raw < 0).cast("int")
+    m = m_raw + borrow_m * 12
+    y = by - F.year(a) - borrow_m
+    return o.select("o_orderkey", y.cast("int").alias("y"),
+                    m.cast("int").alias("m"), d.cast("int").alias("d"))
