@@ -278,3 +278,42 @@ def dedup_embedding_cosine(spark, sf_dir):
                     F.round(similarity.cosine(F.col("ev_a"), F.col("ev_b")), 6)
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.3))
+
+
+@register(
+    "pipe_text_chunking",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS w
+                  FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(greatest(len(w) - 25, 1) / 25.0)
+                                        AS BIGINT))) AS i
+            FROM toks)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(w, i * 25 + 1, i * 25 + 50)) AS INTEGER)
+             AS n_tokens,
+           md5(array_to_string(list_slice(w, i * 25 + 1, i * 25 + 50), ' '))
+             AS chunk_hash
+    FROM idx
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window document chunking (50-token windows, stride 25)
+    — the context-window prep step of a training pipeline. Pure
+    Column algebra (split → sequence → explode → slice): JVM-side,
+    no UDF, shuffle-free (narrow ops only), so it runs at scan speed
+    over 100 TB. chunk_hash value-checks the actual chunk text."""
+    d = ld(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.greatest(F.size(w) - 25, F.lit(1)) / 25.0).cast("int")
+    return (d.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+            .select("doc_id", "w",
+                    F.explode(F.sequence(F.lit(0), F.col("nc") - 1))
+                    .alias("chunk_idx"))
+            .select("doc_id", "chunk_idx",
+                    F.slice(F.col("w"), F.col("chunk_idx") * 25 + 1, 50)
+                    .alias("chunk"))
+            .select("doc_id", "chunk_idx",
+                    F.size("chunk").alias("n_tokens"),
+                    F.md5(F.array_join("chunk", " ")).alias("chunk_hash")))
