@@ -91,3 +91,45 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
+                 nprobe: int = 2, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding", q_id_col: str = "q_id",
+                 q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer of `n_cells` centroids (the
+    first n_cells corpus vectors by id — deterministic; swap in
+    k-means for production), every corpus vector assigned to its
+    nearest centroid, queries probe their `nprobe` nearest cells and
+    re-rank exactly inside them.
+
+    Scale shape: the centroid table broadcasts (tiny), assignment is
+    a broadcast-join + argmin (narrow), and the candidate join
+    shuffles on cell id — corpus rows are touched once, queries only
+    touch ~nprobe/n_cells of the corpus."""
+    c = corpus.select(F.col(id_col).alias("nn_id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    w_id = Window.orderBy("nn_id")
+    cents = (c.orderBy("nn_id").limit(n_cells)
+             .select(F.row_number().over(w_id).alias("cell"),
+                     F.col("v").alias("cv")))
+
+    def assign(df, vcol, n_keep):
+        id_c = df.columns[0]  # partition by the id, not the vector
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("sim", cosine(F.col(vcol), F.col("cv"))))
+        w = Window.partitionBy(id_c).orderBy(F.desc("sim"), F.asc("cell"))
+        return (scored.withColumn("crnk", F.row_number().over(w))
+                .filter(F.col("crnk") <= n_keep)
+                .drop("cv", "sim", "crnk"))
+
+    c_cells = assign(c, "v", 1)
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       as_double_array(F.col(q_vec_col)).alias("qv"))
+    q_cells = assign(q, "qv", nprobe)
+    scored = (q_cells.join(c_cells, "cell")
+              .select("q_id", "nn_id",
+                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k).distinct())

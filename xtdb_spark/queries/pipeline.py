@@ -317,3 +317,15 @@ def text_chunking(spark, sf_dir):
             .select("doc_id", "chunk_idx",
                     F.size("chunk").alias("n_tokens"),
                     F.md5(F.array_join("chunk", " ")).alias("chunk_hash")))
+
+
+@register("pipe_ann_ivf")  # rows-only: approximate by design
+def ann_ivf(spark, sf_dir):
+    """IVF-flat bucketed ANN (coarse quantizer + nprobe cell search)
+    — the second scale path beside hyperplane LSH."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_ivf_topk(c, q, n_cells=16, nprobe=3, k=5) \
+        .select("q_id", "nn_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")

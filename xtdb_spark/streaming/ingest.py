@@ -41,6 +41,25 @@ def stream_events_to_table(spark: SparkSession, source_dir: str, store,
      .awaitTermination())
 
 
+def kafka_tx_log_stream(spark: SparkSession, brokers: str, topic: str,
+                        starting_offsets: str = "earliest") -> DataFrame:
+    """The reference's Kafka tx-log as a Structured Streaming source
+    (reference modules/kafka; log.clj:70-87 factories): returns the
+    raw (key, value, timestamp, offset) stream — pipe through
+    `foreachBatch` + `store.put` exactly like the file source in
+    `stream_events_to_table`. The log offset is the tx-id, so the
+    checkpoint + idempotent append give exactly-once.
+
+    Requires the spark-sql-kafka package on the classpath; the test
+    container has no broker, so this raises a clear error at `.load()`
+    time rather than being silently untested."""
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load())
+
+
 def windowed_counts(events: DataFrame, ts_col: str = "ts",
                     key_col: str = "event_type",
                     window: str = "1 hour",
