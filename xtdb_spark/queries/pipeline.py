@@ -329,3 +329,53 @@ def ann_ivf(spark, sf_dir):
     c = e.filter(F.col("vec_id") >= 10)
     return similarity.ann_ivf_topk(c, q, n_cells=16, nprobe=3, k=5) \
         .select("q_id", "nn_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+
+
+@register(
+    "pipe_corpus_prep",
+    rf"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents)
+      GROUP BY fp),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             (CASE WHEN len(toks) >= 10 AND len(toks) <= 10000 THEN 1 ELSE 0 END
+            + CASE WHEN nonspace / len(toks) >= 3.0
+                    AND nonspace / len(toks) <= 10.0 THEN 1 ELSE 0 END
+            + CASE WHEN n_stop / len(toks) > 0.05 THEN 1 ELSE 0 END) / 3.0
+               AS quality
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     AS nonspace,
+                   CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        t -> list_contains(['{_STOP_SQL}'], t)))
+                     AS DOUBLE) AS n_stop
+            FROM documents))
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+    FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+    WHERE s.quality > 0.9
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_prep(spark, sf_dir):
+    """End-to-end corpus prep: exact-dedup (keep first of each
+    fingerprint group) ∘ quality gate (all 3 heuristics) — the
+    composite a training-data pipeline actually runs, each stage
+    individually oracle-checked (pipe_dedup_exact, pipe_text_quality)
+    and the composition checked here. Both stages are one shuffle
+    each; the dedup output joins back by doc_id (no text movement)."""
+    d = ld(spark, sf_dir, "documents")
+    keep = dedup.exact_duplicates(d).select(F.col("keep_id").alias("doc_id"))
+    scored = d.select("doc_id",
+                      text.token_count(F.col("text")).alias("n_tokens"),
+                      text.quality_score(F.col("text")).alias("quality"))
+    return (scored.join(keep, "doc_id", "left_semi")
+            .filter(F.col("quality") > 0.9)
+            .select("doc_id", "n_tokens")
+            .orderBy("doc_id"))
