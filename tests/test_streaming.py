@@ -73,3 +73,42 @@ def test_stateful_sessionize_stream_carries_state(spark, tmp_path):
     open_u1 = [r for r in rows if not r["closed"] and r["user_id"] == 1]
     assert any(str(r["session_start"]) == "2024-01-01 12:00:00" for r in open_u1)
     assert any(r["user_id"] == 2 and not r["closed"] for r in rows)
+
+
+def test_watermark_seals_window_and_drops_later_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: once the
+    watermark passes a window's end the window is emitted ONCE and
+    its state evicted; an hours-late event arriving after that must
+    be discarded, not re-emit or duplicate the window. (Spark merges
+    a batch's input before evicting, so the late event must land in a
+    batch after the sealing one — watermark advances between batches,
+    computed from the previous batch's max event time.)"""
+    import os
+    import time
+
+    from xtdb_spark.streaming.ingest import windowed_counts
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double"
+    b1 = [(datetime(2024, 1, 1, 10, m), "a", 1.0) for m in (0, 10, 20)]
+    b2 = [(datetime(2024, 1, 1, 14, 0), "a", 1.0)]   # watermark → 13:00 next batch
+    b3 = [(datetime(2024, 1, 1, 14, 10), "a", 1.0)]  # seals + evicts 10:00 window
+    b4 = [(datetime(2024, 1, 1, 10, 10), "a", 99.0)]  # late: state already gone
+    for i, b in enumerate([b1, b2, b3, b4]):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    out = windowed_counts(stream, window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = [r for r in spark.sql("SELECT * FROM wm").collect()
+            if str(r["win_start"]) == "2024-01-01 10:00:00"]
+    # exactly one emission, with only the on-time events — the late
+    # 99.0 event neither duplicated the window nor grew it
+    assert len(rows) == 1, rows
+    assert rows[0]["n"] == 3 and rows[0]["sum_value"] == 3.0, rows
