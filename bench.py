@@ -47,6 +47,8 @@ HEADLINE = [
     "ts_asof_join",
     "an_top_users_by_value",
     "pipe_dedup_exact",
+    "pipe_corpus_prep",
+    "pipe_text_chunking",
     "pipe_ann_cosine_topk",
 ]
 
