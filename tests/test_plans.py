@@ -85,3 +85,15 @@ def test_no_cartesian_products_in_headline(no_aqe):
         # scalar-subquery broadcasts (1-row rels) are the only
         # legitimate nested-loop joins
         assert "CartesianProduct" not in f.text, name
+
+
+def test_explain_analyze_runtime_metrics(spark):
+    """EXPLAIN ANALYZE parity: executed-plan string carries runtime
+    metrics (reference query.clj:210-277 per-cursor stats)."""
+    from xtdb_spark.plans.explain import explain_analyze
+
+    txt = explain_analyze(QUERIES["tpch_q1_pricing_summary"].fn(spark, SF_DIR))
+    assert "== Runtime metrics ==" in txt
+    assert "numOutputRows" in txt
+    # AQE finalized: the static AdaptiveSparkPlan wrapper is unwrapped
+    assert "isFinalPlan=false" not in txt

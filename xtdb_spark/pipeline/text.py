@@ -64,15 +64,20 @@ def stopword_ratio(text: Column) -> Column:
     return marker_hits(text, STOPWORDS).cast("double") / F.size(t)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Deterministic quality heuristic: mean word length band +
-    stopword presence + length band, scaled to [0, 1]."""
-    t = tokens(text)
+    stopword presence + length band, scaled to [0, 1].
+
+    Pass a precomputed lowercased token array as `toks` to avoid
+    re-tokenizing (regex split is the dominant cost of this score);
+    the default recomputes from `text`."""
+    t = toks if toks is not None else tokens(F.lower(text))
     n = F.size(t)
     avg_wlen = (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n)
     len_ok = (n >= 10) & (n <= 10000)
     wlen_ok = (avg_wlen >= 3.0) & (avg_wlen <= 10.0)
-    stop_ok = stopword_ratio(text) > 0.05
+    n_stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    stop_ok = (n_stop.cast("double") / n) > 0.05
     return (len_ok.cast("int") + wlen_ok.cast("int") + stop_ok.cast("int")) \
         .cast("double") / 3.0
 

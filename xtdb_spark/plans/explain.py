@@ -32,6 +32,53 @@ def codegen_plan(df: DataFrame) -> str:
         df._jdf.queryExecution(), "codegen")
 
 
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE parity (reference query.clj:210-277 returns
+    per-cursor timing + pushdown stats): execute the query, then
+    return the FINAL adaptive plan annotated with runtime metrics
+    (rows output, shuffle bytes, spill…). Under AQE this is the plan
+    that actually ran — join strategies and partition counts chosen
+    at runtime, not the static guess."""
+    df.collect()  # execute THIS plan; AQE finalizes it + fills metrics
+    plan = df._jdf.queryExecution().executedPlan()
+    try:  # unwrap AdaptiveSparkPlanExec to the plan that actually ran
+        plan = plan.finalPhysicalPlan()
+    except Exception:
+        pass
+    out = plan.toString()
+    # append per-node metric values (name -> value) — the reference's
+    # per-cursor timing/pushdown stats analogue. Recursive walk that
+    # descends into AQE query stages (their metrics live on the inner
+    # materialized plan).
+    rows: list[str] = []
+
+    def walk(node, depth):
+        try:
+            vals = []
+            m = node.metrics()
+            keys = m.keys().iterator()
+            while keys.hasNext():
+                k = keys.next()
+                vals.append(f"{k}={m.apply(k).value()}")
+            if vals:
+                rows.append("  " * depth + f"{node.nodeName()}: "
+                            + ", ".join(sorted(vals)))
+            try:  # query stages wrap the executed sub-plan
+                walk(node.plan(), depth + 1)
+            except Exception:
+                pass
+            ch = node.children().iterator()
+            while ch.hasNext():
+                walk(ch.next(), depth + 1)
+        except Exception:
+            pass  # metric reflection is best-effort across versions
+
+    walk(plan, 0)
+    if rows:
+        out += "\n\n== Runtime metrics ==\n" + "\n".join(rows)
+    return out
+
+
 @dataclass
 class PlanFacts:
     text: str

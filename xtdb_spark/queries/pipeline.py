@@ -372,9 +372,13 @@ def corpus_prep(spark, sf_dir):
     each; the dedup output joins back by doc_id (no text movement)."""
     d = ld(spark, sf_dir, "documents")
     keep = dedup.exact_duplicates(d).select(F.col("keep_id").alias("doc_id"))
-    scored = d.select("doc_id",
-                      text.token_count(F.col("text")).alias("n_tokens"),
-                      text.quality_score(F.col("text")).alias("quality"))
+    # tokenize once; score + count derive from the same array
+    toks = text.tokens(F.lower(F.col("text")))
+    scored = (d.select("doc_id", "text", toks.alias("toks"))
+              .select("doc_id",
+                      F.size("toks").alias("n_tokens"),
+                      text.quality_score(F.col("text"), F.col("toks"))
+                      .alias("quality")))
     return (scored.join(keep, "doc_id", "left_semi")
             .filter(F.col("quality") > 0.9)
             .select("doc_id", "n_tokens")
