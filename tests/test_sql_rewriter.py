@@ -94,3 +94,19 @@ def test_sql_system_time_between(spark, tmp_path):
     # bal=10 was believed until 02-01, bal=20 from 02-01; bal=30 is
     # outside the window
     assert sorted(r["bal"] for r in rows) == [10, 20]
+
+
+def test_sql_explain_and_explain_analyze(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("t", [{"_id": i, "v": i * 10} for i in range(5)])
+
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    plan = rewrite_and_run(xt, "EXPLAIN SELECT v FROM t WHERE v > 10") \
+        .collect()[0]["plan"]
+    assert "Physical Plan" in plan
+
+    analyzed = rewrite_and_run(
+        xt, "EXPLAIN ANALYZE SELECT v FROM t WHERE v > 10") \
+        .collect()[0]["plan"]
+    assert "Runtime metrics" in analyzed and "numOutputRows" in analyzed

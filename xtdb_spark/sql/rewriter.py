@@ -159,9 +159,21 @@ def _table_exists(store, table: str) -> bool:
     return os.path.isdir(store._path(table))
 
 
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
+
+
 def rewrite_and_run(xt, query: str, args: list | None = None):
     from xtdb_spark.sql import dml
 
+    m = _EXPLAIN_RE.match(query)
+    if m:
+        # EXPLAIN [ANALYZE] <query> (reference Sql.g4 / query.clj:210-277):
+        # one-column relation holding the (executed, for ANALYZE) plan
+        from xtdb_spark.plans.explain import explain_analyze, formatted_plan
+
+        inner = rewrite_and_run(xt, query[m.end():], args)
+        text = explain_analyze(inner) if m.group(1) else formatted_plan(inner)
+        return xt.spark.createDataFrame([(text,)], "plan string")
     if dml.is_dml(query):
         return dml.execute_dml(xt, query)
     sql = rewrite(xt, query)
