@@ -1,0 +1,165 @@
+"""SLT-style randomized correctness battery.
+
+The reference's big correctness battery is sqllogictest
+(reference sqlite-test/ corpus + src/test/clojure/xtdb/sql/logic_test/
+runner.clj, CI matrix .github/workflows/slt.yml): thousands of
+machine-generated SQL statements hash-compared against a known-good
+engine. This is the same idea natively: a seeded generator emits
+ANSI-SQL queries in a grammar BOTH Spark SQL and DuckDB parse
+identically, runs them on both over the same parquet, and compares
+order-insensitive value hashes.
+
+Determinism rules baked into the grammar:
+- aggregates restricted to COUNT/MIN/MAX/CAST(SUM(int) AS BIGINT)
+  (associative + order-insensitive; no float accumulation),
+- every ORDER BY lists ALL output columns (total order) before LIMIT,
+- predicates only over int/string columns with literals drawn from
+  the actual value domains.
+
+Run:  python tools/slt_random.py [n_queries] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import rows_key  # noqa: E402
+
+# (table, int cols, string cols)
+TABLES = {
+    "customer": (["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"]),
+    "orders": (["o_orderkey", "o_custkey"],
+               ["o_orderstatus", "o_orderpriority"]),
+    "supplier": (["s_suppkey", "s_nationkey"], ["s_name"]),
+    "part": (["p_partkey", "p_size"], ["p_brand", "p_type", "p_name"]),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"]),
+}
+
+JOINS = [  # (left, right, condition)
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+STR_LITS = {
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "5-LOW", "3-MEDIUM"],
+    "p_brand": ["Brand#1", "Brand#13", "Brand#25"],
+    "p_type": ["PROMO", "ECONOMY", "LARGE"],
+    "n_name": ["NATION_1", "NATION_12", "NATION_24"],
+    "c_name": [], "s_name": [], "p_name": ["red widget", "blue bolt"],
+}
+
+
+def gen_query(rng: random.Random) -> str:
+    use_join = rng.random() < 0.4
+    if use_join:
+        lt, rt, cond = rng.choice(JOINS)
+        ints = TABLES[lt][0] + TABLES[rt][0]
+        strs = TABLES[lt][1] + TABLES[rt][1]
+        from_clause = f"{lt} JOIN {rt} ON {cond}"
+    else:
+        lt = rng.choice(list(TABLES))
+        ints, strs = TABLES[lt]
+        from_clause = lt
+
+    # predicates
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        if rng.random() < 0.5:
+            c = rng.choice(ints)
+            op = rng.choice(["<", "<=", ">", ">=", "<>"])
+            preds.append(f"{c} {op} {rng.randint(0, 500)}")
+        else:
+            c = rng.choice(strs)
+            lits = STR_LITS.get(c) or []
+            if not lits:
+                continue
+            if rng.random() < 0.5:
+                preds.append(f"{c} = '{rng.choice(lits)}'")
+            else:
+                subset = rng.sample(lits, k=min(2, len(lits)))
+                quoted = ", ".join(f"'{x}'" for x in subset)
+                preds.append(f"{c} IN ({quoted})")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+
+    shape = rng.random()
+    if shape < 0.35:  # scalar aggregate
+        c = rng.choice(ints)
+        sel = (f"COUNT(*) AS n, MIN({c}) AS mn, MAX({c}) AS mx, "
+               f"CAST(SUM({c}) AS BIGINT) AS s")
+        return f"SELECT {sel} FROM {from_clause}{where}"
+    if shape < 0.75:  # group by
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        having = ""
+        if rng.random() < 0.3:
+            having = f" HAVING COUNT(*) > {rng.randint(1, 5)}"
+        q = (f"SELECT {g}, COUNT(*) AS n, CAST(SUM({c}) AS BIGINT) AS s "
+             f"FROM {from_clause}{where} GROUP BY {g}{having}")
+        if rng.random() < 0.5:
+            q += f" ORDER BY {g} LIMIT {rng.randint(1, 20)}"
+        return q
+    if shape < 0.9:  # distinct projection
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        return (f"SELECT DISTINCT {g}, {c} % 7 AS m FROM {from_clause}{where} "
+                f"ORDER BY {g}, m LIMIT 50")
+    # EXISTS
+    inner_t, outer_t = ("orders", "customer")
+    return (f"SELECT COUNT(*) AS n FROM {outer_t} WHERE EXISTS "
+            f"(SELECT 1 FROM {inner_t} WHERE o_custkey = c_custkey "
+            f"AND o_orderkey < {rng.randint(100, 5000)})")
+
+
+def run_battery(spark, con, n_queries: int, seed: int, verbose: bool = True):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_queries):
+        sql = gen_query(rng)
+        sdf = spark.sql(sql)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok = (sorted(scols) == sorted(dcols) and len(srows) == len(drows)
+              and rows_key(srows, scols) == rows_key(drows, dcols))
+        if not ok:
+            failures.append((i, sql, len(srows), len(drows)))
+            if verbose:
+                print(f"FAIL [{i}] {sql}\n  spark={len(srows)} duck={len(drows)}")
+        elif verbose and i % 10 == 0:
+            print(f"ok   [{i}] {len(srows)} rows")
+    return failures
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    import duckdb
+
+    from xtdb_spark.queries.registry import ld
+    from xtdb_spark.session import build_spark
+
+    spark = build_spark("slt-random")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        ld(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = run_battery(spark, con, n, seed)
+    print(f"\n{n - len(failures)}/{n} matched (seed={seed})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
