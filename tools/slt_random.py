@@ -62,7 +62,12 @@ def gen_query(rng: random.Random) -> str:
         lt, rt, cond = rng.choice(JOINS)
         ints = TABLES[lt][0] + TABLES[rt][0]
         strs = TABLES[lt][1] + TABLES[rt][1]
-        from_clause = f"{lt} JOIN {rt} ON {cond}"
+        jk = "JOIN" if rng.random() < 0.7 else "LEFT JOIN"
+        from_clause = f"{lt} {jk} {rt} ON {cond}"
+        if jk == "LEFT JOIN":
+            # right-side cols are nullable under LOJ — keep agg/group
+            # cols on the left side for simple deterministic output
+            ints, strs = TABLES[lt]
     else:
         lt = rng.choice(list(TABLES))
         ints, strs = TABLES[lt]
@@ -105,11 +110,25 @@ def gen_query(rng: random.Random) -> str:
         if rng.random() < 0.5:
             q += f" ORDER BY {g} LIMIT {rng.randint(1, 20)}"
         return q
-    if shape < 0.9:  # distinct projection
+    if shape < 0.82:  # distinct projection
         g = rng.choice(strs)
         c = rng.choice(ints)
         return (f"SELECT DISTINCT {g}, {c} % 7 AS m FROM {from_clause}{where} "
                 f"ORDER BY {g}, m LIMIT 50")
+    if shape < 0.88:  # window over total order
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        return (f"SELECT {g}, {c}, "
+                f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {c}) AS rn, "
+                f"CAST(SUM({c}) OVER (PARTITION BY {g}) AS BIGINT) AS s "
+                f"FROM (SELECT DISTINCT {g}, {c} FROM {from_clause}{where}) t")
+    if shape < 0.94:  # set op between two slices of one table
+        t = rng.choice(list(TABLES))
+        i0 = TABLES[t][0][0]
+        a, b = sorted(rng.sample(range(0, 800), 2))
+        op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        return (f"SELECT {i0} FROM {t} WHERE {i0} < {b} "
+                f"{op} SELECT {i0} FROM {t} WHERE {i0} >= {a}")
     # EXISTS
     inner_t, outer_t = ("orders", "customer")
     return (f"SELECT COUNT(*) AS n FROM {outer_t} WHERE EXISTS "
