@@ -732,3 +732,30 @@ def regexp_extract_fn(spark, sf_dir):
                     .alias("noun"))
             .groupBy("noun").agg(F.count("*").alias("n"))
             .orderBy("noun"))
+
+
+@register(
+    "op_grouping_sets_cube",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal,
+           GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+    FROM customer
+    WHERE c_nationkey < 10
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_cube(spark, sf_dir):
+    """GROUPING SETS + GROUPING() markers — grammar-rejected in the
+    reference (Sql.g4:595-599 allows plain elements only); native
+    here. Spark computes all sets in one Expand+aggregate pass."""
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    c.createOrReplaceTempView("xt_tmp_gsets_customer")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal,
+               GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+        FROM xt_tmp_gsets_customer
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+                                (c_mktsegment), ())
+    """)
