@@ -65,3 +65,35 @@ def test_assert(xt):
     xt.sql("ASSERT (SELECT COUNT(*) FROM a) = 1")
     with pytest.raises(AssertFailed):
         xt.sql("ASSERT (SELECT COUNT(*) FROM a) > 10")
+
+
+def test_patch_portion_fills_gaps(xt):
+    """patch-gaps (reference operator/patch.clj + PatchGapsCursor):
+    within the portion, existing versions get the patch merged over
+    them; uncovered sub-ranges get the patch doc alone."""
+    # existing: v covers [2024-01-05, 2024-01-10) only
+    xt.put("pg", [{"_id": 1, "a": "old", "b": "keep"}],
+           valid_from="2024-01-05", valid_to="2024-01-10",
+           system_from="2024-01-01")
+    # patch [2024-01-01, 2024-01-20): merge over the covered slice,
+    # fill [01-01,01-05) and [01-10,01-20) with the patch alone
+    xt.patch("pg", [{"_id": 1, "a": "new"}],
+             valid_from="2024-01-01", valid_to="2024-01-20",
+             system_from="2024-02-01")
+
+    hist = (xt.scan("pg", all_valid_time=True)
+            .select("_id", "a", "b", "_valid_from", "_valid_to")
+            .collect())
+    by_vf = {str(r["_valid_from"]): r for r in hist
+             if r["a"] == "new" or r["b"] is not None}
+    # covered slice: merged (a patched, b kept)
+    mid = by_vf["2024-01-05 00:00:00"]
+    assert mid["a"] == "new" and mid["b"] == "keep"
+    assert str(mid["_valid_to"]) == "2024-01-10 00:00:00"
+    # gaps: patch doc alone (no b)
+    head = by_vf["2024-01-01 00:00:00"]
+    assert head["a"] == "new" and head["b"] is None
+    assert str(head["_valid_to"]) == "2024-01-05 00:00:00"
+    tail = by_vf["2024-01-10 00:00:00"]
+    assert tail["a"] == "new" and tail["b"] is None
+    assert str(tail["_valid_to"]) == "2024-01-20 00:00:00"

@@ -33,7 +33,7 @@ import os
 import time
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xtdb_spark import bitemporal
@@ -120,7 +120,14 @@ class TableStore:
         """PATCH = read current doc, struct-merge the partial doc over
         it, write as put (reference `_patch` expression.clj:2061-2095 +
         patch-gaps operator operator/patch.clj). Missing keys keep
-        current values; unseen ids insert as-is."""
+        current values; unseen ids insert as-is.
+
+        With a valid-time portion, delegates to `patch_portion`
+        (patch-gaps semantics: merge per overlapping version, fill
+        uncovered sub-ranges with the patch doc alone)."""
+        if valid_from is not None or valid_to is not None:
+            return self.patch_portion(table, rows, valid_from, valid_to,
+                                      system_from)
         st = system_from or self._next_system_time()
         patch_df = (rows if isinstance(rows, DataFrame)
                     else self.spark.createDataFrame(rows))
@@ -143,7 +150,81 @@ class TableStore:
                   .join(current.alias("c"),
                         F.col("p._id") == F.col("c._id"), "left")
                   .select(*merged_cols))
-        self._append(table, self._events_df(merged, "put", valid_from, valid_to, st))
+        self._append(table, self._events_df(merged, "put", None, None, st))
+        return st
+
+    def patch_portion(self, table, rows, valid_from, valid_to,
+                      system_from=None):
+        """`PATCH INTO … FOR PORTION OF VALID_TIME FROM a TO b`
+        (reference operator/patch.clj:30-57 + PatchGapsCursor.kt):
+        within [a, b), every existing version segment gets the patch
+        merged over it; sub-ranges covered by NO version get the patch
+        doc alone. All as put-events at one system time — one window
+        over the id's (few) versions, no UDF."""
+        st = system_from or self._next_system_time()
+        a = F.lit(valid_from).cast("timestamp")
+        b = (F.lit(valid_to).cast("timestamp") if valid_to is not None
+             else F.lit(bitemporal.MAX_TS).cast("timestamp"))
+        patch_df = (rows if isinstance(rows, DataFrame)
+                    else self.spark.createDataFrame(rows).coalesce(1))
+        hist = bitemporal.valid_history(self.events(table)) \
+            .withColumn("__vt", F.coalesce(
+                F.col("_valid_to_eff"),
+                F.lit(bitemporal.MAX_TS).cast("timestamp")))
+        doc_cols = [c for c in hist.columns
+                    if c not in bitemporal.META_COLS
+                    and c not in ("_id", "_valid_to_eff", "__vt")]
+        p_cols = [c for c in patch_df.columns if c != "_id"]
+
+        ov = (patch_df.alias("p")
+              .join(hist.alias("c"), F.col("p._id") == F.col("c._id"))
+              .filter((F.col("c._valid_from") < b) & (a < F.col("c.__vt"))))
+        # merged segments: patch over existing, clipped to the portion
+        seg_cols = [F.col("p._id").alias("_id"),
+                    F.greatest(F.col("c._valid_from"), a).alias("__vf"),
+                    F.least(F.col("c.__vt"), b).alias("__vt2")]
+        for c in sorted(set(p_cols) | set(doc_cols)):
+            if c in p_cols and c in doc_cols:
+                seg_cols.append(F.coalesce(F.col(f"p.{c}"), F.col(f"c.{c}"))
+                                .alias(c))
+            elif c in p_cols:
+                seg_cols.append(F.col(f"p.{c}").alias(c))
+            else:
+                seg_cols.append(F.col(f"c.{c}").alias(c))
+        segs = ov.select(*seg_cols)
+
+        # gaps between/around the clipped segments, per id
+        w = Window.partitionBy("_id").orderBy("__vf")
+        gaps_mid = (segs
+                    .select("_id", "__vf", "__vt2",
+                            F.lag("__vt2").over(w).alias("__prev_end"))
+                    .select("_id",
+                            F.coalesce(F.col("__prev_end"), a).alias("__vf"),
+                            F.col("__vf").alias("__vt2"))
+                    .filter(F.col("__vf") < F.col("__vt2")))
+        gaps_tail = (segs.groupBy("_id")
+                     .agg(F.max("__vt2").alias("__vf"))
+                     .select("_id", "__vf", b.alias("__vt2"))
+                     .filter(F.col("__vf") < F.col("__vt2")))
+        no_overlap = (patch_df.select("_id")
+                      .join(segs.select("_id").distinct(), "_id", "left_anti")
+                      .select("_id", a.alias("__vf"), b.alias("__vt2")))
+        gaps = gaps_mid.unionByName(gaps_tail).unionByName(no_overlap) \
+            .join(patch_df, "_id")
+
+        out = segs.unionByName(gaps, allowMissingColumns=True)
+        max_ts = F.lit(bitemporal.MAX_TS).cast("timestamp")
+        ev = (out
+              .withColumn("_valid_to",
+                          F.when(F.col("__vt2") == max_ts,
+                                 F.lit(None).cast("timestamp"))
+                          .otherwise(F.col("__vt2")))
+              .withColumn("_iid", F.unhex(F.md5(F.col("_id").cast("string"))))
+              .withColumn("_valid_from", F.col("__vf"))
+              .withColumn("_system_from", F.lit(st).cast("timestamp"))
+              .withColumn("op", F.lit("put"))
+              .drop("__vf", "__vt2"))
+        self._append(table, ev)
         return st
 
     # ---- maintenance ----
