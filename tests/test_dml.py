@@ -97,3 +97,13 @@ def test_patch_portion_fills_gaps(xt):
     tail = by_vf["2024-01-10 00:00:00"]
     assert tail["a"] == "new" and tail["b"] is None
     assert str(tail["_valid_to"]) == "2024-01-20 00:00:00"
+
+
+def test_sql_patch_into(xt):
+    xt.sql_exec = getattr(xt, "sql", None)
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    rewrite_and_run(xt, "INSERT INTO sp (_id, a, b) VALUES (1, 'x', 'y')")
+    rewrite_and_run(xt, "PATCH INTO sp (_id, a) VALUES (1, 'x2')")
+    cur = {r["_id"]: r for r in xt.scan("sp").collect()}
+    assert cur[1]["a"] == "x2" and cur[1]["b"] == "y"

@@ -17,6 +17,8 @@ model the reference uses. Supported forms:
              SET c = expr [, ...] [WHERE pred]
     DELETE FROM t [FOR PORTION OF VALID_TIME FROM 'a' TO 'b'] [WHERE pred]
     ERASE FROM t [WHERE pred]
+    PATCH INTO t [FOR PORTION OF VALID_TIME FROM 'a' TO 'b']
+          (c1, ...) VALUES (...)   -- portion form = patch-gaps
     ASSERT <condition SQL over current state>
 """
 
@@ -54,8 +56,14 @@ _ERASE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ASSERT_RE = re.compile(r"^\s*ASSERT\s+(?P<cond>.+)$", re.IGNORECASE | re.DOTALL)
+_PATCH_RE = re.compile(
+    rf"^\s*PATCH\s+INTO\s+(?P<table>[\w.]+){_PORTION_RE}\s*"
+    r"\((?P<cols>[^)]*)\)\s*VALUES\s*(?P<values>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
-DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|ERASE|ASSERT)\b", re.IGNORECASE)
+DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|ERASE|PATCH|ASSERT)\b",
+                    re.IGNORECASE)
 
 
 class AssertFailed(Exception):
@@ -105,6 +113,18 @@ def execute_dml(xt, query: str):
         rel = spark.sql(
             f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
         return xt.store.put(m.group("table"), rel)
+
+    m = _PATCH_RE.match(query)
+    if m:
+        # PATCH INTO t [FOR PORTION OF VALID_TIME FROM a TO b]
+        #   (c1, c2, ...) VALUES (...), (...)
+        # (reference Sql.g4:30 PATCH; portion form runs patch-gaps)
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        rel = spark.sql(
+            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
+        return xt.store.patch(m.group("table"), rel,
+                              valid_from=m.group("vf"),
+                              valid_to=m.group("vt"))
 
     m = _INSERT_SELECT_RE.match(query)
     if m:
