@@ -100,7 +100,6 @@ def test_patch_portion_fills_gaps(xt):
 
 
 def test_sql_patch_into(xt):
-    xt.sql_exec = getattr(xt, "sql", None)
     from xtdb_spark.sql.rewriter import rewrite_and_run
 
     rewrite_and_run(xt, "INSERT INTO sp (_id, a, b) VALUES (1, 'x', 'y')")
