@@ -106,3 +106,44 @@ def test_sql_patch_into(xt):
     rewrite_and_run(xt, "PATCH INTO sp (_id, a) VALUES (1, 'x2')")
     cur = {r["_id"]: r for r in xt.scan("sp").collect()}
     assert cur[1]["a"] == "x2" and cur[1]["b"] == "y"
+
+
+def test_submit_tx_atomic(xt):
+    """Multi-op tx: one system time, abort-before-commit semantics
+    (reference api submit-tx; ASSERT aborts, Sql.g4:35)."""
+    store = xt.store
+    st = store.submit_tx([
+        ("put", "acct", [{"_id": 1, "bal": 100}]),
+        ("put", "audit", [{"_id": "tx1", "what": "open"}]),
+    ])
+    # both writes share one system time
+    sts = {r["_system_from"]
+           for r in store.events("acct").select("_system_from").collect()}
+    sts |= {r["_system_from"]
+            for r in store.events("audit").select("_system_from").collect()}
+    assert sts == {st}
+
+    # failing op aborts the whole batch
+    def guard(s):
+        raise RuntimeError("insufficient funds")
+
+    try:
+        store.submit_tx([
+            ("put", "acct", [{"_id": 1, "bal": -1}]),
+            ("assert_", guard),
+            ("put", "audit", [{"_id": "tx2", "what": "overdraw"}]),
+        ])
+        raise AssertionError("tx should have aborted")
+    except RuntimeError:
+        pass
+    assert store.scan("acct").collect()[0]["bal"] == 100
+    assert store.scan("audit").count() == 1
+
+
+def test_copy_from_bulk_load(xt, tmp_path, spark):
+    src = str(tmp_path / "bulk")
+    spark.createDataFrame([(i, f"d{i}") for i in range(20)],
+                          "_id long, name string") \
+        .coalesce(1).write.parquet(src)
+    xt.store.copy_from("bulk_t", src)
+    assert xt.scan("bulk_t").count() == 20

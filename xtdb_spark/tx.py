@@ -116,6 +116,56 @@ class TableStore:
         self._append(table, self._events_df(rows, "erase", None, None, st))
         return st
 
+    def copy_from(self, table, path, fmt: str = "parquet",
+                  system_from=None, **options):
+        """Bulk load a file/directory as documents (reference
+        `COPY t FROM STDIN` Sql.g4:16-45 — here the source is a
+        path, the Spark-native bulk channel). Rows must carry `_id`."""
+        reader = self.spark.read.options(**options)
+        df = getattr(reader, fmt)(path)
+        return self.put(table, df, system_from=system_from)
+
+    def submit_tx(self, ops, system_from=None):
+        """Multi-op transaction (reference api submit-tx,
+        tx_ops.clj): every op in `ops` executes against the SAME
+        pre-tx snapshot and commits at ONE system time; an
+        AssertFailed (or any error) before commit aborts the whole
+        batch with nothing written. Ops are ("put"|"delete"|"erase"|
+        "patch", table, payload, kwargs?) tuples or ("assert_", fn)
+        where fn(store) raises to abort.
+
+        Atomicity model: events are staged per table and appended
+        only after every op has evaluated — the single-writer
+        equivalent of the reference's log-serialized tx. (Multi-table
+        appends are sequential files; a crash mid-commit can leave a
+        partial tx — the reference's log gives it atomically, Delta
+        commit protocols would here.)"""
+        st = system_from or self._next_system_time()
+        staged: list[tuple[str, DataFrame]] = []
+        stage = lambda table, ev: staged.append((table, ev))  # noqa: E731
+
+        for op in ops:
+            kind, rest = op[0], op[1:]
+            if kind == "assert_":
+                rest[0](self)
+                continue
+            table, payload = rest[0], rest[1]
+            kw = dict(rest[2]) if len(rest) > 2 else {}
+            vf, vt = kw.get("valid_from"), kw.get("valid_to")
+            if kind == "put":
+                stage(table, self._events_df(payload, "put", vf, vt, st))
+            elif kind == "delete":
+                rows = [{"_id": i} for i in payload]
+                stage(table, self._events_df(rows, "delete", vf, vt, st))
+            elif kind == "erase":
+                rows = [{"_id": i} for i in payload]
+                stage(table, self._events_df(rows, "erase", None, None, st))
+            else:
+                raise ValueError(f"unknown tx op {kind!r}")
+        for table, ev in staged:
+            self._append(table, ev)
+        return st
+
     def patch(self, table, rows, valid_from=None, valid_to=None, system_from=None):
         """PATCH = read current doc, struct-merge the partial doc over
         it, write as put (reference `_patch` expression.clj:2061-2095 +
