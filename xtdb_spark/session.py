@@ -91,6 +91,12 @@ class XtdbSession:
     def erase(self, table, ids, **kw):
         return self.store.erase(table, ids, **kw)
 
+    def submit_tx(self, ops, **kw):
+        return self.store.submit_tx(ops, **kw)
+
+    def copy_from(self, table, path, **kw):
+        return self.store.copy_from(table, path, **kw)
+
     def patch(self, table, rows, valid_from=None, valid_to=None, **kw):
         return self.store.patch(table, rows, valid_from, valid_to, **kw)
 
