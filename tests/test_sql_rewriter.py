@@ -73,6 +73,11 @@ def test_info_schema_views(spark, tmp_path):
     cols = spark.sql("SELECT column_name FROM information_schema_columns "
                      "WHERE table_name = 'users'").collect()
     assert {"_id", "name", "_iid"} <= {r["column_name"] for r in cols}
+    stats = {r["table_name"]: r for r in
+             spark.sql("SELECT * FROM xt_table_stats").collect()}
+    assert stats["users"]["n_events"] == 1
+    assert stats["users"]["n_files"] >= 1
+    assert stats["users"]["n_bytes"] > 0
 
 
 def test_sql_system_time_between(spark, tmp_path):

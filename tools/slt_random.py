@@ -94,11 +94,21 @@ def gen_query(rng: random.Random) -> str:
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
 
     shape = rng.random()
-    if shape < 0.35:  # scalar aggregate
+    if shape < 0.3:  # scalar aggregate
         c = rng.choice(ints)
         sel = (f"COUNT(*) AS n, MIN({c}) AS mn, MAX({c}) AS mx, "
                f"CAST(SUM({c}) AS BIGINT) AS s")
         return f"SELECT {sel} FROM {from_clause}{where}"
+    if shape < 0.35:  # CASE + integer arithmetic projection
+        c1, c2 = rng.choice(ints), rng.choice(ints)
+        g = rng.choice(strs)
+        th = rng.randint(10, 400)
+        return (f"SELECT {g}, "
+                f"CASE WHEN {c1} < {th} THEN 'lo' "
+                f"WHEN {c1} < {th * 2} THEN 'mid' ELSE 'hi' END AS band, "
+                f"CAST(SUM({c1} * 3 + {c2} % 11) AS BIGINT) AS s, "
+                f"COUNT(*) AS n "
+                f"FROM {from_clause}{where} GROUP BY 1, 2")
     if shape < 0.75:  # group by
         g = rng.choice(strs)
         c = rng.choice(ints)

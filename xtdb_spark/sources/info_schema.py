@@ -85,6 +85,26 @@ def pg_type(spark: SparkSession, store=None) -> DataFrame:
     return spark.createDataFrame(rows, "oid int, typname string").distinct()
 
 
+def xt_table_stats(spark: SparkSession, store) -> DataFrame:
+    """Storage introspection: per-table file/byte/event counts — the
+    analogue of the reference's `xt.trie_stats` / `xt.live_tables`
+    views (information_schema.clj:231-508). Counts come from the
+    filesystem manifest, not a scan."""
+    rows = []
+    for s, t in _tables(store):
+        full = f"{s}.{t}" if s != "public" else t
+        d = store._path(full)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")] \
+            if os.path.isdir(d) else []
+        n_bytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_events = store.events(full).count()
+        rows.append((s, t, len(files), n_bytes, n_events))
+    return spark.createDataFrame(
+        rows or [("", "", 0, 0, 0)],
+        "schema string, table_name string, n_files int, n_bytes long, "
+        "n_events long").filter("table_name != ''")
+
+
 def register_all(spark: SparkSession, store) -> None:
     """Register every introspection view (underscore spellings)."""
     information_schema_tables(spark, store) \
@@ -95,3 +115,4 @@ def register_all(spark: SparkSession, store) -> None:
         .createOrReplaceTempView("information_schema_schemata")
     pg_tables(spark, store).createOrReplaceTempView("pg_catalog_pg_tables")
     pg_type(spark).createOrReplaceTempView("pg_catalog_pg_type")
+    xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
