@@ -64,3 +64,42 @@ def ts_sessionize_q(spark, sf_dir):
     return s.groupBy("user_id").agg(
         F.max("session_seq").alias("n_sessions"),
         F.count("*").alias("n_events"))
+
+
+@register(
+    "ts_readings_rollup",
+    """
+    SELECT user_id,
+           CAST(time_bucket(INTERVAL 6 HOURS, ts,
+                            TIMESTAMP '1970-01-01') AS TIMESTAMP) AS bin_start,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS avg_v,
+           ROUND(MIN(value), 6) AS min_v,
+           ROUND(MAX(value), 6) AS max_v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND user_id < 50
+    GROUP BY user_id, bin_start
+    """,
+)
+def ts_readings_rollup_q(spark, sf_dir):
+    """The reference's `readings` bench query shape
+    (modules/bench/src/main/clojure/xtdb/bench/readings.clj:25-47:
+    AVG/MIN/MAX per device over a valid-time range, time-bucketed via
+    range_bins). Bucketing stays a pure Column expression, so the
+    groupBy is the only shuffle."""
+    from xtdb_spark.functions.temporal import range_bins
+
+    e = ld(spark, sf_dir, "events")
+    return (e.filter((F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+                     & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+                     & (F.col("user_id") < 50))
+            .groupBy("user_id",
+                     range_bins(F.col("ts"), "6 hours")["_from"]
+                     .alias("bin_start"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(38,6)"))
+                         .cast("double") / F.count("value"), 6).alias("avg_v"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v")))
