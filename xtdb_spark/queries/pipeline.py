@@ -383,3 +383,34 @@ def corpus_prep(spark, sf_dir):
             .filter(F.col("quality") > 0.9)
             .select("doc_id", "n_tokens")
             .orderBy("doc_id"))
+
+
+@register(
+    "pipe_data_profile",
+    """
+    SELECT 'doc_id' AS col, COUNT(doc_id) AS n_nonnull,
+           COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(source), COUNT(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars) FROM documents
+    ORDER BY col
+    """,
+)
+def data_profile(spark, sf_dir):
+    """Dataset profiling (null/distinct cardinality per column) — the
+    first step of any corpus intake. One pass per column pair via a
+    stacked aggregate; at 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct (HLL) — same plan shape, bounded memory."""
+    d = ld(spark, sf_dir, "documents")
+    parts = []
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        parts.append(d.agg(F.lit(c).alias("col"),
+                           F.count(c).alias("n_nonnull"),
+                           F.countDistinct(c).alias("n_distinct")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
