@@ -211,3 +211,26 @@ def age_parts(spark, sf_dir):
     y = by - F.year(a) - borrow_m
     return o.select("o_orderkey", y.cast("int").alias("y"),
                     m.cast("int").alias("m"), d.cast("int").alias("d"))
+
+
+@register(
+    "fn_hash_battery",
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           md5(lower(trim(text))) AS h_norm
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def hash_battery(spark, sf_dir):
+    """Content hashing (md5/sha256) — the `_iid` hashing family
+    (reference expression.clj:1112-1130 hashes docs to iids) and the
+    workhorse of content-addressed dedup at 100 TB."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h_norm"),
+    )
