@@ -2,6 +2,7 @@
 analogues."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from xtdb_spark.session import XtdbSession
 from xtdb_spark.sql.dml import AssertFailed
@@ -147,3 +148,37 @@ def test_copy_from_bulk_load(xt, tmp_path, spark):
         .coalesce(1).write.parquet(src)
     xt.store.copy_from("bulk_t", src)
     assert xt.scan("bulk_t").count() == 20
+
+
+def test_submit_tx_patch_and_pretx_snapshot(xt):
+    """submit_tx supports the patch op, and every op evaluates against
+    the PRE-tx snapshot: a payload derived from events(table) is
+    materialized before any append, so it cannot observe earlier
+    appends from the same tx."""
+    store = xt.store
+    store.put("snap", [{"_id": 1, "a": 1, "b": "x"}], system_from="2024-01-01")
+    # payload lazily derived from the table's own current state
+    derived = store.scan("snap").select("_id", (F.col("a") + 100).alias("a"))
+    store.submit_tx([
+        ("put", "snap", [{"_id": 2, "a": 2, "b": "y"}]),
+        ("put", "snap", derived),            # must see only the pre-tx row
+        ("patch", "snap", [{"_id": 1, "b": "patched"}]),
+    ])
+    rows = {r["_id"]: (r["a"], r["b"]) for r in store.scan("snap").collect()}
+    # patch merged over the derived put (same tx, patch staged later
+    # but both committed at one system time; patch evaluated pre-tx)
+    assert rows[2] == (2, "y")
+    assert 1 in rows
+    # derived payload saw ONLY the pre-tx snapshot: one derived row
+    ev = store.events("snap")
+    assert ev.filter((F.col("_id") == 2) & (F.col("a") == 102)).count() == 0
+
+
+def test_delete_accepts_dataframe_ids(xt):
+    store = xt.store
+    store.put("dfids", [{"_id": i, "v": i * 10} for i in range(6)],
+              system_from="2024-01-01")
+    ids = store.scan("dfids").filter(F.col("v") >= 30).select("_id")
+    store.delete("dfids", ids)
+    left = sorted(r["_id"] for r in store.scan("dfids").collect())
+    assert left == [0, 1, 2]

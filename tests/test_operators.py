@@ -108,3 +108,18 @@ def test_xtql_pipeline(store):
     )
     assert [(r["name"], r["total"]) for r in out.collect()] == [
         ("ada", 5), ("bob", 5)]
+
+
+def test_asof_join_does_not_blend_right_rows(spark):
+    """Right rows with genuine NULLs must be carried AS A WHOLE ROW:
+    rowA (x=1, y=NULL) then rowB (x=NULL, y=2) must yield (NULL, 2)
+    on a later left row — never the phantom (1, 2)."""
+    left = spark.createDataFrame([(1, "2024-01-03")], "k long, ts string") \
+        .selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01", 1, None), (1, "2024-01-02", None, 2)],
+        "k long, ts string, x long, y long") \
+        .selectExpr("k", "cast(ts as timestamp) ts", "x", "y")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    assert len(out) == 1
+    assert (out[0]["x"], out[0]["y"]) == (None, 2)

@@ -115,3 +115,77 @@ def test_sql_explain_and_explain_analyze(spark, tmp_path):
         xt, "EXPLAIN ANALYZE SELECT v FROM t WHERE v > 10") \
         .collect()[0]["plan"]
     assert "Runtime metrics" in analyzed and "numOutputRows" in analyzed
+
+
+def test_sql_alias_preserved(spark, tmp_path):
+    """`FROM users AS u` / `FROM users u` keep the alias on the
+    substituted view (round-1 regex rewriter mangled these)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("users", [{"_id": 1, "name": "ada"}], system_from="2024-01-01")
+    for q in ("SELECT u.name FROM users AS u",
+              "SELECT u.name FROM users u",
+              "SELECT u.name FROM users AS u WHERE u.name = 'ada'"):
+        assert [r["name"] for r in rewrite_sql(xt, q).collect()] == ["ada"]
+
+
+def test_sql_comma_from_list_both_rewritten(spark, tmp_path):
+    """`FROM a FOR …, b FOR SYSTEM_TIME AS OF …` — BOTH comma-separated
+    refs resolve with their own bounds (reference grammar allows a
+    temporal spec on every table primary, Sql.g4:540-568)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("ords", [{"_id": 1, "uid": 1, "amt": 5}], system_from="2024-01-01")
+    xt.store.put("usrs", [{"_id": 1, "name": "old"}], system_from="2024-01-01")
+    xt.store.put("usrs", [{"_id": 1, "name": "new"}], system_from="2024-02-01")
+    rows = rewrite_sql(xt, """
+        SELECT o.amt, u.name
+        FROM ords o, usrs FOR SYSTEM_TIME AS OF '2024-01-15' AS u
+        WHERE o.uid = u._id
+    """).collect()
+    assert [(r["amt"], r["name"]) for r in rows] == [(5, "old")]
+
+
+def test_sql_temporal_in_subquery(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("ev", [{"_id": 1, "v": 1}], system_from="2024-01-01")
+    xt.store.put("ev", [{"_id": 1, "v": 2}], system_from="2024-02-01")
+    rows = rewrite_sql(xt, """
+        SELECT mx FROM (
+          SELECT MAX(v) AS mx FROM ev FOR SYSTEM_TIME AS OF '2024-01-10'
+        ) s
+    """).collect()
+    assert rows[0]["mx"] == 1
+
+
+def test_sql_asof_param(spark, tmp_path):
+    """`FOR SYSTEM_TIME AS OF ?` binds a positional argument at
+    rewrite time (reference: params in temporal specs over pgwire
+    prepared statements); other ?s still reach Spark."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("p", [{"_id": 1, "v": 1}], system_from="2024-01-01")
+    xt.store.put("p", [{"_id": 1, "v": 2}], system_from="2024-02-01")
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    rows = rewrite_and_run(
+        xt, "SELECT v FROM p FOR SYSTEM_TIME AS OF ? WHERE v < ?",
+        args=["2024-01-15", 100]).collect()
+    assert [r["v"] for r in rows] == [1]
+
+
+def test_sql_from_inside_functions_untouched(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("fx", [{"_id": 1, "s": "hello", "ts": "2024-03-05"}],
+                 system_from="2024-01-01")
+    rows = rewrite_sql(xt, """
+        SELECT extract(year FROM cast(ts AS date)) AS yr,
+               substring(s FROM 1 FOR 2) AS s2,
+               trim(LEADING 'h' FROM s) AS st
+        FROM fx
+    """).collect()
+    assert (rows[0]["yr"], rows[0]["s2"], rows[0]["st"]) == (2024, "he", "ello")
+
+
+def test_sql_quoted_table_and_alias(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("qt", [{"_id": 1, "v": 7}], system_from="2024-01-01")
+    rows = rewrite_sql(xt, 'SELECT q.v FROM "qt" AS q').collect()
+    assert rows[0]["v"] == 7

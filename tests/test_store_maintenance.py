@@ -31,3 +31,50 @@ def test_salted_join_matches_plain_join(spark):
                     salted_join(facts, dim, "k", salt=4).collect())
     assert plain == salted
     assert len(salted) == 100
+
+
+def test_reput_after_erase_is_visible(store):
+    """Erase wipes only events written at-or-before it; a later put
+    resurrects the entity (reference PolygonCalculator.kt iterates
+    newest-system-first — an erase only skips the REMAINING, older,
+    events)."""
+    store.put("r", [{"_id": 1, "v": 10}], system_from="2024-01-01")
+    store.erase("r", [1], system_from="2024-01-02")
+    assert store.scan("r").count() == 0
+    store.put("r", [{"_id": 1, "v": 20}], system_from="2024-01-03")
+    rows = store.scan("r").collect()
+    assert [(r["_id"], r["v"]) for r in rows] == [(1, 20)]
+    # the pre-erase version stays gone, even FOR ALL SYSTEM_TIME
+    hist = store.scan("r", all_valid_time=True, all_system_time=True).collect()
+    assert {r["v"] for r in hist} == {20}
+
+
+def test_optimize_physically_erases(store, tmp_path):
+    """After erase + optimize, the erased bytes are GONE from the
+    parquet files (read raw, not via scan) — reference
+    erase-at-compaction (PolygonCalculator.kt:23-24 + compactor.clj)."""
+    store.put("g", [{"_id": 1, "secret": "CLASSIFIED"},
+                    {"_id": 2, "secret": "public"}],
+              system_from="2024-01-01")
+    store.erase("g", [1], system_from="2024-01-02")
+    # before optimize: hidden at read time but still on disk
+    raw = store.spark.read.parquet(store._path("g"))
+    assert raw.filter(F.col("secret") == "CLASSIFIED").count() == 1
+    store.optimize("g", n_files=1)
+    raw = store.spark.read.parquet(store._path("g"))
+    assert raw.filter(F.col("secret") == "CLASSIFIED").count() == 0
+    # the erase markers are applied and dropped too
+    assert raw.filter(F.col("op") == "erase").count() == 0
+    # surviving data intact, history preserved
+    assert [r["secret"] for r in store.scan("g").collect()] == ["public"]
+
+
+def test_iid_is_type_tagged(store):
+    """{_id: 1} and {_id: "1"} must hash to DIFFERENT iids — the
+    reference hashes the typed value (scan.clj:127-140)."""
+    ev_int = store._events_df([{"_id": 1}], "put", None, None, "2024-01-01")
+    ev_str = store._events_df([{"_id": "1"}], "put", None, None, "2024-01-01")
+    iid_int = ev_int.select("_iid").collect()[0][0]
+    iid_str = ev_str.select("_iid").collect()[0][0]
+    assert iid_int != iid_str
+    assert len(iid_int) == 16

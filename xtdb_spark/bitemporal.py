@@ -51,12 +51,21 @@ def _end_or_inf(col: Column) -> Column:
     return F.coalesce(col, F.lit(MAX_TS).cast("timestamp"))
 
 
-def drop_erased(events: DataFrame, system_time=None) -> DataFrame:
-    """Remove every event of any iid that has an `erase` event —
-    erase is retroactive across all system time
-    (reference PolygonCalculator.kt:23-24,44-46)."""
-    erased = events.filter(F.col("op") == "erase").select("_iid").distinct()
-    return events.join(erased, "_iid", "left_anti")
+def drop_erased(events: DataFrame) -> DataFrame:
+    """Remove the events wiped by `erase`: everything of the same iid
+    written at-or-before the (latest) erase, erase markers included.
+    Events written AFTER an erase are untouched — re-putting an
+    entity after erasing it makes it visible again (reference
+    PolygonCalculator.kt iterates newest-system-first and an erase
+    only wipes the *remaining*, i.e. older, events:
+    PolygonCalculator.kt:23-24,44-46)."""
+    erases = (events.filter(F.col("op") == "erase")
+              .groupBy("_iid")
+              .agg(F.max("_system_from").alias("__erase_ts")))
+    return (events.join(erases, "_iid", "left")
+            .filter(F.col("__erase_ts").isNull()
+                    | (F.col("_system_from") > F.col("__erase_ts")))
+            .drop("__erase_ts"))
 
 
 def resolve_asof(

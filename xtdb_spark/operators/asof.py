@@ -38,27 +38,27 @@ def asof_join(
                                 if c not in (on, right_ts)]
     lt = left.withColumn("__ts", F.col(left_ts)) \
         .withColumn("__side", F.lit(1 if not strict else 0))
+    # carry ONE struct per right row, not per-column lasts: per-column
+    # `last(c, ignorenulls)` would blend values from different right
+    # rows when right columns carry genuine NULLs (rowA x=1,y=NULL then
+    # rowB x=NULL,y=2 must NOT yield (1,2) — a row that never existed)
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0 if not strict else 1).alias("__side"),
-        *[F.col(c) for c in right_cols],
-    ).withColumn("__rts", F.col("__ts"))
+        F.struct(F.col(right_ts).alias("__rts"),
+                 *[F.col(c) for c in right_cols]).alias("__rrow"),
+    )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (Window.partitionBy(on).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
-          for c in right_cols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__c_ts"),
-    )
-    out = (carried.filter(F.col("__side") == (1 if not strict else 0))
-           .drop(*right_cols, "__rts"))
+    carried = unioned.withColumn(
+        "__c", F.last("__rrow", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == (1 if not strict else 0))
     for c in right_cols:
-        out = out.withColumnRenamed(f"__c_{c}", c)
-    return (out.withColumnRenamed("__c_ts", f"asof_{right_ts}")
-            .drop("__ts", "__side"))
+        out = out.withColumn(c, F.col("__c").getField(c))
+    return (out.withColumn(f"asof_{right_ts}", F.col("__c.__rts"))
+            .drop("__ts", "__side", "__rrow", "__c"))
 
 
 def sessionize(

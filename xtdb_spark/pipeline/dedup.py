@@ -43,27 +43,79 @@ def word_ngrams(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs sharing at
-    least one shingle. |A∩B| from a shingle-join count; |A∪B| =
-    |A|+|B|−|A∩B|. Blocking on shared shingles keeps the join sparse;
-    at 100 TB you'd block on *rare* shingles only (df-filtered)."""
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      word_ngrams(F.col(text_col), n).alias("grams"))
-          .withColumn("n_grams", F.size("grams"))
-          .select("id", "n_grams", F.explode("grams").alias("gram")))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                      F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
+                   n: int) -> DataFrame:
+    """(id, n_grams, gram) — one row per distinct shingle per doc."""
+    return (docs.select(F.col(id_col).alias("id"),
+                        word_ngrams(F.col(text_col), n).alias("grams"))
+            .withColumn("n_grams", F.size("grams"))
+            .select("id", "n_grams", F.explode("grams").alias("gram")))
+
+
+def jaccard_for_pairs(sh: DataFrame, cand: DataFrame,
+                      threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for an EXPLICIT candidate-pair set only —
+    the verify kernel shared by LSH and df-filtered blocking. Work is
+    linear in (candidate pairs × shingles/doc), never all-pairs:
+    candidates join to each side's shingles, intersections come from
+    the gram-equality count, |A∪B| = |A|+|B|−|A∩B|.
+
+    `sh` is a `_shingle_table`; `cand` has (id_a, id_b). Pairs with an
+    empty intersection drop out (their Jaccard is 0)."""
+    inter = (cand
+             .join(sh.alias("a"), F.col("id_a") == F.col("a.id"))
+             .join(sh.alias("b"),
+                   (F.col("id_b") == F.col("b.id"))
+                   & (F.col("a.gram") == F.col("b.gram")))
+             .groupBy("id_a", "id_b",
+                      F.col("a.n_grams").alias("na"),
+                      F.col("b.n_grams").alias("nb"))
              .agg(F.count("*").alias("n_inter")))
     jac = (F.col("n_inter").cast("double")
            / (F.col("na") + F.col("nb") - F.col("n_inter")))
     return (inter.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_gram_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one (blocking) shingle. |A∩B| from a shingle-join count;
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    `max_gram_df` is the 100 TB knob: block only on shingles whose
+    document frequency is ≤ max_gram_df. Common shingles ("of the
+    and") otherwise make the candidate join quadratic; near-dups at
+    any reasonable threshold always share *rare* shingles too, so
+    df-filtered blocking keeps recall while bounding each blocking
+    bucket to ≤ max_gram_df² pairs. Jaccard for the surviving
+    candidates is still computed over ALL shingles (exact)."""
+    sh = _shingle_table(docs, id_col, text_col, n)
+    if max_gram_df is None:
+        # exact blocking on every shared shingle; the intersection
+        # count falls straight out of the one blocking join
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                        & (F.col("a.id") < F.col("b.id")))
+                 .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                          F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+                 .agg(F.count("*").alias("n_inter")))
+        jac = (F.col("n_inter").cast("double")
+               / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    rare = (sh.groupBy("gram").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_gram_df))
+    block = sh.join(rare.select("gram"), "gram", "left_semi")
+    cand = (block.alias("a")
+            .join(block.alias("b"),
+                  (F.col("a.gram") == F.col("b.gram"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    return jaccard_for_pairs(sh, cand, threshold)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -102,9 +154,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                   & (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
-    return (cand.join(exact, ["id_a", "id_b"])
-            .filter(F.col("jaccard") >= threshold))
+    # verify with exact Jaccard for the LSH candidates ONLY — the
+    # whole point of banding is never touching non-candidate pairs
+    sh = _shingle_table(docs, id_col, text_col, n)
+    return jaccard_for_pairs(sh, cand, threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",

@@ -157,14 +157,13 @@ def execute_dml(xt, query: str):
 
     m = _DELETE_RE.match(query)
     if m:
+        # the matching ids stay a DataFrame end-to-end — a broad
+        # DELETE at 100 TB must not collect its id set to the driver
         table, where = m.group("table"), m.group("where")
         view = _current_view(xt, table)
         ids = spark.sql(f"SELECT _id FROM {view}"
                         + (f" WHERE {where}" if where else ""))
-        id_list = [r["_id"] for r in ids.collect()]
-        if not id_list:
-            return None
-        return xt.store.delete(table, id_list, valid_from=m.group("vf"),
+        return xt.store.delete(table, ids, valid_from=m.group("vf"),
                                valid_to=m.group("vt"))
 
     m = _ERASE_RE.match(query)
@@ -173,10 +172,7 @@ def execute_dml(xt, query: str):
         view = _current_view(xt, table)
         ids = spark.sql(f"SELECT _id FROM {view}"
                         + (f" WHERE {where}" if where else ""))
-        id_list = [r["_id"] for r in ids.collect()]
-        if not id_list:
-            return None
-        return xt.store.erase(table, id_list)
+        return xt.store.erase(table, ids)
 
     m = _ASSERT_RE.match(query)
     if m:

@@ -9,70 +9,76 @@ recommends: strip the temporal clauses, resolve each referenced table
 to a DataFrame with those bounds via the bitemporal scan, register it
 as a temp view, and hand the rewritten text to `spark.sql`.
 
-Grammar subset handled (per table reference in FROM/JOIN):
-    <table> [FOR VALID_TIME AS OF <ts> | FOR VALID_TIME BETWEEN <ts> AND <ts>
-             | FOR VALID_TIME FROM <ts> TO <ts> | FOR ALL VALID_TIME]
-            [FOR SYSTEM_TIME AS OF <ts> | FOR ALL SYSTEM_TIME]
+Unlike the round-1 single-regex version, the rewriter walks a real
+token stream (strings, quoted identifiers, comments, words, params),
+so it handles what the reference grammar handles anywhere a table
+reference appears:
+
+- comma-separated FROM lists: ``FROM a FOR …, b FOR SYSTEM_TIME …``
+- table aliases: ``FROM users AS u`` / ``FROM users u`` — the alias
+  is preserved on the substituted view
+- quoted identifiers: ``FROM "my table" FOR ALL VALID_TIME``
+- subqueries/derived tables: inner FROMs are rewritten too (the scan
+  is linear over all tokens, parens are not skipped)
+- positional parameters inside temporal clauses: ``FOR VALID_TIME AS
+  OF ?`` binds the next ``?`` argument at rewrite time (the reference
+  supports params in temporal specs over pgwire prepared statements);
+  consumed args are removed from the list Spark sees
+- ``FROM`` inside expressions (``extract(year FROM ts)``,
+  ``substring(s FROM 1 FOR 2)``, ``trim(LEADING 'x' FROM s)``) passes
+  through untouched — the would-be "table" never resolves in the
+  store, and unrewritable spans are emitted verbatim.
+
 Everything else (joins, aggregates, windows, CTEs, set ops…) passes
 through to Spark SQL untouched — Catalyst plans it.
-
-Positional parameters (`?`) use Spark's native parameterized SQL.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-_TS = r"(?:TIMESTAMP\s+)?'(?P<%s>[^']+)'"
+# ---------------------------------------------------------------- tokens
 
-_VT_PATTERNS = [
-    ("vt_asof", rf"FOR\s+VALID_TIME\s+AS\s+OF\s+{_TS % 'vt_asof'}"),
-    ("vt_between", rf"FOR\s+VALID_TIME\s+BETWEEN\s+{_TS % 'vt_from'}\s+AND\s+{_TS % 'vt_to'}"),
-    ("vt_fromto", rf"FOR\s+VALID_TIME\s+FROM\s+{_TS % 'vt_from2'}\s+TO\s+{_TS % 'vt_to2'}"),
-    ("vt_all", r"FOR\s+ALL\s+VALID_TIME"),
-]
-_ST_PATTERNS = [
-    ("st_asof", rf"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+{_TS % 'st_asof'}"),
-    ("st_between", rf"FOR\s+SYSTEM_TIME\s+BETWEEN\s+{_TS % 'st_from'}\s+AND\s+{_TS % 'st_to'}"),
-    ("st_fromto", rf"FOR\s+SYSTEM_TIME\s+FROM\s+{_TS % 'st_from2'}\s+TO\s+{_TS % 'st_to2'}"),
-    ("st_all", r"FOR\s+ALL\s+SYSTEM_TIME"),
-]
-
-_CLAUSE_RE = re.compile(
-    "|".join(f"(?P<{name}_g>{pat})" for name, pat in _VT_PATTERNS + _ST_PATTERNS),
-    re.IGNORECASE,
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+  | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
+  | (?P<num>\d+(?:\.\d*)?|\.\d+)
+  | (?P<param>\?)
+  | (?P<punct>.)
+    """,
+    re.VERBOSE | re.DOTALL,
 )
 
-_QTS = r"(?:TIMESTAMP\s+)?'[^']*'"
-_CLAUSE_PART = (
-    r"FOR\s+(?:"
-    r"ALL\s+(?:VALID_TIME|SYSTEM_TIME)"
-    rf"|VALID_TIME\s+AS\s+OF\s+{_QTS}"
-    rf"|VALID_TIME\s+BETWEEN\s+{_QTS}\s+AND\s+{_QTS}"
-    rf"|VALID_TIME\s+FROM\s+{_QTS}\s+TO\s+{_QTS}"
-    rf"|SYSTEM_TIME\s+AS\s+OF\s+{_QTS}"
-    rf"|SYSTEM_TIME\s+BETWEEN\s+{_QTS}\s+AND\s+{_QTS}"
-    rf"|SYSTEM_TIME\s+FROM\s+{_QTS}\s+TO\s+{_QTS}"
-    r")"
-)
 
-_TABLE_REF_RE = re.compile(
-    rf"(?P<kw>\bFROM\b|\bJOIN\b)\s+(?P<table>[A-Za-z_][\w.]*)"
-    rf"(?P<clauses>(?:\s+{_CLAUSE_PART})*)",
-    re.IGNORECASE,
-)
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    return [(m.lastgroup, m.group()) for m in _TOKEN_RE.finditer(sql)]
+
+
+def _unquote(tok: tuple[str, str]) -> str:
+    kind, text = tok
+    if kind == "qident":
+        q = text[0]
+        return text[1:-1].replace(q * 2, q)
+    return text
+
+
+# ------------------------------------------------------------- bounds
 
 
 @dataclass
 class TemporalBounds:
     """Per-table temporal spec (reference operator/scan.clj:62-114)."""
 
-    valid_asof: str | None = None
-    valid_range: tuple[str, str] | None = None
+    valid_asof: object | None = None
+    valid_range: tuple | None = None
     all_valid: bool = False
-    system_asof: str | None = None
-    system_range: tuple[str, str] | None = None
+    system_asof: object | None = None
+    system_range: tuple | None = None
     all_system: bool = False
 
     def view_suffix(self) -> str:
@@ -81,29 +87,6 @@ class TemporalBounds:
                   self.system_range, self.all_valid, self.all_system):
             parts.append(re.sub(r"\W", "_", str(v)))
         return "__".join(parts)
-
-
-def parse_clauses(clause_text: str) -> TemporalBounds:
-    b = TemporalBounds()
-    for m in _CLAUSE_RE.finditer(clause_text or ""):
-        gd = m.groupdict()
-        if gd.get("vt_asof"):
-            b.valid_asof = gd["vt_asof"]
-        elif gd.get("vt_from") and gd.get("vt_to"):
-            b.valid_range = (gd["vt_from"], gd["vt_to"])
-        elif gd.get("vt_from2") and gd.get("vt_to2"):
-            b.valid_range = (gd["vt_from2"], gd["vt_to2"])
-        elif gd.get("vt_all_g"):
-            b.all_valid = True
-        elif gd.get("st_asof"):
-            b.system_asof = gd["st_asof"]
-        elif gd.get("st_from") and gd.get("st_to"):
-            b.system_range = (gd["st_from"], gd["st_to"])
-        elif gd.get("st_from2") and gd.get("st_to2"):
-            b.system_range = (gd["st_from2"], gd["st_to2"])
-        elif gd.get("st_all_g"):
-            b.all_system = True
-    return b
 
 
 def scan_with_bounds(store, table: str, b: TemporalBounds):
@@ -126,37 +109,344 @@ def scan_with_bounds(store, table: str, b: TemporalBounds):
     )
 
 
-def rewrite(xt, query: str) -> str:
-    """Replace each `<table> [temporal clauses]` reference with a temp
-    view resolved to those bounds; return the rewritten SQL text."""
+# ------------------------------------------------------------ rewriter
 
-    def repl(m: re.Match) -> str:
-        table = m.group("table")
-        # only rewrite tables that exist in the store; anything else
-        # (temp views, CTE names, catalog tables) passes through
-        try:
-            path_exists = _table_exists(xt.store, table)
-        except ValueError:
-            path_exists = False
-        if not path_exists:
-            return m.group(0)
-        bounds = parse_clauses(m.group("clauses"))
+# words that cannot be a table alias (so `FROM t WHERE …` never reads
+# WHERE as the alias of t)
+_NOT_ALIAS = {
+    "ON", "USING", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "FETCH", "UNION", "EXCEPT", "INTERSECT", "MINUS", "JOIN", "INNER",
+    "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "LATERAL",
+    "WINDOW", "QUALIFY", "FOR", "AND", "OR", "WHEN", "THEN", "ELSE", "END",
+    "SET", "VALUES", "SELECT", "WITH", "TABLESAMPLE", "PIVOT", "UNPIVOT",
+    "DISTRIBUTE", "CLUSTER", "SORT", "BY", "AS", "TO",
+}
+# words that start a non-table relation after FROM/JOIN
+_NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
+
+
+class _Rewriter:
+    def __init__(self, xt, sql: str, args: list | None):
+        self.xt = xt
+        self.toks = _tokenize(sql)
+        self.args = list(args) if args else []
+        self.i = 0
+        self.out: list[str] = []
+        self.param_ord = 0          # ?-params passed so far, in text order
+        self.consumed: set[int] = set()  # arg ordinals bound at rewrite time
+        self._cap: list[str] | None = None  # active capture buffer
+
+    # -- token plumbing (every advance goes through _take so the
+    #    positional-parameter ordinal stays correct even inside
+    #    subqueries and skipped spans)
+
+    def _peek(self, k: int = 0):
+        j, seen = self.i, 0
+        while j < len(self.toks):
+            if self.toks[j][0] not in ("ws", "comment"):
+                if seen == k:
+                    return self.toks[j]
+                seen += 1
+            j += 1
+        return (None, "")
+
+    def _take(self) -> tuple[str, str]:
+        tok = self.toks[self.i]
+        self.i += 1
+        if tok[0] == "param":
+            self.param_ord += 1
+        return tok
+
+    def _checkpoint(self):
+        # includes the capture-buffer length: a restore must also
+        # un-capture tokens, or backtracked spans would be emitted twice
+        cap_len = len(self._cap) if self._cap is not None else 0
+        return (self.i, self.param_ord, cap_len)
+
+    def _restore(self, cp):
+        self.i, self.param_ord, cap_len = cp
+        if self._cap is not None:
+            del self._cap[cap_len:]
+
+    # -- main walk
+
+    def run(self) -> tuple[str, list]:
+        while self.i < len(self.toks):
+            kind, text = self.toks[self.i]
+            if kind == "word" and text.upper() in ("FROM", "JOIN"):
+                self.out.append(self._take()[1])
+                self._table_ref_list(single=(text.upper() == "JOIN"))
+            else:
+                self.out.append(self._take()[1])
+        remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
+        return "".join(self.out), remaining
+
+    def _table_ref_list(self, single: bool):
+        while True:
+            if not self._table_ref():
+                return
+            if single:
+                return
+            # comma → another table ref in the FROM list
+            if self._peek() != ("punct", ","):
+                return
+            self.out.append(self._span_through_next_nonws())  # the comma
+
+    def _span_through_next_nonws(self) -> str:
+        parts = []
+        while self.i < len(self.toks) and self.toks[self.i][0] in ("ws", "comment"):
+            parts.append(self._take()[1])
+        parts.append(self._take()[1])
+        return "".join(parts)
+
+    def _table_ref(self) -> bool:
+        """Parse one table reference after FROM/JOIN/','.  Emits either
+        the substituted view or the original span verbatim.  Returns
+        False when the next relation is not a plain table (subquery,
+        VALUES, …) — the main walk then continues linearly, so inner
+        FROMs still get rewritten."""
+        captured: list[str] = []
+        self._cap = captured
+
+        def cap_take():
+            tok = self._take()
+            captured.append(tok[1])
+            return tok
+
+        def cap_skip_ws():
+            while self.i < len(self.toks) and \
+                    self.toks[self.i][0] in ("ws", "comment"):
+                cap_take()
+
+        def flush_verbatim(result: bool) -> bool:
+            self.out.append("".join(captured))
+            self._cap = None
+            return result
+
+        cap_skip_ws()
+        kind, text = self._peek()
+        if kind not in ("word", "qident") or \
+                (kind == "word" and text.upper() in _NOT_TABLE_START):
+            # emit any whitespace we swallowed, let the walk continue
+            return flush_verbatim(False)
+        # dotted name
+        name_toks = [cap_take()]
+        while self._peek() == ("punct", ".") and \
+                self._peek(1)[0] in ("word", "qident"):
+            cap_skip_ws()
+            cap_take()  # the dot
+            cap_skip_ws()
+            name_toks.append(cap_take())
+        if self._peek() == ("punct", "("):
+            # table-valued function: emit the name, let the main walk
+            # handle the argument list (and anything inside it)
+            return flush_verbatim(True)
+        table = ".".join(_unquote(t) for t in name_toks if t[0] != "punct")
+
+        bounds, _ = self._for_clauses(cap_take, cap_skip_ws)
+        alias = self._alias(cap_take, cap_skip_ws)
+
+        if not self._store_table_exists(table):
+            return flush_verbatim(True)
         view = f"xt__{table.replace('.', '_')}__{bounds.view_suffix()}"
         view = re.sub(r"\W", "_", view)
-        df = scan_with_bounds(xt.store, table, bounds)
+        df = scan_with_bounds(self.xt.store, table, bounds)
         df.createOrReplaceTempView(view)
-        # alias back to the bare table name so qualified column
-        # references (`users.name`) keep resolving
-        alias = table.split(".")[-1]
-        return f"{m.group('kw')} {view} AS {alias}"
+        # preserve an explicit alias; otherwise alias back to the bare
+        # table name so qualified column refs keep resolving
+        alias = alias or table.split(".")[-1]
+        if not re.fullmatch(r"[A-Za-z_]\w*", alias):
+            alias = "`" + alias.replace("`", "``") + "`"
+        lead_ws = captured[0] if captured and captured[0].isspace() else " "
+        self.out.append(f"{lead_ws}{view} AS {alias}")
+        self._cap = None
+        return True
 
-    return _TABLE_REF_RE.sub(repl, query)
+    def _store_table_exists(self, table: str) -> bool:
+        import os
+
+        try:
+            return os.path.isdir(self.xt.store._path(table))
+        except ValueError:
+            return False
+
+    # -- temporal clauses
+
+    def _for_clauses(self, cap_take, cap_skip_ws) -> tuple[TemporalBounds, bool]:
+        b = TemporalBounds()
+        found = False
+        while True:
+            k, t = self._peek()
+            if k != "word" or t.upper() != "FOR":
+                return b, found
+            if not self._clause(b, cap_take, cap_skip_ws, self._checkpoint()):
+                return b, found
+            found = True
+
+    def _clause(self, b: TemporalBounds, cap_take, cap_skip_ws, cp) -> bool:
+        saved_consumed = set(self.consumed)
+        cap_skip_ws()
+        k, t = self._peek()
+        if k != "word" or t.upper() != "FOR":
+            self._restore(cp)
+            self.consumed = saved_consumed
+            return False
+        cap_take()  # FOR
+        cap_skip_ws()
+        k, t = self._peek()
+        dim = None
+        is_all = False
+        if k == "word" and t.upper() == "ALL":
+            cap_take()
+            cap_skip_ws()
+            k, t = self._peek()
+            is_all = True
+        if k == "word" and t.upper() in ("VALID_TIME", "SYSTEM_TIME"):
+            dim = t.upper()
+            cap_take()
+        else:
+            self._restore(cp)
+            self.consumed = saved_consumed
+            return False
+        if is_all:
+            self._set_all(b, dim)
+            return True
+        cap_skip_ws()
+        k, t = self._peek()
+        kw = t.upper() if k == "word" else ""
+        if kw == "ALL":                      # FOR VALID_TIME ALL form
+            cap_take()
+            self._set_all(b, dim)
+            return True
+        if kw == "AS" and self._peek(1)[1].upper() == "OF":
+            cap_take(); cap_skip_ws(); cap_take()
+            v = self._temporal_arg(cap_take, cap_skip_ws)
+            if v is _FAIL:
+                self._restore(cp); self.consumed = saved_consumed
+                return False
+            if dim == "VALID_TIME":
+                b.valid_asof = v
+            else:
+                b.system_asof = v
+            return True
+        if kw in ("BETWEEN", "FROM"):
+            sep = "AND" if kw == "BETWEEN" else "TO"
+            cap_take()
+            lo = self._temporal_arg(cap_take, cap_skip_ws)
+            cap_skip_ws()
+            k2, t2 = self._peek()
+            if lo is _FAIL or k2 != "word" or t2.upper() != sep:
+                self._restore(cp); self.consumed = saved_consumed
+                return False
+            cap_take()
+            hi = self._temporal_arg(cap_take, cap_skip_ws)
+            if hi is _FAIL:
+                self._restore(cp); self.consumed = saved_consumed
+                return False
+            if dim == "VALID_TIME":
+                b.valid_range = (lo, hi)
+            else:
+                b.system_range = (lo, hi)
+            return True
+        self._restore(cp)
+        self.consumed = saved_consumed
+        return False
+
+    @staticmethod
+    def _set_all(b: TemporalBounds, dim: str):
+        if dim == "VALID_TIME":
+            b.all_valid = True
+        else:
+            b.all_system = True
+
+    def _temporal_arg(self, cap_take, cap_skip_ws):
+        """TIMESTAMP 'x' | DATE 'x' | 'x' | ? | CURRENT_TIMESTAMP."""
+        cap_skip_ws()
+        k, t = self._peek()
+        if k == "word" and t.upper() in ("TIMESTAMP", "DATE"):
+            cap_take()
+            cap_skip_ws()
+            k, t = self._peek()
+        if k == "str":
+            cap_take()
+            return t[1:-1].replace("''", "'")
+        if k == "param":
+            ord_ = self.param_ord  # ordinal of THIS param (0-based)
+            cap_take()
+            if ord_ >= len(self.args):
+                raise ValueError(
+                    "temporal clause parameter ? has no bound argument")
+            self.consumed.add(ord_)
+            return self.args[ord_]
+        if k == "word" and t.upper() in ("CURRENT_TIMESTAMP", "NOW",
+                                         "CURRENT_DATE"):
+            cap_take()
+            if self._peek() == ("punct", "("):
+                cap_take()
+                if self._peek() == ("punct", ")"):
+                    cap_take()
+            return None  # "as of now" = the default bound
+        return _FAIL
+
+    # -- alias
+
+    def _alias(self, cap_take, cap_skip_ws) -> str | None:
+        cp = self._checkpoint()
+        cap_skip_ws()
+        k, t = self._peek()
+        if k == "word" and t.upper() == "AS":
+            cap_take()
+            cap_skip_ws()
+            k, t = self._peek()
+            if k in ("word", "qident"):
+                tok = cap_take()
+                return _unquote(tok)
+            self._restore(cp)
+            return None
+        if k == "word" and t.upper() not in _NOT_ALIAS:
+            tok = cap_take()
+            return _unquote(tok)
+        if k == "qident":
+            tok = cap_take()
+            return _unquote(tok)
+        self._restore(cp)
+        return None
 
 
-def _table_exists(store, table: str) -> bool:
-    import os
+_FAIL = object()
 
-    return os.path.isdir(store._path(table))
+
+def parse_clauses(clause_text: str, args: list | None = None) -> TemporalBounds:
+    """Parse a standalone run of temporal clauses (`FOR VALID_TIME AS
+    OF … FOR SYSTEM_TIME …`) into TemporalBounds."""
+    r = _Rewriter(None, clause_text or "", args)
+    cap: list[str] = []
+    r._cap = cap
+
+    def cap_take():
+        tok = r._take()
+        cap.append(tok[1])
+        return tok
+
+    def cap_skip_ws():
+        while r.i < len(r.toks) and r.toks[r.i][0] in ("ws", "comment"):
+            cap_take()
+
+    b, _ = r._for_clauses(cap_take, cap_skip_ws)
+    return b
+
+
+def rewrite(xt, query: str) -> str:
+    """Rewrite temporal table references; no positional params."""
+    sql, _ = _Rewriter(xt, query, None).run()
+    return sql
+
+
+def rewrite_with_args(xt, query: str, args: list | None):
+    """Rewrite + bind any `?` inside temporal clauses from `args`;
+    returns (sql, remaining_args) with the bound args removed so the
+    remaining positions still line up for Spark's parameterized SQL."""
+    return _Rewriter(xt, query, args).run()
 
 
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
@@ -176,7 +466,7 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         return xt.spark.createDataFrame([(text,)], "plan string")
     if dml.is_dml(query):
         return dml.execute_dml(xt, query)
-    sql = rewrite(xt, query)
-    if args:
-        return xt.spark.sql(sql, args=args)
+    sql, remaining = rewrite_with_args(xt, query, args)
+    if remaining:
+        return xt.spark.sql(sql, args=remaining)
     return xt.spark.sql(sql)

@@ -64,6 +64,32 @@ class TableStore:
         t = time.time_ns() // 1000 * 1000 + self._tx_counter
         return datetime.fromtimestamp(t / 1e9, tz=timezone.utc).replace(tzinfo=None)
 
+    @staticmethod
+    def _iid_expr(df: DataFrame) -> F.Column:
+        """16-byte `_iid` = md5 of a TYPE-TAGGED canonical string of
+        `_id` (reference hashes the typed value, scan.clj:127-140):
+        without the tag, `{_id: 1}` and `{_id: "1"}` would collide and
+        silently merge into one entity's version chain."""
+        dtype = dict(df.dtypes)["_id"]
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            tag = "i"
+        elif dtype in ("float", "double") or dtype.startswith("decimal"):
+            tag = "f"
+        elif dtype == "string":
+            tag = "s"
+        elif dtype == "binary":
+            tag = "b"
+        elif dtype == "date":
+            tag = "d"
+        elif dtype.startswith("timestamp"):
+            tag = "t"
+        elif dtype == "boolean":
+            tag = "z"
+        else:
+            tag = "o"
+        return F.unhex(F.md5(F.concat(F.lit(tag + ":"),
+                                      F.col("_id").cast("string"))))
+
     def _events_df(self, rows, op: str, valid_from, valid_to,
                    system_from) -> DataFrame:
         if isinstance(rows, DataFrame):
@@ -87,7 +113,7 @@ class TableStore:
         vt = F.lit(valid_to).cast("timestamp") if valid_to is not None \
             else F.lit(None).cast("timestamp")
         return (df
-                .withColumn("_iid", F.unhex(F.md5(F.col("_id").cast("string"))))
+                .withColumn("_iid", self._iid_expr(df))
                 .withColumn("_valid_from", vf)
                 .withColumn("_valid_to", vt)
                 .withColumn("_system_from", F.lit(system_from).cast("timestamp"))
@@ -104,16 +130,26 @@ class TableStore:
         self._append(table, self._events_df(rows, "put", valid_from, valid_to, st))
         return st
 
+    @staticmethod
+    def _id_rows(ids):
+        """ids may be a local list OR a DataFrame with an `_id` column
+        — the DataFrame path stays fully distributed (a broad
+        `DELETE … WHERE` must never collect its id set to the
+        driver)."""
+        if isinstance(ids, DataFrame):
+            return ids.select("_id")
+        return [{"_id": i} for i in ids]
+
     def delete(self, table, ids, valid_from=None, valid_to=None, system_from=None):
         st = system_from or self._next_system_time()
-        rows = [{"_id": i} for i in ids]
-        self._append(table, self._events_df(rows, "delete", valid_from, valid_to, st))
+        self._append(table, self._events_df(self._id_rows(ids), "delete",
+                                            valid_from, valid_to, st))
         return st
 
     def erase(self, table, ids, system_from=None):
         st = system_from or self._next_system_time()
-        rows = [{"_id": i} for i in ids]
-        self._append(table, self._events_df(rows, "erase", None, None, st))
+        self._append(table, self._events_df(self._id_rows(ids), "erase",
+                                            None, None, st))
         return st
 
     def copy_from(self, table, path, fmt: str = "parquet",
@@ -127,12 +163,20 @@ class TableStore:
 
     def submit_tx(self, ops, system_from=None):
         """Multi-op transaction (reference api submit-tx,
-        tx_ops.clj): every op in `ops` executes against the SAME
+        tx_ops.clj): every op in `ops` evaluates against the SAME
         pre-tx snapshot and commits at ONE system time; an
         AssertFailed (or any error) before commit aborts the whole
         batch with nothing written. Ops are ("put"|"delete"|"erase"|
         "patch", table, payload, kwargs?) tuples or ("assert_", fn)
-        where fn(store) raises to abort.
+        where fn(store) raises to abort. delete/erase payloads are id
+        lists or `_id` DataFrames; patch supports valid_from/valid_to
+        kwargs (portion form = patch-gaps).
+
+        The pre-tx-snapshot guarantee is enforced by MATERIALIZING
+        every staged event DataFrame (localCheckpoint) before any
+        append: a lazy payload derived from events(table) would
+        otherwise re-read parquet at append time and observe earlier
+        appends from the same tx.
 
         Atomicity model: events are staged per table and appended
         only after every op has evaluated — the single-writer
@@ -155,13 +199,22 @@ class TableStore:
             if kind == "put":
                 stage(table, self._events_df(payload, "put", vf, vt, st))
             elif kind == "delete":
-                rows = [{"_id": i} for i in payload]
-                stage(table, self._events_df(rows, "delete", vf, vt, st))
+                stage(table, self._events_df(self._id_rows(payload),
+                                             "delete", vf, vt, st))
             elif kind == "erase":
-                rows = [{"_id": i} for i in payload]
-                stage(table, self._events_df(rows, "erase", None, None, st))
+                stage(table, self._events_df(self._id_rows(payload),
+                                             "erase", None, None, st))
+            elif kind == "patch":
+                if vf is not None or vt is not None:
+                    stage(table, self._patch_portion_events(
+                        table, payload, vf, vt, st))
+                else:
+                    stage(table, self._patch_events(table, payload, st))
             else:
                 raise ValueError(f"unknown tx op {kind!r}")
+        # materialize against the pre-tx snapshot, then commit
+        staged = [(table, ev.localCheckpoint(eager=True))
+                  for table, ev in staged]
         for table, ev in staged:
             self._append(table, ev)
         return st
@@ -179,6 +232,10 @@ class TableStore:
             return self.patch_portion(table, rows, valid_from, valid_to,
                                       system_from)
         st = system_from or self._next_system_time()
+        self._append(table, self._patch_events(table, rows, st))
+        return st
+
+    def _patch_events(self, table, rows, st) -> DataFrame:
         patch_df = (rows if isinstance(rows, DataFrame)
                     else self.spark.createDataFrame(rows))
         current = bitemporal.resolve_asof(self.events(table), keep_meta=False)
@@ -200,8 +257,7 @@ class TableStore:
                   .join(current.alias("c"),
                         F.col("p._id") == F.col("c._id"), "left")
                   .select(*merged_cols))
-        self._append(table, self._events_df(merged, "put", None, None, st))
-        return st
+        return self._events_df(merged, "put", None, None, st)
 
     def patch_portion(self, table, rows, valid_from, valid_to,
                       system_from=None):
@@ -212,6 +268,13 @@ class TableStore:
         doc alone. All as put-events at one system time — one window
         over the id's (few) versions, no UDF."""
         st = system_from or self._next_system_time()
+        self._append(table,
+                     self._patch_portion_events(table, rows, valid_from,
+                                                valid_to, st))
+        return st
+
+    def _patch_portion_events(self, table, rows, valid_from, valid_to,
+                              st) -> DataFrame:
         a = F.lit(valid_from).cast("timestamp")
         b = (F.lit(valid_to).cast("timestamp") if valid_to is not None
              else F.lit(bitemporal.MAX_TS).cast("timestamp"))
@@ -269,19 +332,19 @@ class TableStore:
                           F.when(F.col("__vt2") == max_ts,
                                  F.lit(None).cast("timestamp"))
                           .otherwise(F.col("__vt2")))
-              .withColumn("_iid", F.unhex(F.md5(F.col("_id").cast("string"))))
+              .withColumn("_iid", self._iid_expr(out))
               .withColumn("_valid_from", F.col("__vf"))
               .withColumn("_system_from", F.lit(st).cast("timestamp"))
               .withColumn("op", F.lit("put"))
               .drop("__vf", "__vt2"))
-        self._append(table, ev)
-        return st
+        return ev
 
     # ---- maintenance ----
 
     def optimize(self, table: str, n_files: int | None = None) -> int:
         """Compaction: rewrite the table's event files clustered by
-        `_iid` and sorted by (`_iid`, `_system_from`).
+        `_iid` and sorted by (`_iid`, `_system_from`) — AND physically
+        drop erased data.
 
         The reference runs LSM-style background compaction of trie
         levels bucketed by iid prefix (reference compactor.clj:11-21,
@@ -291,22 +354,40 @@ class TableStore:
         window shuffle is cheap because data is already clustered.
         Equivalent to Delta OPTIMIZE ... ZORDER BY (_iid).
 
+        Erase-at-compaction (reference PolygonCalculator.kt:23-24 +
+        compactor.clj): events superseded by an `erase` — and the
+        erase markers themselves, once applied — are NOT rewritten,
+        so the erased bytes are physically gone from storage after
+        optimize (the GDPR guarantee `erase` exists for). Until
+        optimize runs, `drop_erased` hides them at read time.
+
+        Crash safety: the new files are written to a temp dir, the old
+        dir is renamed aside, the temp dir swapped in, and only then
+        is the old data removed — a crash at any point leaves either
+        the old or the new complete table on disk. Must not run
+        concurrently with writers or readers of the same table
+        (single-writer model, same caveat as submit_tx).
+
         Returns the number of files written."""
         import glob
         import shutil
 
         path = self._path(table)
-        ev = self.events(table)
+        # physical erase: keep only what an erase didn't wipe
+        ev = bitemporal.drop_erased(self.events(table))
         if n_files is None:
             n_bytes = sum(os.path.getsize(f)
                           for f in glob.glob(os.path.join(path, "*.parquet")))
             n_files = max(1, n_bytes // (128 * 1024 * 1024) + 1)
         tmp = path + "__compacting"
+        old = path + "__old"
         (ev.repartitionByRange(int(n_files), "_iid")
          .sortWithinPartitions("_iid", "_system_from")
          .write.mode("overwrite").parquet(tmp))
-        shutil.rmtree(path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
         return len(glob.glob(os.path.join(path, "*.parquet")))
 
     # ---- reads ----
