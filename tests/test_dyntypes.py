@@ -80,3 +80,79 @@ def test_sparse_nested_documents(store):
                .collect())
     assert {r["film_bond"]: r["n"] for r in by_bond} == {
         "sean-connery": 2, "daniel-craig": 1}
+
+
+def test_extension_legs_uuid_uri_keyword(spark):
+    """Extension-tagged values (reference types.clj:284-294 :keyword
+    :uri :uuid): stored as utf8 with the tag preserved in _leg."""
+    import uuid
+
+    u = uuid.UUID("12345678-1234-5678-1234-567812345678")
+    rows = [
+        {"_id": 1, "v": u},
+        {"_id": 2, "v": dt.Uri("https://example.com/x")},
+        {"_id": 3, "v": dt.Keyword("status/active")},
+        {"_id": 4, "v": "plain string"},
+    ]
+    df = dt.encode_rows(spark, rows)
+    got = {r["_id"]: (r["leg"], r["s"]) for r in df.select(
+        "_id", dt.leg(F.col("v")).alias("leg"),
+        dt.as_string(F.col("v")).alias("s")).collect()}
+    assert got[1] == ("uuid", str(u))
+    assert got[2] == ("uri", "https://example.com/x")
+    assert got[3] == ("kw", "status/active")
+    assert got[4] == ("str", "plain string")
+    # typed access: uuid leg only yields on uuid rows
+    typed = {r["_id"]: r["u"] for r in df.select(
+        "_id", dt.get_leg(F.col("v"), "uuid").alias("u")).collect()}
+    assert typed[1] == str(u) and typed[4] is None
+
+
+def test_decimal_date_binary_legs(spark):
+    import datetime
+    from decimal import Decimal
+
+    rows = [
+        {"_id": 1, "v": Decimal("123.450000000000000000")},
+        {"_id": 2, "v": datetime.date(2024, 3, 5)},
+        {"_id": 3, "v": b"\x01\x02"},
+        {"_id": 4, "v": 7},
+    ]
+    df = dt.encode_rows(spark, rows)
+    legs = {r["_id"]: r["leg"] for r in
+            df.select("_id", dt.leg(F.col("v")).alias("leg")).collect()}
+    assert legs == {1: "dec", 2: "date", 3: "bin", 4: "i64"}
+    dec = df.select(dt.get_leg(F.col("v"), "dec").alias("d")) \
+        .filter(F.col("d").isNotNull()).collect()
+    assert dec[0]["d"] == Decimal("123.450000000000000000")
+
+
+def test_nested_list_and_struct_legs(spark):
+    """One-level nested dynamic values: arr = array of scalar
+    legs-structs (heterogeneous elements), obj = map of dynamic
+    fields (reference [:list t] / [:struct ...] legs)."""
+    rows = [
+        {"_id": 1, "v": [1, "two", 3.0]},
+        {"_id": 2, "v": {"a": 1, "b": "x"}},
+        {"_id": 3, "v": 42},
+    ]
+    df = dt.encode_rows(spark, rows)
+    legs = {r["_id"]: r["leg"] for r in
+            df.select("_id", dt.leg(F.col("v")).alias("leg")).collect()}
+    assert legs == {1: "arr", 2: "obj", 3: "i64"}
+    # element access keeps per-element tags
+    el = df.filter(dt.leg(F.col("v")) == "arr") \
+        .select(F.col("v.arr").getItem(1).getField("_leg").alias("t"),
+                F.col("v.arr").getItem(1).getField("str").alias("s")) \
+        .collect()[0]
+    assert (el["t"], el["s"]) == ("str", "two")
+    ob = df.filter(dt.leg(F.col("v")) == "obj") \
+        .select(F.col("v.obj").getItem("b").getField("str").alias("b")) \
+        .collect()[0]
+    assert ob["b"] == "x"
+    # deeper nesting in a dynamic column is refused loudly
+    import pytest
+
+    with pytest.raises(TypeError):
+        dt.encode_rows(spark, [{"_id": 1, "v": [[1]]},
+                               {"_id": 2, "v": "s"}])

@@ -189,3 +189,35 @@ def test_sql_quoted_table_and_alias(spark, tmp_path):
     xt.store.put("qt", [{"_id": 1, "v": 7}], system_from="2024-01-01")
     rows = rewrite_sql(xt, 'SELECT q.v FROM "qt" AS q').collect()
     assert rows[0]["v"] == 7
+
+
+def test_pg_catalog_views(spark, tmp_path):
+    """pg_namespace/pg_class/pg_attribute from the store manifest
+    (reference information_schema.clj:59-146)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("users", [{"_id": 1, "name": "ada", "age": 30}],
+                 system_from="2024-01-01")
+    xt.store.put("hr.emps", [{"_id": 1, "dept": "eng"}],
+                 system_from="2024-01-01")
+    from xtdb_spark.sources.info_schema import register_all
+
+    register_all(spark, xt.store)
+    ns = {r["nspname"] for r in
+          spark.sql("SELECT nspname FROM pg_catalog_pg_namespace").collect()}
+    assert {"public", "pg_catalog", "information_schema", "hr"} <= ns
+    cls = {r["relname"]: r for r in
+           spark.sql("SELECT * FROM pg_catalog_pg_class").collect()}
+    assert "users" in cls and "emps" in cls
+    assert cls["users"]["relkind"] == "r"
+    # attribute rows join back on oid, typed and ordered
+    rows = spark.sql("""
+        SELECT c.relname, a.attname, a.attnum, t.typname
+        FROM pg_catalog_pg_attribute a
+        JOIN pg_catalog_pg_class c ON a.attrelid = c.oid
+        JOIN pg_catalog_pg_type t ON a.atttypid = t.oid
+        WHERE c.relname = 'users' ORDER BY a.attnum
+    """).collect()
+    by_name = {r["attname"]: r for r in rows}
+    assert by_name["name"]["typname"] == "text"
+    assert by_name["age"]["typname"] == "int8"
+    assert [r["attnum"] for r in rows] == list(range(1, len(rows) + 1))

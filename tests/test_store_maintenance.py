@@ -78,3 +78,19 @@ def test_iid_is_type_tagged(store):
     iid_str = ev_str.select("_iid").collect()[0][0]
     assert iid_int != iid_str
     assert len(iid_int) == 16
+
+
+def test_snapshot_isolation_mid_query_put(store):
+    """A scan DataFrame is pinned to the files present when it was
+    built: a put issued between two actions over the same scan does
+    not change its results (reference basis.clj snapshot tokens)."""
+    store.put("si", [{"_id": i, "v": 1} for i in range(5)],
+              system_from="2024-01-01")
+    df = store.scan("si")
+    assert df.count() == 5
+    store.put("si", [{"_id": 99, "v": 2}], system_from="2024-02-01")
+    # same DataFrame, second action: still the old snapshot
+    assert df.count() == 5
+    assert sorted(r["_id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+    # a NEW scan sees the put
+    assert store.scan("si").count() == 6

@@ -5,15 +5,31 @@ rows and utf8 in others, represented as an Arrow dense union of
 typed "legs" (reference core/src/main/clojure/xtdb/types.clj:96-99,
 234-239; merge via LeastUpperBound types.clj:142-146). Spark schemas
 are static, so per SURVEY §1.3 option (b) we encode a mixed-type
-column as a struct of nullable legs:
+column as a struct of nullable legs with exactly one leg non-null per
+row.
 
-    {_leg: 'i64'|'f64'|'str'|'bool'|'ts', i64:…, f64:…, str:…, bool:…, ts:…}
+Leg inventory (reference types.clj:243-294):
 
-with exactly one leg non-null per row. Homogeneous columns stay
-native (no overhead for the 99% case); `encode_rows` only promotes a
-column to a legs-struct when its observed python types actually
-conflict (numeric int/float conflicts resolve by widening to double
-instead — the reference's LUB behavior).
+- scalar legs: ``i64 f64 dec str bool ts date bin`` — the primitive /
+  decimal / date-time / varbinary families
+- extension legs (reference types.clj:284-294 ``:keyword :uri
+  :uuid``): ``uuid uri kw`` — stored as utf8 with the tag preserved
+  in ``_leg`` (exactly the reference's extension-over-utf8 encoding);
+  construct values with :class:`Keyword` / :class:`Uri` /
+  ``uuid.UUID``
+- nested legs (reference ``[:list t]`` / ``[:struct …]``): ``arr``
+  (array of scalar legs-structs — heterogeneous elements allowed) and
+  ``obj`` (map<string, scalar legs-struct> — dynamic keys). One
+  nesting level: Spark types are non-recursive, so list-of-list
+  inside a DYNAMIC column raises (statically-typed nested columns of
+  any depth work natively and don't come through here).
+
+Homogeneous columns stay native (no overhead for the 99% case);
+`encode_rows` only promotes a column to a legs-struct when its
+observed python types actually conflict (numeric int/float conflicts
+resolve by widening to double instead — the reference's LUB
+behavior). Extension-tagged and nested-dynamic columns always encode
+as legs-structs so the tag survives.
 
 Accessors below are plain Column expressions, so filtering/grouping
 on dynamic columns stays in whole-stage codegen.
@@ -22,46 +38,125 @@ on dynamic columns stays in whole-stage codegen.
 from __future__ import annotations
 
 import datetime
+import decimal
+import uuid as _uuid
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LEGS = ("i64", "f64", "str", "bool", "ts")
 
-_LEG_OF_TYPE = {
-    int: "i64", float: "f64", str: "str", bool: "bool",
-    datetime.datetime: "ts",
-}
+class Keyword(str):
+    """A keyword-tagged string (reference extension type :keyword)."""
 
-LEG_SCHEMA = ("struct<_leg:string, i64:bigint, f64:double, str:string, "
-              "bool:boolean, ts:timestamp>")
+
+class Uri(str):
+    """A uri-tagged string (reference extension type :uri)."""
+
+
+SCALAR_LEGS = ("i64", "f64", "dec", "str", "bool", "ts", "date", "bin",
+               "uuid", "uri", "kw")
+LEGS = SCALAR_LEGS + ("arr", "obj")
+
+_SCALAR_FIELDS = ("_leg:string, i64:bigint, f64:double, dec:decimal(38,18), "
+                  "str:string, bool:boolean, ts:timestamp, date:date, "
+                  "bin:binary, uuid:string, uri:string, kw:string")
+SCALAR_LEG_SCHEMA = f"struct<{_SCALAR_FIELDS}>"
+LEG_SCHEMA = (f"struct<{_SCALAR_FIELDS}, arr:array<{SCALAR_LEG_SCHEMA}>, "
+              f"obj:map<string,{SCALAR_LEG_SCHEMA}>>")
+
+_NATIVE = {"i64": "bigint", "f64": "double", "dec": "decimal(38,18)",
+           "str": "string", "bool": "boolean", "ts": "timestamp",
+           "date": "date", "bin": "binary"}
 
 
 def _leg_of(v: Any) -> str | None:
     if v is None:
         return None
-    # bool before int (bool is an int subclass)
+    # bool before int (bool is an int subclass); Keyword/Uri before str
     if isinstance(v, bool):
         return "bool"
-    for t, leg in _LEG_OF_TYPE.items():
-        if isinstance(v, t):
-            return leg
+    if isinstance(v, Keyword):
+        return "kw"
+    if isinstance(v, Uri):
+        return "uri"
+    if isinstance(v, _uuid.UUID):
+        return "uuid"
+    if isinstance(v, int):
+        return "i64"
+    if isinstance(v, float):
+        return "f64"
+    if isinstance(v, decimal.Decimal):
+        return "dec"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bin"
+    if isinstance(v, (list, tuple)):
+        return "arr"
+    if isinstance(v, dict):
+        return "obj"
     raise TypeError(f"unsupported dynamic value type: {type(v)}")
+
+
+def _canon(leg: str, v: Any):
+    """Storable representation per leg (uuid/uri/kw → utf8)."""
+    if leg in ("uuid", "uri", "kw"):
+        return str(v)
+    if leg == "bin":
+        return bytes(v)
+    return v
+
+
+def _scalar_record(v: Any) -> dict | None:
+    if v is None:
+        return None
+    leg = _leg_of(v)
+    if leg in ("arr", "obj"):
+        raise TypeError(
+            "dynamic columns support one nesting level: a list/struct "
+            "leg's elements must be scalars (reference nested types of "
+            "any depth need a static column type)")
+    return {"_leg": leg,
+            **{lg: (_canon(leg, v) if lg == leg else None)
+               for lg in SCALAR_LEGS}}
+
+
+def _union_record(v: Any) -> dict | None:
+    if v is None:
+        return None
+    leg = _leg_of(v)
+    rec = {"_leg": leg, **{lg: None for lg in SCALAR_LEGS},
+           "arr": None, "obj": None}
+    if leg == "arr":
+        rec["arr"] = [_scalar_record(e) for e in v]
+    elif leg == "obj":
+        rec["obj"] = {str(k): _scalar_record(val) for k, val in v.items()}
+    else:
+        rec[leg] = _canon(leg, v)
+    return rec
 
 
 def encode_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Build a DataFrame from dicts with possibly mixed-type columns.
-    Homogeneous columns stay native; int/float mixes widen to double
-    (LUB); genuinely mixed columns become legs-structs."""
+    Homogeneous primitive columns stay native; int/float mixes widen
+    to double (LUB); genuinely mixed, extension-tagged, or
+    nested-dynamic columns become legs-structs."""
     cols: dict[str, set[str]] = {}
     for r in rows:
         for k, v in r.items():
             leg = _leg_of(v)
+            cols.setdefault(k, set())
             if leg:
-                cols.setdefault(k, set()).add(leg)
+                cols[k].add(leg)
 
     def col_kind(legs: set[str]) -> str:
+        if legs & {"uuid", "uri", "kw", "arr", "obj"}:
+            return "union"  # keep the tag / dynamic nesting
         if len(legs) <= 1:
             return next(iter(legs)) if legs else "str"
         if legs <= {"i64", "f64"}:
@@ -76,19 +171,15 @@ def encode_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
             v = r.get(k)
             kind = kinds[k]
             if kind == "union":
-                leg = _leg_of(v)
-                nr[k] = {"_leg": leg,
-                         **{lg: (v if lg == leg else None) for lg in LEGS}}
+                nr[k] = _union_record(v)
             elif kind == "f64":
                 nr[k] = float(v) if v is not None else None
             else:
                 nr[k] = v
         out_rows.append(nr)
 
-    native = {"i64": "bigint", "f64": "double", "str": "string",
-              "bool": "boolean", "ts": "timestamp"}
     fields = ", ".join(
-        f"`{k}` {LEG_SCHEMA if kinds[k] == 'union' else native[kinds[k]]}"
+        f"`{k}` {LEG_SCHEMA if kinds[k] == 'union' else _NATIVE[kinds[k]]}"
         for k in cols)
     return spark.createDataFrame(out_rows, schema=fields)
 
@@ -106,20 +197,28 @@ def get_leg(col: Column, leg_name: str) -> Column:
     return F.when(col["_leg"] == leg_name, col[leg_name])
 
 
-def as_string(col: Column) -> Column:
-    """Display/LUB-to-string coercion across all legs."""
-    return F.coalesce(*[col[lg].cast("string") for lg in LEGS])
+def as_string(col: Column, legs: tuple = SCALAR_LEGS,
+              nested: bool = False) -> Column:
+    """Display/LUB-to-string coercion across legs. Pass nested=True
+    when the column carries the full (arr/obj-bearing) LEG_SCHEMA."""
+    parts = [col[lg].cast("string") for lg in legs]
+    if nested:
+        parts += [F.when(col["arr"].isNotNull(), F.to_json(col["arr"])),
+                  F.when(col["obj"].isNotNull(), F.to_json(col["obj"]))]
+    return F.coalesce(*parts)
 
 
 def dyn_equals(col: Column, value) -> Column:
     """Equality against a literal: matches only rows whose leg matches
     the literal's type AND value (3VL on absent)."""
     lg = _leg_of(value)
-    return (col["_leg"] == lg) & (col[lg] == F.lit(value))
+    return (col["_leg"] == lg) & (col[lg] == F.lit(_canon(lg, value)))
 
 
-def dyn_compare_key(col: Column) -> Column:
+def dyn_compare_key(col: Column, legs: tuple = SCALAR_LEGS,
+                    nested: bool = False) -> Column:
     """Total-order sort key across mixed types: order by leg name
     first (deterministic cross-type order), then value within leg —
     analogous to the reference's cross-type comparators."""
-    return F.struct(col["_leg"].alias("t"), as_string(col).alias("v"))
+    return F.struct(col["_leg"].alias("t"),
+                    as_string(col, legs, nested).alias("v"))

@@ -76,3 +76,36 @@ def media_features(spark, sf_dir):
     # batch_size=None: don't shrink the session-wide arrow batch conf
     # inside a shared catalog run
     return extract_features(media, batch_size=None, fake_decode=True)
+
+
+@register(
+    "src_pg_catalog_attrs",
+    f"""
+    SELECT c.relname, a.attname, CAST(a.attnum AS INTEGER) AS attnum
+    FROM pg_catalog.pg_attribute a
+    JOIN pg_catalog.pg_class c ON a.attrelid = c.oid
+    WHERE c.relname IN ({', '.join(repr(t) for t in _TABLES)})
+      AND a.attnum > 0
+    ORDER BY c.relname, attnum
+    """,
+)
+def pg_catalog_attrs(spark, sf_dir):
+    """pg_catalog.pg_class ⋈ pg_attribute (reference
+    information_schema.clj:59-146 — the views `\\d` and ORM
+    introspection read): per-table attribute rows keyed by a
+    deterministic relation oid, cross-checked against DuckDB's own
+    pg_catalog over the same tables. The store-backed implementation
+    (sources/info_schema.py pg_class/pg_attribute/pg_namespace) is
+    covered by tests/test_sql_rewriter.py."""
+    rows = []
+    for i, t in enumerate(_TABLES):
+        oid = 16384 + i
+        for j, name in enumerate(ld(spark, sf_dir, t).columns):
+            rows.append((oid, t, name, j + 1))
+    df = spark.createDataFrame(
+        rows, "oid int, relname string, attname string, attnum int")
+    cls = df.select("oid", "relname").distinct()
+    att = df.select(F.col("oid").alias("attrelid"), "attname", "attnum")
+    return (att.join(cls, att.attrelid == cls.oid)
+            .select("relname", "attname", "attnum")
+            .orderBy("relname", "attnum"))

@@ -130,11 +130,15 @@ def join_mark(spark, sf_dir):
     o = ld(spark, sf_dir, "orders")
     sub = (ld(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
            .select(F.expr("NULLIF(c_custkey, 7)").alias("k")))
-    has_null = sub.filter(F.col("k").isNull()).limit(1).count() > 0
+    # subquery-has-null stays IN-PLAN as a broadcast 1-row aggregate
+    # (no extra driver-side job at plan-build time)
+    has_null = sub.agg(F.coalesce(F.bool_or(F.col("k").isNull()),
+                                  F.lit(False)).alias("__has_null"))
     matches = sub.filter(F.col("k").isNotNull()).distinct()
-    j = o.join(F.broadcast(matches), o.o_custkey == matches.k, "left")
+    j = (o.crossJoin(F.broadcast(has_null))
+         .join(F.broadcast(matches), o.o_custkey == matches.k, "left"))
     mark = (F.when(F.col("k").isNotNull(), F.lit(True))
-            .when(F.lit(has_null) | F.col("o_custkey").isNull(),
+            .when(F.col("__has_null") | F.col("o_custkey").isNull(),
                   F.lit(None).cast("boolean"))
             .otherwise(F.lit(False)))
     return j.select(mark.alias("mark")).groupBy("mark").agg(F.count("*").alias("n"))

@@ -162,3 +162,46 @@ def dyn_union_column(spark, sf_dir):
                  .cast("double").alias("sum_f64"),
                  F.min(D.get_leg(F.col("v"), "str")).alias("min_str"))
             .orderBy("leg"))
+
+
+@register(
+    "dyn_nested_legs",
+    """
+    SELECT leg, COUNT(*) AS n,
+           CAST(SUM(n_elems) AS BIGINT) AS total_elems,
+           MIN(str_val) AS min_str
+    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'arr' ELSE 'str' END AS leg,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN len(string_split(trim(text), ' ')) END AS n_elems,
+                 CASE WHEN doc_id % 2 = 1 THEN lang END AS str_val
+          FROM documents)
+    GROUP BY leg ORDER BY leg
+    """,
+)
+def dyn_nested_legs(spark, sf_dir):
+    """Nested dynamic legs (reference types.clj [:list t]/[:struct …]
+    union legs; xtdb_spark/dyntypes.py arr/obj encoding): a column
+    holding an ARRAY of per-element-tagged scalars for even docs and a
+    plain string for odd docs. Observable semantics checked: the leg
+    tag, per-leg cardinality, element count inside the arr leg, and
+    typed access on the str leg."""
+    from xtdb_spark import dyntypes as D
+
+    d = ld(spark, sf_dir, "documents")
+    is_arr = F.col("doc_id") % 2 == 0
+    toks = F.split(F.trim(F.col("text")), " ")
+    elem = lambda c: F.struct(  # noqa: E731 — scalar legs-struct per element
+        F.lit("str").alias("_leg"), F.lit(None).cast("bigint").alias("i64"),
+        c.alias("str"))
+    dyn = F.struct(
+        F.when(is_arr, "arr").otherwise("str").alias("_leg"),
+        F.when(~is_arr, F.col("lang")).alias("str"),
+        F.when(is_arr, F.transform(toks, elem)).alias("arr"),
+    )
+    v = d.select(dyn.alias("v"))
+    return (v.groupBy(D.leg(F.col("v")).alias("leg"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.size(F.col("v.arr"))).cast("bigint")
+                 .alias("total_elems"),
+                 F.min(D.get_leg(F.col("v"), "str")).alias("min_str"))
+            .orderBy("leg"))

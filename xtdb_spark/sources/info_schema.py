@@ -88,8 +88,11 @@ def pg_type(spark: SparkSession, store=None) -> DataFrame:
 def xt_table_stats(spark: SparkSession, store) -> DataFrame:
     """Storage introspection: per-table file/byte/event counts — the
     analogue of the reference's `xt.trie_stats` / `xt.live_tables`
-    views (information_schema.clj:231-508). Counts come from the
-    filesystem manifest, not a scan."""
+    views (information_schema.clj:231-508). Event counts come from the
+    parquet FOOTERS (row-group metadata), never a data scan —
+    registering introspection views must stay O(files), not O(rows)."""
+    import pyarrow.parquet as pq
+
     rows = []
     for s, t in _tables(store):
         full = f"{s}.{t}" if s != "public" else t
@@ -97,12 +100,79 @@ def xt_table_stats(spark: SparkSession, store) -> DataFrame:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")] \
             if os.path.isdir(d) else []
         n_bytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
-        n_events = store.events(full).count()
+        n_events = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                       for f in files)
         rows.append((s, t, len(files), n_bytes, n_events))
     return spark.createDataFrame(
         rows or [("", "", 0, 0, 0)],
         "schema string, table_name string, n_files int, n_bytes long, "
         "n_events long").filter("table_name != ''")
+
+
+# ---- pg_catalog depth (reference information_schema.clj:59-146):
+# pg_namespace/pg_class/pg_attribute are what makes `\d` and ORM
+# introspection work over the wire. OIDs are deterministic: schemas
+# get 2200 (public, the postgres convention) or 16000+i; tables get
+# 16384+i in sorted manifest order.
+
+
+def _schema_oids(store) -> dict[str, int]:
+    schemas = sorted({s for s, _ in _tables(store)}
+                     | {"public", "information_schema", "pg_catalog"})
+    oids = {}
+    nxt = 16000
+    for s in schemas:
+        if s == "public":
+            oids[s] = 2200
+        elif s == "pg_catalog":
+            oids[s] = 11
+        elif s == "information_schema":
+            oids[s] = 13000
+        else:
+            oids[s] = nxt
+            nxt += 1
+    return oids
+
+
+def _table_oids(store) -> dict[tuple[str, str], int]:
+    return {(s, t): 16384 + i for i, (s, t) in enumerate(_tables(store))}
+
+
+def pg_namespace(spark: SparkSession, store) -> DataFrame:
+    rows = [(oid, s, 10) for s, oid in sorted(_schema_oids(store).items())]
+    return spark.createDataFrame(
+        rows, "oid int, nspname string, nspowner int")
+
+
+def pg_class(spark: SparkSession, store) -> DataFrame:
+    soids = _schema_oids(store)
+    rows = [(oid, t, soids[s], "r", 0)
+            for (s, t), oid in sorted(_table_oids(store).items(),
+                                      key=lambda kv: kv[1])]
+    return spark.createDataFrame(
+        rows or [(0, "", 0, "", 0)],
+        "oid int, relname string, relnamespace int, relkind string, "
+        "relam int").filter("relname != ''")
+
+
+def pg_attribute(spark: SparkSession, store) -> DataFrame:
+    toids = _table_oids(store)
+    rows = []
+    for (s, t), oid in sorted(toids.items(), key=lambda kv: kv[1]):
+        full = f"{s}.{t}" if s != "public" else t
+        df = store.events(full)
+        attnum = 0
+        for f in df.schema.fields:
+            if f.name in META_COLS and f.name != "_iid":
+                continue
+            attnum += 1
+            simple = f.dataType.simpleString()
+            typoid = _PG_TYPE_MAP.get(simple, ("text", 25))[1]
+            rows.append((oid, f.name, typoid, attnum, not f.nullable, False))
+    return spark.createDataFrame(
+        rows or [(0, "", 0, 0, False, False)],
+        "attrelid int, attname string, atttypid int, attnum int, "
+        "attnotnull boolean, attisdropped boolean").filter("attname != ''")
 
 
 def register_all(spark: SparkSession, store) -> None:
@@ -115,4 +185,7 @@ def register_all(spark: SparkSession, store) -> None:
         .createOrReplaceTempView("information_schema_schemata")
     pg_tables(spark, store).createOrReplaceTempView("pg_catalog_pg_tables")
     pg_type(spark).createOrReplaceTempView("pg_catalog_pg_type")
+    pg_namespace(spark, store).createOrReplaceTempView("pg_catalog_pg_namespace")
+    pg_class(spark, store).createOrReplaceTempView("pg_catalog_pg_class")
+    pg_attribute(spark, store).createOrReplaceTempView("pg_catalog_pg_attribute")
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")

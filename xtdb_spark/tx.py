@@ -392,8 +392,31 @@ class TableStore:
 
     # ---- reads ----
 
-    def events(self, table: str) -> DataFrame:
-        return self.spark.read.option("mergeSchema", "true").parquet(self._path(table))
+    def table_files(self, table: str) -> list[str]:
+        """The table's manifest: its parquet files, listed NOW. The
+        basis-token analogue (reference api basis.clj; scan.clj:108-113
+        clamps every scan to the snapshot) — passing this list to
+        `events()` pins a whole multi-statement query to one state."""
+        import glob
+
+        return sorted(glob.glob(os.path.join(self._path(table), "*.parquet")))
+
+    def events(self, table: str, files: list[str] | None = None) -> DataFrame:
+        """Event scan pinned to a manifest SNAPSHOT: the file list is
+        resolved once, when the DataFrame is built, and baked into the
+        plan — a concurrent `put` mid-query cannot leak new files into
+        later stages of the same query (reference basis/snapshot
+        isolation, api basis.clj + Snapshot.kt). At 100 TB the listing
+        comes from a transactional manifest (Delta/Iceberg) instead of
+        a directory glob; `optimize()` must not run concurrently with
+        pinned readers (documented there)."""
+        if files is None:
+            files = self.table_files(table)
+        if not files:
+            # empty/missing table: keep the directory-read error shape
+            return self.spark.read.option("mergeSchema", "true") \
+                .parquet(self._path(table))
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def scan(self, table: str, valid_time=None, system_time=None,
              all_valid_time=False, all_system_time=False) -> DataFrame:
