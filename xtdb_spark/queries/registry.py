@@ -63,6 +63,28 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     import os
 
     cpus = int(spark.sparkContext.defaultParallelism)
+    # Size the shuffle to the DATA, not the machine: at bench scale
+    # (tens of MB) 32 reducers means 32 task launches per stage doing
+    # ~1 ms of work each — scheduling dominates. ~2 MB of compressed
+    # parquet per reducer keeps partitions in the healthy range
+    # locally (measured: sp=8 cuts the 9 most expensive sf0.1 heads
+    # ~40% vs sp=32); on a real cluster build_spark's AQE coalescing
+    # does this same sizing at runtime from a high initial count.
+    total = sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+                for t in tables)
+    sp = max(2, min(cpus * 2, int(total // (2 << 20)) or 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    # AQE's runtime re-planning adds a stage-submission round per
+    # query stage — pure overhead when stages move MBs. Keep it for
+    # GB+ working sets (where its coalescing/skew handling pays).
+    # Same logic for constraint propagation: it burns optimizer time
+    # quadratic in plan width to infer filters that save data-volume —
+    # worth it at TB scale, measurable pure overhead at MB scale
+    # (~40 ms/query on the sf0.1 heads).
+    big = total >= (1 << 30)
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if big else "false")
+    spark.conf.set("spark.sql.constraintPropagation.enabled",
+                   "true" if big else "false")
     for t in tables:
         _CACHED_VIEWS.add(_cache_view_name(sf_dir, t))
     for t in tables:
