@@ -1,0 +1,235 @@
+"""Postgres wire protocol tests — a raw-socket v3 client driving the
+server exactly the way psql/psycopg do (reference pgwire_test.clj
+analogue; no postgres client lib in the container, so the client side
+is implemented here from the published protocol)."""
+
+import socket
+import struct
+
+import pytest
+
+from xtdb_spark.pgwire import PgWireServer
+from xtdb_spark.session import XtdbSession
+from xtdb_spark.tx import TableStore
+
+
+@pytest.fixture()
+def xt(spark, tmp_path):
+    s = XtdbSession.__new__(XtdbSession)
+    s.spark = spark
+    s.store = TableStore(spark, str(tmp_path / "wh"))
+    s.sql = XtdbSession.sql.__get__(s)
+    s.scan = XtdbSession.scan.__get__(s)
+    return s
+
+
+@pytest.fixture()
+def server(xt):
+    srv = PgWireServer(xt, port=0).start()
+    yield srv
+    srv.stop()
+
+
+class PgClient:
+    """Minimal protocol-v3 frontend."""
+
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.buf = b""
+
+    def close(self):
+        self.send(b"X", b"")
+        self.sock.close()
+
+    # -- framing
+    def _recv(self, n):
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionResetError
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def read_msg(self):
+        t = self._recv(1)
+        (ln,) = struct.unpack(">i", self._recv(4))
+        return t, self._recv(ln - 4)
+
+    def send(self, t, payload):
+        self.sock.sendall(t + struct.pack(">i", len(payload) + 4) + payload)
+
+    @staticmethod
+    def cstr(s):
+        return s.encode() + b"\x00"
+
+    # -- protocol steps
+    def startup(self):
+        body = struct.pack(">i", 196608) + self.cstr("user") + \
+            self.cstr("test") + self.cstr("database") + self.cstr("xtdb") + b"\x00"
+        self.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        params = {}
+        while True:
+            t, b = self.read_msg()
+            if t == b"R":
+                assert struct.unpack(">i", b[:4])[0] == 0  # AuthenticationOk
+            elif t == b"S":
+                k, v = b.rstrip(b"\x00").split(b"\x00")
+                params[k.decode()] = v.decode()
+            elif t == b"Z":
+                return params
+            elif t == b"E":
+                raise AssertionError(b)
+
+    def collect_results(self):
+        """Read until ReadyForQuery; return per-statement results.
+        On ErrorResponse, drain to ReadyForQuery first (like real
+        clients), then raise."""
+        results, cols, rows, tags = [], None, [], []
+        error = None
+        while True:
+            t, b = self.read_msg()
+            if t == b"Z":
+                if error is not None:
+                    raise RuntimeError(error)
+                return results, tags
+            if error is not None:
+                continue
+            if t == b"E":
+                error = b.decode(errors="replace")
+            elif t == b"T":
+                (n,) = struct.unpack(">h", b[:2])
+                cols, off = [], 2
+                for _ in range(n):
+                    end = b.index(b"\x00", off)
+                    name = b[off:end].decode()
+                    oid = struct.unpack(">i", b[end + 7:end + 11])[0]
+                    cols.append((name, oid))
+                    off = end + 19
+                rows = []
+            elif t == b"D":
+                (n,) = struct.unpack(">h", b[:2])
+                vals, off = [], 2
+                for _ in range(n):
+                    (ln,) = struct.unpack(">i", b[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(b[off:off + ln].decode())
+                        off += ln
+                rows.append(vals)
+            elif t == b"C":
+                tags.append(b.rstrip(b"\x00").decode())
+                results.append((cols, rows))
+                cols, rows = None, []
+            elif t in (b"I", b"n", b"1", b"2", b"3", b"t"):
+                continue
+
+    def query(self, sql):
+        self.send(b"Q", self.cstr(sql))
+        return self.collect_results()
+
+    def prepared(self, sql, params, oids=None):
+        oids = oids or [0] * len(params)
+        self.send(b"P", self.cstr("") + self.cstr(sql)
+                  + struct.pack(">h", len(oids))
+                  + b"".join(struct.pack(">i", o) for o in oids))
+        bind = self.cstr("") + self.cstr("") + struct.pack(">h", 0) \
+            + struct.pack(">h", len(params))
+        for p in params:
+            if p is None:
+                bind += struct.pack(">i", -1)
+            else:
+                e = str(p).encode()
+                bind += struct.pack(">i", len(e)) + e
+        bind += struct.pack(">h", 0)
+        self.send(b"B", bind)
+        self.send(b"D", b"P" + self.cstr(""))
+        self.send(b"E", self.cstr("") + struct.pack(">i", 0))
+        self.send(b"S", b"")
+        return self.collect_results()
+
+
+@pytest.fixture()
+def client(server):
+    c = PgClient(server.port)
+    c.startup()
+    yield c
+    c.close()
+
+
+def test_startup_handshake(client):
+    pass  # startup() asserts AuthenticationOk + ReadyForQuery
+
+
+def test_simple_query_roundtrip(xt, client):
+    xt.store.put("users", [{"_id": 1, "name": "ada", "age": 30},
+                           {"_id": 2, "name": "bob", "age": 40}],
+                 system_from="2024-01-01")
+    results, tags = client.query(
+        "SELECT name, age FROM users ORDER BY age")
+    (cols, rows), = results
+    assert [c[0] for c in cols] == ["name", "age"]
+    assert cols[1][1] == 20  # bigint → oid 20
+    assert rows == [["ada", "30"], ["bob", "40"]]
+    assert tags == ["SELECT 2"]
+
+
+def test_simple_query_multi_statement_and_dml(xt, client):
+    results, tags = client.query(
+        "INSERT INTO t (_id, v) VALUES (1, 'x'); SELECT v FROM t")
+    assert tags[0].startswith("INSERT")
+    assert results[1][1] == [["x"]]
+
+
+def test_temporal_query_over_wire(xt, client):
+    xt.store.put("acct", [{"_id": 1, "bal": 10}], system_from="2024-01-01")
+    xt.store.put("acct", [{"_id": 1, "bal": 20}], system_from="2024-02-01")
+    results, _ = client.query(
+        "SELECT bal FROM acct FOR SYSTEM_TIME AS OF '2024-01-15'")
+    assert results[0][1] == [["10"]]
+
+
+def test_extended_protocol_params(xt, client):
+    xt.store.put("p", [{"_id": i, "v": i * 10} for i in range(5)],
+                 system_from="2024-01-01")
+    results, tags = client.prepared(
+        "SELECT _id, v FROM p WHERE v > $1 ORDER BY _id", ["25"], oids=[20])
+    (cols, rows), = results
+    assert rows == [["3", "30"], ["4", "40"]]
+    assert tags == ["SELECT 2"]
+
+
+def test_extended_protocol_temporal_param(xt, client):
+    xt.store.put("a2", [{"_id": 1, "v": 1}], system_from="2024-01-01")
+    xt.store.put("a2", [{"_id": 1, "v": 2}], system_from="2024-02-01")
+    results, _ = client.prepared(
+        "SELECT v FROM a2 FOR SYSTEM_TIME AS OF $1", ["2024-01-15"])
+    assert results[0][1] == [["1"]]
+
+
+def test_error_then_recovery(xt, client):
+    with pytest.raises(RuntimeError):
+        client.query("SELECT * FROM this_table_does_not_exist_anywhere")
+    # connection still usable after the error
+    results, _ = client.query("SELECT 1 AS one")
+    assert results[0][1] == [["1"]]
+
+
+def test_noop_statements(client):
+    _, tags = client.query("BEGIN")
+    assert tags == ["BEGIN"]
+    _, tags = client.query("SET search_path TO public")
+    assert tags == ["SET"]
+
+
+def test_null_and_types_encoding(xt, client):
+    xt.store.put("ty", [{"_id": 1, "d": 1.5, "b": True, "s": None},
+                        {"_id": 2, "d": 2.0, "b": False, "s": "x"}],
+                 system_from="2024-01-01")
+    results, _ = client.query("SELECT d, b, s FROM ty WHERE _id = 1")
+    (cols, rows), = results
+    oids = {c[0]: c[1] for c in cols}
+    assert oids["d"] == 701 and oids["b"] == 16
+    assert rows == [["1.5", "t", None]]

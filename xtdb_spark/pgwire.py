@@ -1,0 +1,390 @@
+"""Postgres wire protocol (v3) server over the SQL dialect layer.
+
+Reference: the reference node's primary client surface is pgwire
+(reference core/src/main/clojure/xtdb/pgwire.clj — startup/auth,
+simple + extended query protocols, ParameterStatus handshake,
+text-format encoding; every `lang/*` client test connects over it).
+This module re-implements that surface in pure Python on top of
+`XtdbSession.sql` — `psql`, psycopg, JDBC and BI tools can point at
+an xtdb_spark engine.
+
+Protocol subset (what real clients actually use):
+
+- StartupMessage / SSLRequest (refused with 'N') / CancelRequest
+- AuthenticationOk (trust), ParameterStatus handshake, BackendKeyData,
+  ReadyForQuery
+- Simple query `Q`: multi-statement (tokenizer split on top-level
+  `;`), RowDescription + DataRow* + CommandComplete per statement
+- Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync —
+  enough for psycopg's default flow and prepared statements; `$n`
+  parameters are bound at Bind time (text format) and substituted as
+  typed SQL literals, so temporal clauses (`FOR SYSTEM_TIME AS OF
+  $1`) work through the same rewriter path
+- ErrorResponse with SQLSTATE, EmptyQueryResponse, Terminate
+
+All values are sent in text format (format code 0), the default for
+every driver. Result columns map Spark types → pg OIDs.
+
+Scale note: the wire server is a DRIVER-side surface — results stream
+to the client from `toLocalIterator()` batch by batch, so a big
+result set never materializes on the driver heap at once; the query
+itself runs distributed as usual.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import socket
+import socketserver
+import struct
+import threading
+from typing import Any
+
+# Spark simpleString (prefix) → postgres type oid
+_OID = {
+    "bigint": 20, "int": 23, "smallint": 21, "tinyint": 21,
+    "double": 701, "float": 700, "decimal": 1700,
+    "string": 25, "boolean": 16,
+    "timestamp_ntz": 1114, "timestamp": 1114, "date": 1082,
+    "binary": 17,
+}
+_JSON_OID = 114
+
+_NUMERIC_OIDS = {20, 21, 23, 26, 700, 701, 1700}
+
+
+def _oid_of(dtype: str) -> int:
+    for prefix, oid in _OID.items():
+        if dtype == prefix or dtype.startswith(prefix + "("):
+            return oid
+    return _JSON_OID
+
+
+def _text(v: Any) -> str | None:
+    """Postgres text-format encoding of one value."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    if isinstance(v, (list, tuple, dict)):
+        return json.dumps(v, default=str)
+    return str(v)
+
+
+_NUM_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _literal(value: str | None, oid: int) -> str:
+    """Render a text-format parameter as a SQL literal (the engine has
+    no plan cache, so literal substitution == binding; quoting is
+    strict — '' doubling, typed by the Parse-declared oid)."""
+    if value is None:
+        return "NULL"
+    if oid in _NUMERIC_OIDS or (oid == 0 and _NUM_RE.match(value)):
+        if _NUM_RE.match(value):
+            return value
+    if oid == 16:
+        return "TRUE" if value in ("t", "true", "1") else "FALSE"
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split a simple-query payload on top-level semicolons using the
+    dialect tokenizer (semicolons inside strings/comments survive)."""
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    parts, cur = [], []
+    for kind, text in _tokenize(sql):
+        if kind == "punct" and text == ";":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(text)
+    parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+_TAG_RE = re.compile(
+    r"^\s*(INSERT|UPDATE|DELETE|ERASE|PATCH|ASSERT|COPY|BEGIN|COMMIT|"
+    r"ROLLBACK|SET|RESET|DISCARD)\b",
+    re.IGNORECASE)
+
+# statements accepted as connection-level no-ops (autocommit engine;
+# reference pgwire tags these for driver compatibility)
+_NOOP = {"BEGIN", "COMMIT", "ROLLBACK", "SET", "RESET", "DISCARD"}
+
+
+class _Conn:
+    """One client connection (runs on its own thread)."""
+
+    BATCH = 1024  # DataRows per socket write
+
+    def __init__(self, sock: socket.socket, xt):
+        self.sock = sock
+        self.xt = xt
+        self.buf = b""
+        self.statements: dict[str, tuple[str, list[int]]] = {}
+        self.portals: dict[str, str] = {}
+
+    # ---- low-level frames
+
+    def _recv(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionResetError
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def _send(self, type_: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(type_ + struct.pack(">i", len(payload) + 4) + payload)
+
+    @staticmethod
+    def _cstr(s: str) -> bytes:
+        return s.encode() + b"\x00"
+
+    # ---- handshake
+
+    def startup(self) -> bool:
+        while True:
+            (ln,) = struct.unpack(">i", self._recv(4))
+            body = self._recv(ln - 4)
+            (code,) = struct.unpack(">i", body[:4])
+            if code == 80877103:        # SSLRequest → not supported
+                self.sock.sendall(b"N")
+                continue
+            if code == 80877102:        # CancelRequest → best-effort no-op
+                return False
+            if code == 196608:          # protocol 3.0
+                break
+            self._error("08P01", f"unsupported protocol code {code}")
+            return False
+        self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk (trust)
+        for k, v in (("server_version", "16.0 (xtdb_spark)"),
+                     ("server_encoding", "UTF8"),
+                     ("client_encoding", "UTF8"),
+                     ("DateStyle", "ISO"),
+                     ("TimeZone", "UTC"),
+                     ("integer_datetimes", "on"),
+                     ("standard_conforming_strings", "on")):
+            self._send(b"S", self._cstr(k) + self._cstr(v))
+        self._send(b"K", struct.pack(">ii", threading.get_ident() & 0x7FFFFFFF, 0))
+        self._ready()
+        return True
+
+    def _ready(self) -> None:
+        self._send(b"Z", b"I")
+
+    def _error(self, sqlstate: str, message: str) -> None:
+        self._send(b"E", b"S" + self._cstr("ERROR")
+                   + b"C" + self._cstr(sqlstate)
+                   + b"M" + self._cstr(message) + b"\x00")
+
+    # ---- result encoding
+
+    def _row_description(self, df) -> None:
+        fields = df.schema.fields
+        payload = struct.pack(">h", len(fields))
+        for f in fields:
+            oid = _oid_of(f.dataType.simpleString())
+            payload += (self._cstr(f.name)
+                        + struct.pack(">ihihih", 0, 0, oid, -1, -1, 0))
+        self._send(b"T", payload)
+
+    def _send_rows(self, df) -> int:
+        n = 0
+        batch = []
+        for row in df.toLocalIterator():
+            vals = [_text(v) for v in row]
+            payload = struct.pack(">h", len(vals))
+            for v in vals:
+                if v is None:
+                    payload += struct.pack(">i", -1)
+                else:
+                    b = v.encode()
+                    payload += struct.pack(">i", len(b)) + b
+            batch.append(b"D" + struct.pack(">i", len(payload) + 4) + payload)
+            n += 1
+            if len(batch) >= self.BATCH:
+                self.sock.sendall(b"".join(batch))
+                batch = []
+        if batch:
+            self.sock.sendall(b"".join(batch))
+        return n
+
+    def _run(self, sql: str, describe_only: bool = False):
+        """Execute one statement; emit T/D*/C (or just T)."""
+        if not sql.strip():
+            self._send(b"I")  # EmptyQueryResponse
+            return
+        m = _TAG_RE.match(sql)
+        if m and m.group(1).upper() in _NOOP:
+            self._send(b"C", self._cstr(m.group(1).upper()))
+            return
+        df = self.xt.sql(sql)
+        if df is None or m:          # DML path: no result relation
+            tag = (m.group(1).upper() if m else "OK")
+            tag = {"INSERT": "INSERT 0 0"}.get(tag, tag + " 0")
+            if not describe_only:
+                self._send(b"C", self._cstr(tag))
+            else:
+                self._send(b"n")     # NoData
+            return
+        self._row_description(df)
+        if describe_only:
+            return
+        n = self._send_rows(df)
+        self._send(b"C", self._cstr(f"SELECT {n}"))
+
+    # ---- message loop
+
+    def handle(self) -> None:
+        if not self.startup():
+            return
+        while True:
+            t = self._recv(1)
+            (ln,) = struct.unpack(">i", self._recv(4))
+            body = self._recv(ln - 4)
+            if t == b"X":
+                return
+            try:
+                self._dispatch(t, body)
+            except (ConnectionResetError, BrokenPipeError):
+                raise
+            except Exception as e:  # noqa: BLE001 — every engine error → wire error
+                self._error("XX000", f"{type(e).__name__}: {e}")
+                if t == b"Q":
+                    self._ready()
+                else:
+                    self._sync_after_error()
+
+    def _sync_after_error(self) -> None:
+        """Extended protocol: skip messages until Sync, then ReadyForQuery."""
+        while True:
+            t = self._recv(1)
+            (ln,) = struct.unpack(">i", self._recv(4))
+            self._recv(ln - 4)
+            if t == b"S":
+                self._ready()
+                return
+            if t == b"X":
+                raise ConnectionResetError
+
+    def _dispatch(self, t: bytes, body: bytes) -> None:
+        if t == b"Q":
+            stmts = _split_statements(body.rstrip(b"\x00").decode())
+            if not stmts:
+                self._send(b"I")
+            for s in stmts:
+                self._run(s)
+            self._ready()
+        elif t == b"P":                      # Parse
+            name, rest = body.split(b"\x00", 1)
+            sql, rest = rest.split(b"\x00", 1)
+            (nparams,) = struct.unpack(">h", rest[:2])
+            oids = list(struct.unpack(f">{nparams}i", rest[2:2 + 4 * nparams]))
+            self.statements[name.decode()] = (sql.decode(), oids)
+            self._send(b"1")                 # ParseComplete
+        elif t == b"B":                      # Bind
+            portal, rest = body.split(b"\x00", 1)
+            stmt, rest = rest.split(b"\x00", 1)
+            (nfmt,) = struct.unpack(">h", rest[:2])
+            rest = rest[2 + 2 * nfmt:]
+            (nvals,) = struct.unpack(">h", rest[:2])
+            rest = rest[2:]
+            params: list[str | None] = []
+            for _ in range(nvals):
+                (vlen,) = struct.unpack(">i", rest[:4])
+                rest = rest[4:]
+                if vlen == -1:
+                    params.append(None)
+                else:
+                    params.append(rest[:vlen].decode())
+                    rest = rest[vlen:]
+            sql, oids = self.statements[stmt.decode()]
+            self.portals[portal.decode()] = self._bind(sql, params, oids)
+            self._send(b"2")                 # BindComplete
+        elif t == b"D":                      # Describe
+            kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
+            if kind == b"S":
+                sql, oids = self.statements[name]
+                self._send(b"t", struct.pack(">h", len(oids))
+                           + b"".join(struct.pack(">i", o or 25) for o in oids))
+                self._describe_sql(sql)
+            else:
+                self._describe_sql(self.portals[name])
+        elif t == b"E":                      # Execute
+            name = body.split(b"\x00", 1)[0].decode()
+            self._run(self.portals[name])
+        elif t == b"C":                      # Close
+            self._send(b"3")
+        elif t == b"H":                      # Flush
+            pass
+        elif t == b"S":                      # Sync
+            self._ready()
+        else:
+            self._error("08P01", f"unhandled message type {t!r}")
+
+    def _describe_sql(self, sql: str) -> None:
+        if _TAG_RE.match(sql) or not sql.strip() or re.search(r"\$\d+", sql):
+            # unbound params: the client describes the portal after
+            # Bind to get the row shape
+            self._send(b"n")                 # NoData
+            return
+        from xtdb_spark.sql.rewriter import rewrite
+
+        df = self.xt.spark.sql(rewrite(self.xt, sql))
+        self._row_description(df)
+
+    @staticmethod
+    def _bind(sql: str, params: list[str | None], oids: list[int]) -> str:
+        """Substitute $n with typed literals (see _literal)."""
+        def repl(m: re.Match) -> str:
+            i = int(m.group(1)) - 1
+            oid = oids[i] if i < len(oids) else 0
+            return _literal(params[i], oid)
+
+        return re.sub(r"\$(\d+)", repl, sql)
+
+
+class PgWireServer:
+    """`PgWireServer(xt).start()` → `psql -h 127.0.0.1 -p <port>`.
+
+    Reference analogue: pgwire.clj's netty server; here a thread per
+    connection (each connection issues blocking Spark actions anyway).
+    """
+
+    def __init__(self, xt, host: str = "127.0.0.1", port: int = 0):
+        self.xt = xt
+        self.host = host
+
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # noqa: D401
+                try:
+                    _Conn(self.request, outer.xt).handle()
+                except (ConnectionResetError, BrokenPipeError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "PgWireServer":
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

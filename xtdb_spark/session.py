@@ -112,6 +112,15 @@ class XtdbSession:
 
         return rewrite_and_run(self, query, args)
 
+    def serve_pgwire(self, host: str = "127.0.0.1", port: int = 5432):
+        """Start the Postgres wire-protocol listener (reference
+        pgwire.clj — the node's primary client surface): `psql -h
+        <host> -p <port>` then query this engine. Returns the server
+        (`.port`, `.stop()`)."""
+        from xtdb_spark.pgwire import PgWireServer
+
+        return PgWireServer(self, host, port).start()
+
 
 def connect(warehouse: str | None = None, **kwargs) -> XtdbSession:
     return XtdbSession(build_spark(**kwargs), warehouse)
