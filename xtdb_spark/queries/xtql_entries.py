@@ -205,3 +205,38 @@ def dyn_nested_legs(spark, sf_dir):
                  .alias("total_elems"),
                  F.min(D.get_leg(F.col("v"), "str")).alias("min_str"))
             .orderBy("leg"))
+
+
+@register(
+    "xtql_json_pipeline",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n, MAX(o_totalprice) AS mx
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 1000.0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def xtql_json_pipeline(spark, sf_dir):
+    """Serialized XTQL (reference xtql.clj:293-593 edn/JSON pipeline
+    parsing, here xtdb_spark/xtql_json.py): parse a JSON pipeline —
+    unify on a shared logic var, filter, aggregate, order — and run
+    it. MAX (not SUM) keeps the double aggregate hash-stable."""
+    from xtdb_spark import xtql_json
+
+    class _Cat:  # minimal session: scan() over the testdata tables
+        def __init__(self):
+            self.spark = spark
+
+        def scan(self, table, **kw):
+            return ld(spark, sf_dir, table)
+
+    return xtql_json.run(_Cat(), """
+      ["pipeline",
+        ["unify",
+          ["from", "orders", [{"o_custkey": "c"}, "o_totalprice"]],
+          ["from", "customer", [{"c_custkey": "c"}, "c_mktsegment"]]],
+        ["where", [">", "o_totalprice", 1000.0]],
+        ["aggregate", ["c_mktsegment"],
+          {"n": ["count"], "mx": ["max", "o_totalprice"]}],
+        ["order-by", "c_mktsegment"]]
+    """)
