@@ -97,3 +97,46 @@ def test_multimodal_decode_gated(spark):
 
     with pytest.raises(Exception):
         extract_features(media).collect()  # NotImplementedError in worker
+
+
+def test_ann_ivf_kmeans_recovers_neighbors(spark):
+    """IVF with the k-means-trained coarse quantizer (the production
+    default): two well-separated clusters; querying near one cluster
+    must return neighbors from that cluster only."""
+    import random
+
+    from xtdb_spark.pipeline import similarity
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0]
+        rows.append((i, [b + rng.uniform(-0.5, 0.5) for b in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(100, [10.0, 0.1, 0.0])],
+                                    "q_id long, q_vec array<double>")
+    out = similarity.ann_ivf_topk(corpus, queries, n_cells=2, nprobe=1, k=5,
+                                  centroids="kmeans", train_cap=40,
+                                  max_iter=5).collect()
+    assert len(out) == 5
+    assert all(r["nn_id"] % 2 == 0 for r in out)  # cluster-0 members only
+    assert all(r["cos_sim"] > 0.99 for r in out)
+
+
+def test_jaccard_df_filter_blocking_matches_exact(spark):
+    """Rare-shingle blocking (max_gram_df) returns the same pairs as
+    exact blocking when near-dups share rare shingles."""
+    from xtdb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six"),
+        (4, "totally different words here now folks"),
+    ], "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               ngram_jaccard_pairs(docs, threshold=0.3,
+                                   max_gram_df=3).collect()}
+    assert exact == blocked == {(1, 2)}

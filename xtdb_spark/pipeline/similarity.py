@@ -93,15 +93,38 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             .filter(F.col("rnk") <= k))
 
 
+def ivf_centroids(c: DataFrame, n_cells: int,
+                  train_cap: int = 50_000, max_iter: int = 10) -> DataFrame:
+    """Coarse-quantizer training: k-means (pyspark.ml, k-means||
+    init, fixed seed) on a BOUNDED sample of the corpus — training
+    stays O(train_cap) no matter how large the corpus is, which is
+    how production IVF indexes are built (train on a sample, assign
+    everything). Returns (cell, cv)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = c.select(array_to_vector(F.col("v")).alias("features")) \
+        .limit(train_cap)
+    k = min(n_cells, train.count())
+    model = KMeans(k=k, seed=42, maxIter=max_iter).fit(train)
+    spark = c.sparkSession
+    rows = [(i + 1, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell int, cv array<double>")
+
+
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
                  nprobe: int = 2, k: int = 10, id_col: str = "vec_id",
                  vec_col: str = "embedding", q_id_col: str = "q_id",
-                 q_vec_col: str = "q_vec") -> DataFrame:
-    """IVF-flat ANN: a coarse quantizer of `n_cells` centroids (the
-    first n_cells corpus vectors by id — deterministic; swap in
-    k-means for production), every corpus vector assigned to its
-    nearest centroid, queries probe their `nprobe` nearest cells and
-    re-rank exactly inside them.
+                 q_vec_col: str = "q_vec",
+                 centroids: str = "kmeans",
+                 train_cap: int = 50_000, max_iter: int = 10) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer of `n_cells` centroids
+    (k-means-trained on a bounded sample by default; `centroids=
+    "head"` = first n_cells corpus vectors, fully deterministic, for
+    tests), every corpus vector assigned to its nearest centroid,
+    queries probe their `nprobe` nearest cells and re-rank exactly
+    inside them.
 
     Scale shape: the centroid table broadcasts (tiny), assignment is
     a broadcast-join + argmin (narrow), and the candidate join
@@ -109,10 +132,13 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     touch ~nprobe/n_cells of the corpus."""
     c = corpus.select(F.col(id_col).alias("nn_id"),
                       as_double_array(F.col(vec_col)).alias("v"))
-    w_id = Window.orderBy("nn_id")
-    cents = (c.orderBy("nn_id").limit(n_cells)
-             .select(F.row_number().over(w_id).alias("cell"),
-                     F.col("v").alias("cv")))
+    if centroids == "kmeans":
+        cents = ivf_centroids(c, n_cells, train_cap, max_iter)
+    else:
+        w_id = Window.orderBy("nn_id")
+        cents = (c.orderBy("nn_id").limit(n_cells)
+                 .select(F.row_number().over(w_id).alias("cell"),
+                         F.col("v").alias("cv")))
 
     def assign(df, vcol, n_keep):
         id_c = df.columns[0]  # partition by the id, not the vector

@@ -327,7 +327,11 @@ def ann_ivf(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.filter(F.col("vec_id") >= 10)
-    return similarity.ann_ivf_topk(c, q, n_cells=16, nprobe=3, k=5) \
+    # head centroids keep the catalog entry cheap + deterministic;
+    # the k-means-trained quantizer (the production default) is
+    # exercised in tests/test_pipeline.py::test_ann_ivf_kmeans
+    return similarity.ann_ivf_topk(c, q, n_cells=16, nprobe=3, k=5,
+                                   centroids="head") \
         .select("q_id", "nn_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
 
 
