@@ -221,3 +221,39 @@ def test_pg_catalog_views(spark, tmp_path):
     assert by_name["name"]["typname"] == "text"
     assert by_name["age"]["typname"] == "int8"
     assert [r["attnum"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_rewrite_is_identity_without_store_tables(spark, tmp_path):
+    """SQL referencing no store tables must pass through BYTE-
+    IDENTICAL — including strings, comments, quoted identifiers,
+    params, and FROM/FOR inside function calls."""
+    from xtdb_spark.sql.rewriter import rewrite
+
+    xt = make_xt(spark, tmp_path)
+    cases = [
+        "SELECT 1",
+        "SELECT a, b FROM memtbl WHERE x = 'FROM users FOR ALL VALID_TIME'",
+        "SELECT extract(year FROM ts), substring(s FROM 1 FOR 2) FROM v1",
+        "-- comment with FROM users\nSELECT * FROM v2 /* FOR ALL */",
+        'SELECT "weird col" FROM "weird table" AS w',
+        "SELECT * FROM (VALUES (1), (2)) AS t(x)",
+        "WITH c AS (SELECT 1 AS x) SELECT * FROM c JOIN c c2 ON c.x = c2.x",
+        "SELECT * FROM a_view WHERE ts > ? AND id IN (?, ?)",
+        "SELECT trim(LEADING 'x' FROM s) || 'FOR' FROM t1, t2 WHERE t1.a = t2.a",
+        "SELECT generate_series(1, 10) AS g",
+    ]
+    for q in cases:
+        assert rewrite(xt, q) == q, q
+
+
+def test_rewrite_param_ordinals_stay_aligned(spark, tmp_path):
+    """A consumed temporal ? must not shift the remaining args."""
+    from xtdb_spark.sql.rewriter import rewrite_with_args
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("pp", [{"_id": 1, "v": 5}], system_from="2024-01-01")
+    sql, remaining = rewrite_with_args(
+        xt, "SELECT * FROM pp FOR SYSTEM_TIME AS OF ? WHERE v = ? AND v < ?",
+        ["2024-06-01", 5, 99])
+    assert remaining == [5, 99]
+    assert "FOR SYSTEM_TIME" not in sql and sql.count("?") == 2
