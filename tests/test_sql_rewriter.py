@@ -257,3 +257,26 @@ def test_rewrite_param_ordinals_stay_aligned(spark, tmp_path):
         ["2024-06-01", 5, 99])
     assert remaining == [5, 99]
     assert "FOR SYSTEM_TIME" not in sql and sql.count("?") == 2
+
+
+def test_dotted_system_catalog_spellings(spark, tmp_path):
+    """`information_schema.tables` / `pg_catalog.pg_class` / bare
+    `pg_tables` resolve through the rewriter (reference routes system
+    tables through :scan; ORMs and psql use the dotted spellings)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("users", [{"_id": 1, "name": "ada"}], system_from="2024-01-01")
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    t = rewrite_and_run(
+        xt, "SELECT table_name FROM information_schema.tables").collect()
+    assert "users" in {r["table_name"] for r in t}
+    c = rewrite_and_run(xt, """
+        SELECT a.attname
+        FROM pg_catalog.pg_attribute a
+        JOIN pg_catalog.pg_class c ON a.attrelid = c.oid
+        WHERE c.relname = 'users'
+    """).collect()
+    assert {"_id", "name"} <= {r["attname"] for r in c}
+    bare = rewrite_and_run(
+        xt, "SELECT tablename FROM pg_tables").collect()
+    assert "users" in {r["tablename"] for r in bare}

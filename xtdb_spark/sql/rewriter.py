@@ -124,6 +124,22 @@ _NOT_ALIAS = {
 # words that start a non-table relation after FROM/JOIN
 _NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
 
+# dotted system-catalog spellings → registered temp-view names
+# (reference routes these through :scan, information_schema.clj:277-285;
+# Spark temp views can't contain dots, so the rewriter maps them; the
+# bare pg_* spellings mirror postgres' pg_catalog search path)
+_SYSTEM_VIEWS = {
+    "information_schema.tables": "information_schema_tables",
+    "information_schema.columns": "information_schema_columns",
+    "information_schema.schemata": "information_schema_schemata",
+    **{f"pg_catalog.{t}": f"pg_catalog_{t}"
+       for t in ("pg_tables", "pg_type", "pg_namespace", "pg_class",
+                 "pg_attribute")},
+    **{t: f"pg_catalog_{t}"
+       for t in ("pg_tables", "pg_type", "pg_namespace", "pg_class",
+                 "pg_attribute")},
+}
+
 
 class _Rewriter:
     def __init__(self, xt, sql: str, args: list | None):
@@ -242,6 +258,17 @@ class _Rewriter:
             # handle the argument list (and anything inside it)
             return flush_verbatim(True)
         table = ".".join(_unquote(t) for t in name_toks if t[0] != "punct")
+
+        sysview = _SYSTEM_VIEWS.get(table.lower())
+        if sysview is not None:
+            from xtdb_spark.sources.info_schema import register_all
+
+            register_all(self.xt.spark, self.xt.store)
+            alias = self._alias(cap_take, cap_skip_ws) or table.split(".")[-1]
+            lead_ws = captured[0] if captured and captured[0].isspace() else " "
+            self.out.append(f"{lead_ws}{sysview} AS {alias}")
+            self._cap = None
+            return True
 
         bounds, _ = self._for_clauses(cap_take, cap_skip_ws)
         alias = self._alias(cap_take, cap_skip_ws)
