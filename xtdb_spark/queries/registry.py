@@ -72,7 +72,7 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     # does this same sizing at runtime from a high initial count.
     total = sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
                 for t in tables)
-    sp = max(2, min(cpus * 2, int(total // (2 << 20)) or 1))
+    sp = max(2, min(cpus, int(total // (2 << 20)) or 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(sp))
     # AQE's runtime re-planning adds a stage-submission round per
     # query stage — pure overhead when stages move MBs. Keep it for
