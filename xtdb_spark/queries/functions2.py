@@ -234,3 +234,63 @@ def hash_battery(spark, sf_dir):
         F.sha2(F.col("text"), 256).alias("h_sha256"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("h_norm"),
     )
+
+
+@register(
+    "fn_set_map_battery",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+               FROM documents WHERE doc_id < 20),
+    ab AS (SELECT doc_id, list_distinct(ws[1:6]) AS a,
+                  list_distinct(ws[4:9]) AS b, ws FROM w),
+    u AS (SELECT doc_id, elem FROM (SELECT doc_id, unnest(a) AS elem FROM ab
+          UNION SELECT doc_id, unnest(b) AS elem FROM ab)),
+    i AS (SELECT doc_id, unnest(a) AS elem FROM ab
+          INTERSECT SELECT doc_id, unnest(b) AS elem FROM ab),
+    e AS (SELECT doc_id, unnest(a) AS elem FROM ab
+          EXCEPT SELECT doc_id, unnest(b) AS elem FROM ab),
+    m AS (SELECT doc_id,
+                 unnest([CAST(i AS VARCHAR) || ':' || ws[i]
+                         FOR i IN [1, 2, 3]]) AS elem
+          FROM ab)
+    SELECT doc_id, 'union' AS tag, elem FROM u
+    UNION ALL SELECT doc_id, 'intersect', elem FROM i
+    UNION ALL SELECT doc_id, 'except', elem FROM e
+    UNION ALL SELECT doc_id, 'map', elem FROM m
+    ORDER BY doc_id, tag, elem
+    """,
+)
+def set_map_battery(spark, sf_dir):
+    """`:set` / `:map` type mapping (SURVEY §1.3: set = array +
+    dedup-on-write, map = MapType; reference types.clj:206-232): set
+    algebra (union/intersect/except with set semantics) over deduped
+    word arrays, plus a position-keyed map built with map_from_arrays
+    and exploded back to entries. Output is exploded to (doc_id, tag,
+    elem) rows so list-internal ordering differences between engines
+    can't affect the value hash."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    words = F.split(F.trim(F.col("text")), " ")
+    base = d.select("doc_id", words.alias("ws"),
+                    F.array_distinct(F.slice(words, 1, 6)).alias("a"),
+                    F.array_distinct(F.slice(words, 4, 6)).alias("b"))
+
+    def tagged(col, tag):
+        return base.select("doc_id", F.explode(col).alias("elem")) \
+            .withColumn("tag", F.lit(tag))
+
+    sets = (tagged(F.array_union(F.col("a"), F.col("b")), "union")
+            .unionByName(tagged(F.array_intersect(F.col("a"), F.col("b")),
+                                "intersect"))
+            .unionByName(tagged(F.array_except(F.col("a"), F.col("b")),
+                                "except")))
+    keys = F.array(*[F.lit(str(i)) for i in (1, 2, 3)])
+    vals = F.array(*[F.element_at(F.col("ws"), i) for i in (1, 2, 3)])
+    m = (base.select("doc_id",
+                     F.explode(F.map_from_arrays(keys, vals))
+                     .alias("k", "v"))
+         .select("doc_id", F.concat(F.col("k"), F.lit(":"), F.col("v"))
+                 .alias("elem"))
+         .withColumn("tag", F.lit("map")))
+    return (sets.unionByName(m)
+            .select("doc_id", "tag", "elem")
+            .orderBy("doc_id", "tag", "elem"))
