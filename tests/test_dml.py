@@ -182,3 +182,26 @@ def test_delete_accepts_dataframe_ids(xt):
     store.delete("dfids", ids)
     left = sorted(r["_id"] for r in store.scan("dfids").collect())
     assert left == [0, 1, 2]
+
+
+def test_xt_txs_system_table(xt):
+    """The queryable tx log (reference xt.txs): every tx op records a
+    row with system_time + committed flag; an aborted submit_tx is
+    recorded committed=false with the error."""
+    store = xt.store
+    store.put("tx1", [{"_id": 1, "v": 1}])
+    store.delete("tx1", [1])
+    with pytest.raises(AssertionError):
+        store.submit_tx([
+            ("put", "tx1", [{"_id": 2, "v": 2}]),
+            ("assert_", lambda s: (_ for _ in ()).throw(
+                AssertionError("balance check failed"))),
+        ])
+    rows = xt.sql("SELECT committed, error FROM xt.txs "
+                  "ORDER BY system_time").collect()
+    assert [r["committed"] for r in rows] == [True, True, False]
+    assert "balance check failed" in rows[-1]["error"]
+    # tx ids are monotonic, system_time is typed
+    txs = xt.sql("SELECT _id, system_time FROM xt.txs ORDER BY _id").collect()
+    assert txs[0]["_id"] < txs[-1]["_id"]
+    assert txs[0]["system_time"] is not None

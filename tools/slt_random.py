@@ -132,13 +132,47 @@ def gen_query(rng: random.Random) -> str:
                 f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {c}) AS rn, "
                 f"CAST(SUM({c}) OVER (PARTITION BY {g}) AS BIGINT) AS s "
                 f"FROM (SELECT DISTINCT {g}, {c} FROM {from_clause}{where}) t")
-    if shape < 0.94:  # set op between two slices of one table
+    if shape < 0.87:  # set op between two slices of one table
         t = rng.choice(list(TABLES))
         i0 = TABLES[t][0][0]
         a, b = sorted(rng.sample(range(0, 800), 2))
         op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
         return (f"SELECT {i0} FROM {t} WHERE {i0} < {b} "
                 f"{op} SELECT {i0} FROM {t} WHERE {i0} >= {a}")
+    if shape < 0.90:  # correlated scalar subquery (decorrelation path)
+        th = rng.randint(100, 5000)
+        return (f"SELECT c_custkey, "
+                f"(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey "
+                f"AND o_orderkey < {th}) AS n_orders "
+                f"FROM customer WHERE c_custkey < {rng.randint(50, 300)} "
+                f"ORDER BY c_custkey LIMIT 50")
+    if shape < 0.93:  # string-function projection
+        g = rng.choice([s for s in strs if STR_LITS.get(s)] or strs)
+        a, b = rng.randint(1, 2), rng.randint(2, 4)
+        return (f"SELECT DISTINCT upper({g}) AS u, length({g}) AS l, "
+                f"substr({g}, {a}, {b}) AS s3, "
+                f"replace({g}, 'A', '_') AS rp "
+                f"FROM {from_clause}{where} ORDER BY u, s3 LIMIT 40")
+    if shape < 0.95:  # null-free NOT IN subquery (anti-join path)
+        th = rng.randint(100, 5000)
+        return (f"SELECT COUNT(*) AS n FROM customer WHERE c_custkey NOT IN "
+                f"(SELECT o_custkey FROM orders WHERE o_orderkey < {th})")
+    if shape < 0.97:  # CTE reuse
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        k = rng.randint(1, 10)
+        return (f"WITH t AS (SELECT {g} AS g, COUNT(*) AS n, "
+                f"CAST(SUM({c}) AS BIGINT) AS s FROM {from_clause}{where} "
+                f"GROUP BY {g}) "
+                f"SELECT g, n, s FROM t WHERE n > {k} ORDER BY g")
+    if shape < 0.985:  # ROLLUP with grand-total row (no WHERE: Spark
+        # returns 0 rows for the () grouping set over EMPTY input where
+        # the standard/DuckDB/Postgres produce the grand-total row —
+        # divergence documented in COVERAGE.md; non-empty input agrees)
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        return (f"SELECT {g}, COUNT(*) AS n, CAST(SUM({c}) AS BIGINT) AS s "
+                f"FROM {from_clause} GROUP BY ROLLUP ({g})")
     # EXISTS
     inner_t, outer_t = ("orders", "customer")
     return (f"SELECT COUNT(*) AS n FROM {outer_t} WHERE EXISTS "

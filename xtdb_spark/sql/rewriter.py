@@ -259,6 +259,15 @@ class _Rewriter:
             return flush_verbatim(True)
         table = ".".join(_unquote(t) for t in name_toks if t[0] != "punct")
 
+        if table.lower() in ("xt.txs", "xt_txs"):
+            # the queryable tx log (reference xt.txs system table)
+            self.xt.store.txs().createOrReplaceTempView("xt_txs")
+            alias = self._alias(cap_take, cap_skip_ws) or "txs"
+            lead_ws = captured[0] if captured and captured[0].isspace() else " "
+            self.out.append(f"{lead_ws}xt_txs AS {alias}")
+            self._cap = None
+            return True
+
         sysview = _SYSTEM_VIEWS.get(table.lower())
         if sysview is not None:
             from xtdb_spark.sources.info_schema import register_all

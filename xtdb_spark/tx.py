@@ -56,6 +56,45 @@ class TableStore:
                              "(reference log.clj:21-25)")
         return os.path.join(self.warehouse, table.replace(".", "__"))
 
+    def _record_tx(self, st: datetime, committed: bool = True,
+                   error: str | None = None) -> None:
+        """Append one line to the tx log manifest (reference `xt.txs`
+        system table: _id/system_time/committed/error —
+        information_schema.clj xt-derived tables). Driver-side JSONL
+        append, not a Spark job: tx metadata is a few bytes per tx,
+        and the single-writer model serializes appends. tx id = the
+        system time in micros (the log-offset analogue)."""
+        import json as _json
+
+        if isinstance(st, str):
+            st = datetime.fromisoformat(st)
+        line = _json.dumps({
+            "tx_id": int(st.replace(tzinfo=timezone.utc).timestamp()
+                         * 1_000_000),
+            "system_time": st.isoformat(sep=" "),
+            "committed": committed,
+            "error": error,
+        })
+        with open(os.path.join(self.warehouse, "_txs.jsonl"), "a") as f:
+            f.write(line + "\n")
+
+    def txs(self) -> DataFrame:
+        """The `xt.txs` system table (reference: queryable tx log —
+        committed flag + error per transaction)."""
+        import json as _json
+
+        path = os.path.join(self.warehouse, "_txs.jsonl")
+        rows = []
+        if os.path.exists(path):
+            with open(path) as f:
+                rows = [_json.loads(ln) for ln in f if ln.strip()]
+        return self.spark.createDataFrame(
+            [(r["tx_id"], r["system_time"], r["committed"], r["error"])
+             for r in rows] or [(0, None, True, None)],
+            "_id long, system_time string, committed boolean, error string"
+        ).withColumn("system_time", F.col("system_time").cast("timestamp")) \
+            .filter(F.col("_id") > 0)
+
     def _next_system_time(self) -> datetime:
         # strictly monotonic per store (single-writer model — the
         # reference serializes all txs through one log; Delta-style
@@ -128,6 +167,7 @@ class TableStore:
     def put(self, table, rows, valid_from=None, valid_to=None, system_from=None):
         st = system_from or self._next_system_time()
         self._append(table, self._events_df(rows, "put", valid_from, valid_to, st))
+        self._record_tx(st)
         return st
 
     @staticmethod
@@ -144,12 +184,14 @@ class TableStore:
         st = system_from or self._next_system_time()
         self._append(table, self._events_df(self._id_rows(ids), "delete",
                                             valid_from, valid_to, st))
+        self._record_tx(st)
         return st
 
     def erase(self, table, ids, system_from=None):
         st = system_from or self._next_system_time()
         self._append(table, self._events_df(self._id_rows(ids), "erase",
                                             None, None, st))
+        self._record_tx(st)
         return st
 
     def copy_from(self, table, path, fmt: str = "parquet",
@@ -188,6 +230,21 @@ class TableStore:
         staged: list[tuple[str, DataFrame]] = []
         stage = lambda table, ev: staged.append((table, ev))  # noqa: E731
 
+        try:
+            self._submit_tx_ops(ops, st, stage)
+        except Exception as e:  # aborted tx: recorded, nothing written
+            self._record_tx(st, committed=False,
+                            error=f"{type(e).__name__}: {e}"[:500])
+            raise
+        # materialize against the pre-tx snapshot, then commit
+        staged = [(table, ev.localCheckpoint(eager=True))
+                  for table, ev in staged]
+        for table, ev in staged:
+            self._append(table, ev)
+        self._record_tx(st)
+        return st
+
+    def _submit_tx_ops(self, ops, st, stage):
         for op in ops:
             kind, rest = op[0], op[1:]
             if kind == "assert_":
@@ -212,12 +269,6 @@ class TableStore:
                     stage(table, self._patch_events(table, payload, st))
             else:
                 raise ValueError(f"unknown tx op {kind!r}")
-        # materialize against the pre-tx snapshot, then commit
-        staged = [(table, ev.localCheckpoint(eager=True))
-                  for table, ev in staged]
-        for table, ev in staged:
-            self._append(table, ev)
-        return st
 
     def patch(self, table, rows, valid_from=None, valid_to=None, system_from=None):
         """PATCH = read current doc, struct-merge the partial doc over
@@ -233,6 +284,7 @@ class TableStore:
                                       system_from)
         st = system_from or self._next_system_time()
         self._append(table, self._patch_events(table, rows, st))
+        self._record_tx(st)
         return st
 
     def _patch_events(self, table, rows, st) -> DataFrame:
@@ -271,6 +323,7 @@ class TableStore:
         self._append(table,
                      self._patch_portion_events(table, rows, valid_from,
                                                 valid_to, st))
+        self._record_tx(st)
         return st
 
     def _patch_portion_events(self, table, rows, valid_from, valid_to,
