@@ -98,3 +98,17 @@ def test_snapshot_isolation_mid_query_put(store):
     assert sorted(r["_id"] for r in df.collect()) == [0, 1, 2, 3, 4]
     # a NEW scan sees the put
     assert store.scan("si").count() == 6
+
+
+def test_copy_to_roundtrip(store, tmp_path):
+    """copy_to exports the resolved current state (not raw events);
+    copy_from reloads it as documents."""
+    store.put("ex", [{"_id": i, "v": i * 2} for i in range(10)],
+              system_from="2024-01-01")
+    store.delete("ex", [9], system_from="2024-01-02")
+    out = str(tmp_path / "export")
+    store.copy_to("ex", out)
+    store.copy_from("ex2", out)
+    a = sorted((r["_id"], r["v"]) for r in store.scan("ex").collect())
+    b = sorted((r["_id"], r["v"]) for r in store.scan("ex2").collect())
+    assert a == b and len(a) == 9

@@ -97,6 +97,9 @@ class XtdbSession:
     def copy_from(self, table, path, **kw):
         return self.store.copy_from(table, path, **kw)
 
+    def copy_to(self, table, path, **kw):
+        return self.store.copy_to(table, path, **kw)
+
     def patch(self, table, rows, valid_from=None, valid_to=None, **kw):
         return self.store.patch(table, rows, valid_from, valid_to, **kw)
 

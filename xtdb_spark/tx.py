@@ -203,6 +203,17 @@ class TableStore:
         df = getattr(reader, fmt)(path)
         return self.put(table, df, system_from=system_from)
 
+    def copy_to(self, table, path, fmt: str = "parquet",
+                valid_time=None, system_time=None, **options):
+        """Bulk export: write the table's (optionally time-traveled)
+        current state out as parquet/csv/json — the read-side
+        counterpart of `copy_from` (reference COPY surface,
+        Sql.g4:16-45). Distributed write, one file per partition."""
+        df = self.scan(table, valid_time=valid_time, system_time=system_time)
+        writer = df.write.mode("overwrite").options(**options)
+        getattr(writer, fmt)(path)
+        return path
+
     def submit_tx(self, ops, system_from=None):
         """Multi-op transaction (reference api submit-tx,
         tx_ops.clj): every op in `ops` evaluates against the SAME
