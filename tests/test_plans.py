@@ -97,3 +97,36 @@ def test_explain_analyze_runtime_metrics(spark):
     assert "numOutputRows" in txt
     # AQE finalized: the static AdaptiveSparkPlan wrapper is unwrapped
     assert "isFinalPlan=false" not in txt
+
+
+def test_minhash_lsh_verify_is_candidate_driven(no_aqe):
+    """The LSH verify stage must compute Jaccard for CANDIDATE pairs
+    only — never the all-pairs shared-shingle join the banding exists
+    to avoid (round-1 VERDICT scale-killer). Locked two ways: no
+    cartesian product anywhere in the plan, and `jaccard_for_pairs`
+    yields nothing when the candidate set is empty even though the
+    docs share every shingle."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.pipeline.dedup import (_shingle_table,
+                                           jaccard_for_pairs,
+                                           minhash_lsh_pairs)
+    from xtdb_spark.plans.explain import formatted_plan
+
+    spark = no_aqe
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string")
+    plan = formatted_plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan
+    # identical docs: LSH must still find them (recall sanity)
+    found = minhash_lsh_pairs(docs, threshold=0.9)
+    assert found.count() == 15  # C(6,2) identical pairs
+    # empty candidate set → zero verify work/output despite full overlap
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert jaccard_for_pairs(sh, empty).count() == 0
+    # candidate-driven: exactly the requested pair comes back
+    one = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = jaccard_for_pairs(sh, one).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(0, 1, 1.0)]

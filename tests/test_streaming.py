@@ -112,3 +112,36 @@ def test_watermark_seals_window_and_drops_later_data(spark, tmp_path):
     # 99.0 event neither duplicated the window nor grew it
     assert len(rows) == 1, rows
     assert rows[0]["n"] == 3 and rows[0]["sum_value"] == 3.0, rows
+
+
+def test_dedupe_stream_drops_cross_batch_redeliveries(spark, tmp_path):
+    """At-least-once upstream: the same event_id delivered in two
+    different micro-batches within the watermark must come out ONCE
+    (state evicted after the horizon, so this scales)."""
+    import os
+    import time
+
+    from xtdb_spark.streaming.ingest import dedupe_stream
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, value double"
+    b1 = [(1, datetime(2024, 1, 1, 10, 0), 1.0),
+          (2, datetime(2024, 1, 1, 10, 1), 2.0)]
+    b2 = [(2, datetime(2024, 1, 1, 10, 2), 2.0),   # redelivery of id 2
+          (3, datetime(2024, 1, 1, 10, 3), 3.0)]
+    for i, b in enumerate([b1, b2]):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    out = dedupe_stream(stream, ["event_id"], "ts", "1 hour")
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM dd").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+    # batch fallback dedupes on the key too
+    batch = spark.createDataFrame(b1 + b2, schema)
+    assert dedupe_stream(batch, ["event_id"]).count() == 3

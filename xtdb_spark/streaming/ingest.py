@@ -77,3 +77,22 @@ def windowed_counts(events: DataFrame, ts_col: str = "ts",
                  .alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col(key_col), F.col("n"), F.col("sum_value")))
+
+
+def dedupe_stream(events: DataFrame, id_cols: list[str] | None = None,
+                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same
+    id(s) arriving within the watermark horizon — the streaming
+    counterpart of the batch `exact_duplicates` pipeline op, and the
+    idempotence layer a log-replay ingest needs when the upstream log
+    can redeliver (at-least-once Kafka semantics; reference's indexer
+    dedupes on tx-id the same way). State per id is evicted once the
+    watermark passes it, so state size tracks the horizon, not the
+    stream length. Built on `dropDuplicatesWithinWatermark` (event
+    time), falling back to key-only `dropDuplicates` for batch
+    DataFrames (where the watermark is meaningless)."""
+    id_cols = id_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(id_cols)
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(id_cols))
