@@ -233,3 +233,35 @@ def test_null_and_types_encoding(xt, client):
     oids = {c[0]: c[1] for c in cols}
     assert oids["d"] == 701 and oids["b"] == 16
     assert rows == [["1.5", "t", None]]
+
+
+def test_pg_catalog_introspection_over_wire(xt, client):
+    """The `\\d`-style flow: catalog tables resolve over the wire
+    (dotted and search-path spellings both)."""
+    xt.store.put("wt", [{"_id": 1, "x": 1}], system_from="2024-01-01")
+    results, _ = client.query(
+        "SELECT tablename FROM pg_tables ORDER BY tablename")
+    assert ["wt"] == [r[0] for r in results[0][1]]
+    results, _ = client.query("""
+        SELECT a.attname FROM pg_catalog.pg_attribute a
+        JOIN pg_catalog.pg_class c ON a.attrelid = c.oid
+        WHERE c.relname = 'wt' ORDER BY a.attnum
+    """)
+    assert [r[0] for r in results[0][1]] == ["_id", "x", "_iid"]
+
+
+def test_concurrent_clients(server, xt):
+    xt.store.put("cc", [{"_id": i, "v": i} for i in range(10)],
+                 system_from="2024-01-01")
+    clients = []
+    for _ in range(3):
+        c = PgClient(server.port)
+        c.startup()
+        clients.append(c)
+    try:
+        for i, c in enumerate(clients):
+            results, _ = c.query(f"SELECT COUNT(*) AS n FROM cc WHERE v >= {i}")
+            assert results[0][1] == [[str(10 - i)]]
+    finally:
+        for c in clients:
+            c.close()
