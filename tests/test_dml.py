@@ -205,3 +205,11 @@ def test_xt_txs_system_table(xt):
     txs = xt.sql("SELECT _id, system_time FROM xt.txs ORDER BY _id").collect()
     assert txs[0]["_id"] < txs[-1]["_id"]
     assert txs[0]["system_time"] is not None
+
+
+def test_session_status(xt):
+    assert xt.status()["latest_completed_tx"] is None
+    xt.store.put("st", [{"_id": 1, "v": 1}])
+    s = xt.status()
+    assert s["n_tables"] == 1 and s["n_bytes"] > 0
+    assert s["latest_completed_tx"]["tx_id"] > 0

@@ -115,6 +115,37 @@ class XtdbSession:
 
         return rewrite_and_run(self, query, args)
 
+    def status(self) -> dict:
+        """Node status (reference `xtdb.api/status`: latest tx +
+        storage summary): latest committed tx id/system-time, table
+        count, and total bytes under management — all from driver-side
+        manifests (no Spark job)."""
+        import glob
+        import json as _json
+        import os
+
+        wh = self.store.warehouse
+        txs_path = os.path.join(wh, "_txs.jsonl")
+        latest = None
+        if os.path.exists(txs_path):
+            with open(txs_path) as f:
+                for ln in f:
+                    if ln.strip():
+                        rec = _json.loads(ln)
+                        if rec["committed"]:
+                            latest = rec
+        tables = [d for d in sorted(os.listdir(wh))
+                  if os.path.isdir(os.path.join(wh, d))]
+        n_bytes = sum(os.path.getsize(p) for t in tables
+                      for p in glob.glob(os.path.join(wh, t, "*.parquet")))
+        return {
+            "latest_completed_tx": (
+                {"tx_id": latest["tx_id"],
+                 "system_time": latest["system_time"]} if latest else None),
+            "n_tables": len(tables),
+            "n_bytes": n_bytes,
+        }
+
     def serve_pgwire(self, host: str = "127.0.0.1", port: int = 5432):
         """Start the Postgres wire-protocol listener (reference
         pgwire.clj — the node's primary client surface): `psql -h
