@@ -294,3 +294,56 @@ def set_map_battery(spark, sf_dir):
     return (sets.unionByName(m)
             .select("doc_id", "tag", "elem")
             .orderBy("doc_id", "tag", "elem"))
+
+
+@register(
+    "fn_misc_battery",
+    r"""
+    SELECT k,
+           reverse(k) AS rev,
+           strpos(k, '/') AS octet_pos,
+           CASE WHEN strpos(k, '/') > 0
+                THEN substr(k, 1, strpos(k, '/') - 1) END AS kw_namespace,
+           CASE WHEN strpos(k, '/') > 0
+                THEN substr(k, strpos(k, '/') + 1) ELSE k END AS kw_local,
+           CASE WHEN regexp_matches(k, '^[a-z_][a-z0-9_$]*$') THEN k
+                ELSE '"' || replace(k, '"', '""') || '"' END AS quoted,
+           string_split(k, '/') AS parsed,
+           len(w) AS arr_upper, 1 AS arr_lower,
+           w[1:len(w) - 2] AS trimmed
+    FROM (SELECT lang || '/' || source AS k,
+                 string_split(trim(text), ' ')[1:6] AS w
+          FROM documents WHERE doc_id < 40)
+    ORDER BY k, rev
+    """,
+)
+def misc_battery(spark, sf_dir):
+    """Long-tail scalar fns from the reference registry
+    (expression.clj codegen-call keywords): reverse, octet_position,
+    keyword namespace/local_name accessors (reference :namespace /
+    :local_name over :keyword extension values), quote_ident,
+    parse_ident (split), array_lower/array_upper (1-based bounds),
+    trim_array (drop n from the end)."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    k = F.concat(F.col("lang"), F.lit("/"), F.col("source"))
+    w = F.slice(F.split(F.trim(F.col("text")), " "), 1, 6)
+    base = d.select(k.alias("k"), w.alias("w"))
+    pos = F.instr(F.col("k"), "/")
+    return (base.select(
+        "k",
+        F.reverse(F.col("k")).alias("rev"),
+        pos.cast("long").alias("octet_pos"),
+        F.when(pos > 0, F.substring_index(F.col("k"), "/", 1))
+        .alias("kw_namespace"),
+        F.when(pos > 0, F.expr("substr(k, instr(k, '/') + 1)"))
+        .otherwise(F.col("k")).alias("kw_local"),
+        F.when(F.col("k").rlike("^[a-z_][a-z0-9_$]*$"), F.col("k"))
+        .otherwise(F.concat(F.lit('"'),
+                            F.regexp_replace("k", '"', '""'),
+                            F.lit('"'))).alias("quoted"),
+        F.split(F.col("k"), "/").alias("parsed"),
+        F.size("w").cast("long").alias("arr_upper"),
+        F.lit(1).alias("arr_lower"),
+        F.slice(F.col("w"), 1, F.greatest(F.size("w") - 2, F.lit(0)))
+        .alias("trimmed"),
+    ).orderBy("k", "rev"))
