@@ -213,3 +213,15 @@ def test_session_status(xt):
     s = xt.status()
     assert s["n_tables"] == 1 and s["n_bytes"] > 0
     assert s["latest_completed_tx"]["tx_id"] > 0
+
+
+def test_to_arrow_channel(xt):
+    xt.store.put("ar", [{"_id": 1, "v": 1.5, "s": "x"},
+                        {"_id": 2, "v": 2.5, "s": "y"}],
+                 system_from="2024-01-01")
+    import pyarrow as pa
+
+    t = xt.to_arrow("SELECT _id, v, s FROM ar ORDER BY _id")
+    assert isinstance(t, pa.Table)
+    assert t.column_names == ["_id", "v", "s"]
+    assert t.column("v").to_pylist() == [1.5, 2.5]

@@ -115,6 +115,13 @@ class XtdbSession:
 
         return rewrite_and_run(self, query, args)
 
+    def to_arrow(self, query: str, args: list | None = None):
+        """Run a SQL query and return the result as a pyarrow Table —
+        the Arrow-native client channel (reference speaks ADBC/Flight
+        SQL, adbc.clj/flight_sql.clj; Spark 4 gives us zero-copy
+        Arrow collection directly)."""
+        return self.sql(query, args).toArrow()
+
     def status(self) -> dict:
         """Node status (reference `xtdb.api/status`: latest tx +
         storage summary): latest committed tx id/system-time, table
