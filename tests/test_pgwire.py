@@ -265,3 +265,16 @@ def test_concurrent_clients(server, xt):
     finally:
         for c in clients:
             c.close()
+
+
+def test_client_compat_session_functions(client):
+    """What SQLAlchemy/psql/BI tools issue on connect: version(),
+    current_schema(), SHOW <param>."""
+    results, _ = client.query("SELECT version() AS v")
+    assert results[0][1][0][0].startswith("PostgreSQL")
+    results, _ = client.query("SELECT current_schema() AS s")
+    assert results[0][1] == [["public"]]
+    results, tags = client.query("SHOW standard_conforming_strings")
+    assert results[0][1] == [["on"]] and tags == ["SHOW"]
+    results, _ = client.query("SHOW transaction_isolation")
+    assert results[0][1] == [["read committed"]]

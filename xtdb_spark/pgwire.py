@@ -216,11 +216,71 @@ class _Conn:
             self.sock.sendall(b"".join(batch))
         return n
 
+    # session functions pg clients call on connect (SQLAlchemy, BI
+    # tools); substituted token-aware so string literals are safe
+    _COMPAT_FNS = {
+        "version": "'PostgreSQL 16.0 (xtdb_spark)'",
+        "current_schema": "'public'",
+        "current_database": "'xtdb'",
+        "current_user": "'xtdb'",
+        "current_schemas": "array('public')",
+    }
+
+    @classmethod
+    def _compat_sql(cls, sql: str) -> str:
+        from xtdb_spark.sql.rewriter import _tokenize
+
+        toks = _tokenize(sql)
+        out, i = [], 0
+        while i < len(toks):
+            kind, text = toks[i]
+            repl = cls._COMPAT_FNS.get(text.lower()) if kind == "word" else None
+            if repl is not None:
+                j = i + 1
+                while j < len(toks) and toks[j][0] in ("ws", "comment"):
+                    j += 1
+                if j + 1 < len(toks) and toks[j] == ("punct", "(") and \
+                        toks[j + 1] == ("punct", ")"):
+                    out.append(repl)
+                    i = j + 2
+                    continue
+                if text.lower() == "current_user":  # also valid bare
+                    out.append(repl)
+                    i += 1
+                    continue
+            out.append(text)
+            i += 1
+        return "".join(out)
+
+    _SHOW_RE = re.compile(r"^\s*SHOW\s+([A-Za-z_.]+)\s*$", re.IGNORECASE)
+
+    _SHOW_VALUES = {
+        "server_version": "16.0", "server_encoding": "UTF8",
+        "client_encoding": "UTF8", "datestyle": "ISO",
+        "timezone": "UTC", "integer_datetimes": "on",
+        "standard_conforming_strings": "on", "transaction_isolation":
+        "read committed", "search_path": "public",
+    }
+
     def _run(self, sql: str, describe_only: bool = False):
         """Execute one statement; emit T/D*/C (or just T)."""
         if not sql.strip():
             self._send(b"I")  # EmptyQueryResponse
             return
+        m_show = self._SHOW_RE.match(sql)
+        if m_show:
+            name = m_show.group(1).lower()
+            val = self._SHOW_VALUES.get(name, "on")
+            payload = (struct.pack(">h", 1) + self._cstr(name)
+                       + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
+            self._send(b"T", payload)
+            if not describe_only:
+                b = val.encode()
+                self._send(b"D", struct.pack(">h", 1)
+                           + struct.pack(">i", len(b)) + b)
+                self._send(b"C", self._cstr("SHOW"))
+            return
+        sql = self._compat_sql(sql)
         m = _TAG_RE.match(sql)
         if m and m.group(1).upper() in _NOOP:
             self._send(b"C", self._cstr(m.group(1).upper()))
@@ -330,6 +390,9 @@ class _Conn:
             self._error("08P01", f"unhandled message type {t!r}")
 
     def _describe_sql(self, sql: str) -> None:
+        if self._SHOW_RE.match(sql):
+            self._run(sql, describe_only=True)
+            return
         if _TAG_RE.match(sql) or not sql.strip() or re.search(r"\$\d+", sql):
             # unbound params: the client describes the portal after
             # Bind to get the row shape
@@ -337,7 +400,7 @@ class _Conn:
             return
         from xtdb_spark.sql.rewriter import rewrite
 
-        df = self.xt.spark.sql(rewrite(self.xt, sql))
+        df = self.xt.spark.sql(rewrite(self.xt, self._compat_sql(sql)))
         self._row_description(df)
 
     @staticmethod
