@@ -192,3 +192,56 @@ def test_polygon_history_covers_plane_correctly(spark, raw_events):
                 assert got_val == want.get(eid), (
                     f"(id={eid}, V={v}, S={s}): rects say {got_val}, "
                     f"model says {want.get(eid)}; events={events}")
+
+
+# --- erase interleavings vs model --------------------------------------------
+
+erase_event_strategy = st.tuples(
+    st.integers(1, 3),                      # _id
+    st.integers(0, 9),                      # valid_from (hours)
+    st.one_of(st.none(), st.integers(1, 11)),  # valid_to
+    st.integers(0, 9),                      # system_from
+    st.sampled_from(["put", "put", "put", "delete", "erase"]),
+)
+
+
+def _model_visible_with_erase(events, vq, sq):
+    """Erase wipes every event of the same id written at-or-before the
+    LATEST erase (physical destruction — applies regardless of the
+    query's system time); later re-puts survive (reference
+    PolygonCalculator.kt newest-system-first sweep)."""
+    emax = {}
+    for (eid, vf, vt, sf, op, val) in events:
+        if op == "erase":
+            emax[eid] = max(emax.get(eid, -1), sf)
+    survivors = [e for e in events if e[3] > emax.get(e[0], -1)]
+    return _model_visible(survivors, vq, sq)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(erase_event_strategy, min_size=1, max_size=12),
+       st.integers(0, 10), st.integers(0, 10))
+def test_resolve_asof_with_erase_matches_model(spark, raw_events, vq, sq):
+    events = []
+    seen = {}
+    for pos, (eid, vf, vt, sf, op) in enumerate(raw_events):
+        key = (eid, sf)
+        bump = seen.get(key, 0)
+        seen[key] = bump + 1
+        events.append((eid, vf, vt, sf * 60 + bump, op, pos))
+
+    rows = [(eid, val, eid,
+             _t(vf), _t(None if (vt is None or vt <= vf) else vt),
+             BASE + timedelta(minutes=sfm), op)
+            for (eid, vf, vt, sfm, op, val) in events]
+    df = spark.createDataFrame(
+        rows, "_id int, value int, _iid int, _valid_from timestamp, "
+              "_valid_to timestamp, _system_from timestamp, op string")
+    got = {r["_id"]: r["value"]
+           for r in bitemporal.resolve_asof(
+               df, valid_time=_t(vq),
+               system_time=BASE + timedelta(minutes=sq * 60 + 59),
+           ).select("_id", "value").collect()}
+    want = _model_visible_with_erase(events, vq, sq * 60 + 59)
+    assert got == want, f"events={events} vq={vq} sq={sq}"
