@@ -100,3 +100,25 @@ def test_malformed_queries_raise(xt):
                 '["pipeline", ["from", "t"], ["mystery-op"]]'):
         with pytest.raises(ValueError):
             run(xt, bad)
+
+
+def test_join_and_left_join_tails(seeded):
+    out = run(seeded, """
+      ["pipeline",
+        ["from", "orders", [{"cust": "c"}, "price"]],
+        ["join", ["from", "custs", [{"_id": "c"}, "name"]]],
+        ["where", [">", "price", 200.0]],
+        ["return", "name", "price"],
+        ["order-by", "price"]]
+    """).collect()
+    assert [(r["name"], r["price"]) for r in out] == [
+        ("bob", 250.0), ("bob", 350.0)]
+    # left join keeps unmatched left rows
+    out = run(seeded, """
+      ["pipeline",
+        ["from", "orders", [{"cust": "c"}, "price"]],
+        ["left-join", ["rel", [{"c": 1, "vip": true}]]],
+        ["aggregate", ["vip"], {"n": ["count"]}],
+        ["order-by", "vip"]]
+    """).collect()
+    assert [(r["vip"], r["n"]) for r in out] == [(None, 2), (True, 2)]

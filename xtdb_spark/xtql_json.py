@@ -232,6 +232,13 @@ def _parse_tail(form: list):
         return X.unnest(col, alias)
     if op == "union-all":
         return X.union_all(_parse_source(args[0]))
+    if op in ("join", "left-join"):
+        # ["join", <source>, {"on": [cols]}] — on omitted = unify on
+        # shared logic vars (reference Join/LeftJoin records)
+        src = _parse_source(args[0])
+        opts = args[1] if len(args) > 1 else {}
+        how = "inner" if op == "join" else "left"
+        return X.join(src, on=opts.get("on"), how=how)
     raise ValueError(f"unknown tail op {op!r}")
 
 
