@@ -140,3 +140,40 @@ def test_jaccard_df_filter_blocking_matches_exact(spark):
                ngram_jaccard_pairs(docs, threshold=0.3,
                                    max_gram_df=3).collect()}
     assert exact == blocked == {(1, 2)}
+
+
+def test_resize_images_plumbing(spark):
+    from xtdb_spark.pipeline.multimodal import make_fake_media, resize_images
+
+    media = make_fake_media(spark, 30)
+    out = resize_images(media, target_w=64, target_h=64,
+                        fake_decode=True, batch_size=None)
+    rows = out.collect()
+    # only image rows cross into the UDF
+    assert len(rows) == 10 and all(r["kind"] == "image" for r in rows)
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    assert all(r["n_bytes"] == len(r["content"]) == 64 for r in rows)
+    # stub gated loudly
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_images(media, fake_decode=False, batch_size=None).collect()
+
+
+def test_sample_frames_expands_rows(spark):
+    from xtdb_spark.pipeline.multimodal import make_fake_media, sample_frames
+
+    media = make_fake_media(spark, 30)
+    out = sample_frames(media, n_frames=4, fake_decode=True,
+                        batch_size=None)
+    rows = out.collect()
+    assert len(rows) == 10 * 4  # 1 video row → 4 frame rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for frames in by_id.values():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+        assert all(len(f["frame"]) > 0 for f in frames)
+        # timestamps strictly increasing with frame index
+        ts = [f["ts_ms"] for f in sorted(frames, key=lambda x: x["frame_idx"])]
+        assert ts == sorted(ts)

@@ -103,3 +103,87 @@ def make_fake_media(spark, n: int = 100) -> DataFrame:
                     (F.col("id") % 640).cast("int").alias("width"),
                     (F.col("id") % 480).cast("int").alias("height"),
                     F.lit(16000).cast("int").alias("sample_rate")))
+
+
+RESIZED_SCHEMA = ("media_id long, kind string, width int, height int, "
+                  "content binary, n_bytes long")
+
+
+def resize_images(media: DataFrame, target_w: int = 224,
+                  target_h: int = 224, fake_decode: bool = False,
+                  batch_size: int | None = 64) -> DataFrame:
+    """Resize the image rows to (target_w, target_h) via mapInPandas.
+    Real plumbing: the `kind = 'image'` filter runs BEFORE the UDF (so
+    at scale the scan prunes non-image row groups and no video bytes
+    cross into Python), output metadata reflects the new geometry, and
+    the bytes column round-trips arrow batching. The pixel work is the
+    STUB (deterministic byte transform sized to the target) — swap in
+    PIL in production; the contract is unchanged."""
+    spark = media.sparkSession
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
+    images = media.filter(F.col("kind") == "image")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(4, (target_w * target_h) // 64)
+        for pdf in batches:
+            contents = []
+            for b in pdf["content"]:
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "image resize needs an image library; "
+                        "pass fake_decode=True for the deterministic stub")
+                b = b or b""
+                # deterministic fake "resample": tile the source bytes
+                # to the target byte budget
+                contents.append((b * (out_len // max(1, len(b)) + 1))[:out_len])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": target_w,
+                "height": target_h,
+                "content": contents,
+                "n_bytes": [len(c) for c in contents],
+            })
+
+    return images.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms long, frame binary")
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  fps: float = 25.0, fake_decode: bool = False,
+                  batch_size: int | None = 16) -> DataFrame:
+    """Sample `n_frames` evenly-spaced frames from each video row —
+    the 1→N mapInPandas expansion pattern (one input row yields many
+    output rows; arrow batches keep memory bounded even though the
+    cardinality grows). Frame extraction is the STUB (deterministic
+    byte slices with real timestamps from fps); swap in pyav in
+    production."""
+    spark = media.sparkSession
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
+    videos = media.filter(F.col("kind") == "video")
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "frame sampling needs a video library; "
+                        "pass fake_decode=True for the deterministic stub")
+                b = b or b""
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(int(i * (1000.0 / fps) * step))
+                    frames.append(b[i * step:(i + 1) * step] or b"\x00")
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "ts_ms": tss, "frame": frames})
+
+    return videos.mapInPandas(do_sample, FRAME_SCHEMA)
