@@ -763,3 +763,25 @@ def grouping_sets_cube(spark, sf_dir):
         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
                                 (c_mktsegment), ())
     """)
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE chain(nk, depth) AS (
+      SELECT n_nationkey AS nk, 0 AS depth FROM nation
+      WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, c.depth + 1
+      FROM nation n JOIN chain c ON n.n_nationkey = c.nk + 5)
+    SELECT nk, CAST(depth AS INTEGER) AS depth FROM chain ORDER BY nk
+"""
+
+
+@register("op_recursive_cte", _RECURSIVE_CTE_SQL)
+def recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (reference grammar Sql.g4:670 `withClause:
+    'WITH' RECURSIVE?`): an iterative graph walk — anchor row plus a
+    join-based recursive step — executed by Spark 4's native
+    recursive-CTE support (one UnionLoop; each iteration is a
+    distributed join, so the walk scales with cluster width)."""
+    ld(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_CTE_SQL)
