@@ -7,6 +7,7 @@ part via pipe_dedup_ngram_jaccard).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xtdb_spark.pipeline import dedup, similarity, text
@@ -418,3 +419,79 @@ def data_profile(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+@register(
+    "pipe_stratified_sample",
+    r"""
+    SELECT lang, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — per-stratum quotas for
+    corpus balancing (a training-data staple). The sample order is a
+    HASH of the key, not random(): reproducible across runs, engines,
+    and partitionings (the scale-correct way to downsample — no
+    driver-side RNG, no seed coordination across executors). One
+    window per stratum; at 100 TB the partitionBy(lang) shuffle is
+    the only data movement."""
+    d = ld(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (d.select("lang", "doc_id", "n_chars",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 20).drop("rn")
+            .orderBy("lang", "doc_id"))
+
+
+@register(
+    "pipe_sequence_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id)
+                         - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+      FROM toks)
+    SELECT seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Sequence packing for training: documents are hash-shuffled
+    (deterministic), token counts cumulated, and each doc assigned to
+    the 2048-token context window its running offset lands in — the
+    streaming-concatenation packing LLM dataloaders use. Window
+    cumsum + groupBy; the global ORDER BY cumsum is the scale
+    bottleneck by design here — production shards the shuffle key
+    range first (same math per shard), which this plan preserves."""
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"))
+    w = Window.orderBy("shuffle_key", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.select(
+        "doc_id", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
+        .cast("long").alias("seq_id"))
+    return (packed.groupBy("seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("seq_id"))
