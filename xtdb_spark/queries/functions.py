@@ -340,3 +340,48 @@ def struct_get_field(spark, sf_dir):
             .select(F.col("info.segment").alias("segment"),
                     F.col("info.stats.bal").alias("bal"))
             .groupBy("segment", "bal").agg(F.count("*").alias("n")))
+
+
+@register(
+    "fn_try_cast_battery",
+    """
+    SELECT doc_id,
+           TRY_CAST(s_int AS BIGINT) AS as_int,
+           TRY_CAST(s_num AS DOUBLE) AS as_dbl,
+           TRY_CAST(s_date AS DATE) AS as_date,
+           TRY_CAST(lang AS BIGINT) AS lang_as_int
+    FROM (SELECT doc_id, lang,
+                 CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                      ELSE 'not-a-number' END AS s_int,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN CAST(doc_id AS VARCHAR) || '.25'
+                      ELSE '1e' END AS s_num,
+                 CASE WHEN doc_id % 4 = 0 THEN '2024-03-0'
+                        || CAST(doc_id % 9 + 1 AS VARCHAR)
+                      ELSE 'yesterday-ish' END AS s_date
+          FROM documents WHERE doc_id < 60)
+    ORDER BY doc_id
+    """,
+)
+def try_cast_battery(spark, sf_dir):
+    """Safe casts: TRY_CAST yields NULL instead of erroring on
+    malformed input — the lenient counterpart of the strict cast
+    family (reference cast semantics expression.clj; Spark try_cast ↔
+    DuckDB TRY_CAST agree on what parses)."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    s_int = F.when(F.col("doc_id") % 3 == 0,
+                   F.col("doc_id").cast("string")).otherwise("not-a-number")
+    s_num = F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.col("doc_id").cast("string"), F.lit(".25"))
+                   ).otherwise("1e")
+    s_date = F.when(F.col("doc_id") % 4 == 0,
+                    F.concat(F.lit("2024-03-0"),
+                             (F.col("doc_id") % 9 + 1).cast("string"))
+                    ).otherwise("yesterday-ish")
+    return (d.select(
+        "doc_id",
+        s_int.try_cast("bigint").alias("as_int"),
+        s_num.try_cast("double").alias("as_dbl"),
+        s_date.try_cast("date").alias("as_date"),
+        F.col("lang").try_cast("bigint").alias("lang_as_int"),
+    ).orderBy("doc_id"))
