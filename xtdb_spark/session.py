@@ -162,6 +162,14 @@ class XtdbSession:
 
         return PgWireServer(self, host, port).start()
 
+    def serve_flight(self, location: str = "grpc://127.0.0.1:0"):
+        """Start the Arrow Flight endpoint (reference flight_sql.clj —
+        Arrow-native query + bulk-ingest wire surface). Returns the
+        server (`.port`, `.shutdown()`)."""
+        from xtdb_spark.flight import serve_flight
+
+        return serve_flight(self, location)
+
 
 def connect(warehouse: str | None = None, **kwargs) -> XtdbSession:
     return XtdbSession(build_spark(**kwargs), warehouse)

@@ -456,6 +456,14 @@ class TableStore:
 
     # ---- reads ----
 
+    def tables(self) -> list[str]:
+        """All store table names (dotted form — `schema.table` where a
+        schema prefix exists). Reference `xt.live_tables` analogue."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(d.replace("__", ".") for d in os.listdir(self.warehouse)
+                      if os.path.isdir(os.path.join(self.warehouse, d)))
+
     def table_files(self, table: str) -> list[str]:
         """The table's manifest: its parquet files, listed NOW. The
         basis-token analogue (reference api basis.clj; scan.clj:108-113
