@@ -240,3 +240,36 @@ def xtql_json_pipeline(spark, sf_dir):
           {"n": ["count"], "mx": ["max", "o_totalprice"]}],
         ["order-by", "c_mktsegment"]]
     """)
+
+
+@register(
+    "xtql_edn_pipeline",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS mx
+    FROM orders
+    WHERE o_totalprice > 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def xtql_edn_pipeline(spark, sf_dir):
+    """Serialized XTQL, edn wire form (the reference's PRIMARY query
+    serialization — xtql.clj edn reader; here xtdb_spark/xtql_edn.py:
+    fresh edn reader + translation onto the shared JSON-vocabulary
+    compiler). Threading pipeline with symbols-as-logic-vars and
+    row-count."""
+    from xtdb_spark import xtql_edn
+
+    class _Cat:  # minimal session: scan() over the testdata tables
+        def __init__(self):
+            self.spark = spark
+
+        def scan(self, table, **kw):
+            return ld(spark, sf_dir, table)
+
+    return xtql_edn.run(_Cat(), """
+      (-> (from :orders [o_orderpriority o_totalprice])
+          (where (> o_totalprice 1000.0))
+          (aggregate o_orderpriority {:n (row-count)}
+                                     {:mx (max o_totalprice)})
+          (order-by o_orderpriority))
+    """)
