@@ -177,3 +177,17 @@ def test_sample_frames_expands_rows(spark):
         # timestamps strictly increasing with frame index
         ts = [f["ts_ms"] for f in sorted(frames, key=lambda x: x["frame_idx"])]
         assert ts == sorted(ts)
+
+
+def test_duplicate_clusters_transitive(spark):
+    from xtdb_spark.pipeline.dedup import duplicate_clusters
+
+    # chain 1-2-3 (A~B, B~C but never A~C), pair 10-11, and a
+    # two-edge star 20-21, 20-22: transitivity must merge chains
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)],
+        ["id_a", "id_b"])
+    out = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

@@ -204,3 +204,46 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id) where cluster_id = the MIN doc id reachable
+    through dup edges — the canonical "keep one per dup cluster"
+    reduction after any pairwise dedup (transitively: if A~B and B~C,
+    all three land in one cluster even though A~C was never tested).
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes min(own label, neighbors' labels); converges in
+    graph-diameter rounds. Dup graphs are near-cliques (diameter 2-3
+    in practice), so this beats the O(log n) star-contraction variants
+    on constant factors while having the same per-round cost: one
+    shuffle on node id. Each round `localCheckpoint`s to truncate
+    lineage (iterative plans otherwise grow unboundedly) and the
+    convergence probe is a cheap changed-row count; at 100 TB you'd
+    cap rounds instead of probing (diameter bound known) to save one
+    job per round."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct() \
+        .localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        new = (labels.alias("l")
+               .join(nbr, F.col("l.id") == F.col("src"), "left")
+               .select(F.col("l.id").alias("id"),
+                       F.least(F.col("l.label"),
+                               F.coalesce(F.col("nbr_min"), F.col("l.label")))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

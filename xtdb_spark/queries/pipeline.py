@@ -495,3 +495,47 @@ def sequence_packing(spark, sf_dir):
                  F.sum("n_tokens").cast("long").alias("seq_tokens"),
                  F.min("doc_id").alias("first_doc"))
             .orderBy("seq_id"))
+
+
+@register(
+    "pipe_dedup_clusters",
+    r"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(words)-2, 1))])
+               AS grams
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph (transitive
+    dup clusters → one keeper per cluster). Spark side: iterative
+    min-label propagation (pipeline/dedup.duplicate_clusters — one
+    node-id shuffle per round, diameter-bounded); oracle: WITH
+    RECURSIVE transitive closure + MIN over reachable ids."""
+    d = ld(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return (dedup.duplicate_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
