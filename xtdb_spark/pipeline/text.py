@@ -86,3 +86,34 @@ def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercase,
     whitespace-collapsed text — the exact-dup key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# --------------------------------------------------------------- PII
+
+# Category → (pattern, replacement token). Patterns are written in
+# the common subset of Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b word boundaries — no
+# lookarounds/backrefs. Applied in this fixed order (SSN before phone
+# keeps the 3-2-4 digit shape from ever being read as a phone).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-category PII occurrence counts (JVM regexp_count — one
+    codegen'd pass per pattern, no UDF)."""
+    return [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS]
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its category token, applying the
+    patterns in PII_PATTERNS order."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -539,3 +539,129 @@ def dedup_clusters(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
     return (dedup.duplicate_clusters(pairs)
             .select(F.col("id").alias("doc_id"), "cluster_id"))
+
+
+@register(
+    "pipe_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-867-5309' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 192.168.1.77' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' ssn 123-45-6789' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact_scan(spark, sf_dir):
+    """PII detect + redact (training-corpus scrubbing): per-category
+    occurrence counts and the md5 of the redacted text. PII instances
+    are synthesized deterministically onto the docs so the oracle
+    checks NONZERO detection, not just zeros; patterns live in the
+    Java-regex ∩ RE2 subset (pipeline/text.PII_PATTERNS) so both
+    engines read them identically."""
+    d = ld(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call 555-867-5309")).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" from 192.168.1.77")).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(""),
+        ).alias("text"))
+    return aug.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{name}")
+          for c, (name, _, _) in zip(text.pii_counts(F.col("text")),
+                                     text.PII_PATTERNS)],
+        F.md5(text.pii_redact(F.col("text"))).alias("redacted_md5"))
+
+
+@register(
+    "pipe_contamination_check",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 50 = 0 OR doc_id % 97 = 0
+                          THEN ' the quick brown fox jumps over the lazy dog near the riverbank at dawn'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+4], ' ')
+                            for i in generate_series(1, greatest(len(words)-4, 1))])
+               AS grams
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+            FROM aug)
+    ),
+    b AS (SELECT doc_id AS bench_id, grams FROM g WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, b.bench_id,
+           CAST(len(list_intersect(t.grams, b.grams)) AS BIGINT) AS n_shared
+    FROM g t JOIN b ON t.doc_id != b.bench_id
+    WHERE len(list_intersect(t.grams, b.grams)) >= 3
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan (eval-set leakage detection for
+    training corpora): flag training docs sharing >= 3 distinct word
+    5-grams with any benchmark doc. The benchmark set is a
+    deterministic slice (doc_id % 97 = 0) standing in for an external
+    eval suite. Scale shape: the benchmark shingle table is tiny →
+    BROADCAST to the training shingle scan, candidate counts fall out
+    of one gram-equality join — never an all-pairs document join."""
+    d = ld(spark, sf_dir, "documents")
+    # a deterministic "leaked eval passage" planted on some training
+    # docs AND every benchmark doc, so the oracle proves detection
+    # fires (not just that both engines agree on zero)
+    passage = (" the quick brown fox jumps over the lazy dog near the"
+               " riverbank at dawn")
+    d = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when((F.col("doc_id") % 50 == 0)
+                        | (F.col("doc_id") % 97 == 0),
+                        passage).otherwise("")).alias("text"))
+    sh = dedup._shingle_table(d, "doc_id", "text", 5)
+    bench = (sh.filter(F.col("id") % 97 == 0)
+             .select(F.col("id").alias("bench_id"),
+                     F.col("gram").alias("bgram")))
+    return (sh.join(F.broadcast(bench),
+                    (F.col("gram") == F.col("bgram"))
+                    & (F.col("id") != F.col("bench_id")))
+            .groupBy(F.col("id").alias("doc_id"), "bench_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
