@@ -347,3 +347,94 @@ def misc_battery(spark, sf_dir):
         F.slice(F.col("w"), 1, F.greatest(F.size("w") - 2, F.lit(0)))
         .alias("trimmed"),
     ).orderBy("k", "rev"))
+
+
+@register(
+    "fn_trig_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COS(l_quantity), 6) AS c,
+           ROUND(TAN(l_quantity / 100), 6) AS t,
+           ROUND(ASIN(l_discount * 9), 6) AS asn,
+           ROUND(ACOS(l_discount * 9), 6) AS acs,
+           ROUND(ATAN(l_quantity), 6) AS atn,
+           ROUND(SINH(l_discount * 5), 6) AS snh,
+           ROUND(COSH(l_discount * 5), 6) AS csh,
+           ROUND(TANH(l_quantity / 10), 6) AS tnh,
+           ROUND(LOG(2.0, l_extendedprice), 6) AS lg2,
+           ROUND(POWER(l_quantity, 0.5), 6) AS pw
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def trig_battery(spark, sf_dir):
+    """The full trig/hyperbolic math-op loop (reference
+    expression.clj:1755-1757: sin cos tan asin acos atan sinh cosh
+    tanh + 2-arg log/power). asin/acos inputs stay in [-1,1] via
+    l_discount*9 (discount <= 0.1); 6dp rounding absorbs libm-vs-JVM
+    last-ulp noise."""
+    li = ld(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    q, d, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.cos(q), 6).alias("c"),
+        F.round(F.tan(q / 100), 6).alias("t"),
+        F.round(F.asin(d * 9), 6).alias("asn"),
+        F.round(F.acos(d * 9), 6).alias("acs"),
+        F.round(F.atan(q), 6).alias("atn"),
+        F.round(F.sinh(d * 5), 6).alias("snh"),
+        F.round(F.cosh(d * 5), 6).alias("csh"),
+        F.round(F.tanh(q / 10), 6).alias("tnh"),
+        F.round(F.log(2.0, p), 6).alias("lg2"),
+        F.round(F.pow(q, 0.5), 6).alias("pw"),
+    ).orderBy("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "fn_null_safe_eq",
+    """
+    SELECT o_orderkey,
+           a IS NOT DISTINCT FROM b AS nseq,
+           a = b AS eq3vl,
+           (a = b) IS NULL AS eq_unknown,
+           COALESCE(a = b, FALSE) AS is_true_eq,
+           NOT COALESCE(a = b, TRUE) AS is_false_eq,
+           a IS NULL AS a_null,
+           {'x': a, 'y': 1} = {'x': b, 'y': 1} AS struct_eq,
+           [a, 1] = [b, 1] AS list_eq
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_orderkey % 5 END AS a,
+                 CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                      ELSE o_orderkey % 5 END AS b
+          FROM orders WHERE o_orderkey < 400)
+    ORDER BY o_orderkey
+    """,
+)
+def null_safe_eq(spark, sf_dir):
+    """Null-safe `===` (reference expression.clj:812-835) vs 3VL `=`
+    (:788-810), the is_true/is_false/is_null boolean accessors
+    (:837-855), and struct/list equality (:1963-2357). Spark
+    eqNullSafe == DuckDB IS NOT DISTINCT FROM; struct/array equality
+    is element-wise in both."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    a = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)) \
+        .otherwise(F.col("o_orderkey") % 5)
+    b = F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)) \
+        .otherwise(F.col("o_orderkey") % 5)
+    base = o.select("o_orderkey", a.alias("a"), b.alias("b"))
+    eq = F.col("a") == F.col("b")
+    return (base.select(
+        "o_orderkey",
+        F.col("a").eqNullSafe(F.col("b")).alias("nseq"),
+        eq.alias("eq3vl"),
+        eq.isNull().alias("eq_unknown"),
+        F.coalesce(eq, F.lit(False)).alias("is_true_eq"),
+        (~F.coalesce(eq, F.lit(True))).alias("is_false_eq"),
+        F.col("a").isNull().alias("a_null"),
+        (F.struct(F.col("a").alias("x"), F.lit(1).alias("y"))
+         == F.struct(F.col("b").alias("x"), F.lit(1).alias("y")))
+        .alias("struct_eq"),
+        (F.array(F.col("a"), F.lit(1)) == F.array(F.col("b"), F.lit(1)))
+        .alias("list_eq"),
+    ).orderBy("o_orderkey"))
