@@ -222,3 +222,58 @@ def dyn_compare_key(col: Column, legs: tuple = SCALAR_LEGS,
     analogous to the reference's cross-type comparators."""
     return F.struct(col["_leg"].alias("t"),
                     as_string(col, legs, nested).alias("v"))
+
+
+# ---- nested 3VL equality ----------------------------------------------------
+#
+# Spark's native `=` over struct/array treats a NULL element pair as
+# FALSE; the SQL standard, DuckDB, and the reference's codegen'd
+# nested equality (reference expression.clj:1963-2357, :788-835)
+# propagate UNKNOWN positionally: elements compare left-to-right and
+# the first non-TRUE pair decides — FALSE if it is definitively
+# unequal, NULL if it is UNKNOWN (either side NULL). A prefix of TRUE
+# pairs followed by a length mismatch is FALSE. These helpers emulate
+# that as pure column CASE expressions (JVM-side, codegen-friendly).
+
+def eq3vl_pairs(pairs: list) -> Column:
+    """Fold element-wise 3VL comparisons positionally: the first pair
+    that is NULL yields NULL, the first that is FALSE yields FALSE,
+    all-TRUE yields TRUE. `pairs` are Columns already carrying 3VL
+    semantics (e.g. `l == r` on scalars)."""
+    res = F.lit(True)
+    for p in reversed(pairs):
+        res = (F.when(p.isNull(), F.lit(None).cast("boolean"))
+                .when(~p, F.lit(False))
+                .otherwise(res))
+    return res
+
+
+def struct_eq(left: Column, right: Column, fields: list) -> Column:
+    """Null-aware struct equality over named `fields` (positional
+    order = comparison order). NULL struct on either side → NULL."""
+    body = eq3vl_pairs([left[f] == right[f] for f in fields])
+    return (F.when(left.isNull() | right.isNull(),
+                   F.lit(None).cast("boolean"))
+             .otherwise(body))
+
+
+def array_eq(left: Column, right: Column) -> Column:
+    """Null-aware array equality for scalar-element arrays of any
+    length. Lexicographic over the common prefix (first FALSE → FALSE,
+    first NULL-pair → NULL), then length check; NULL array → NULL."""
+    m = F.least(F.size(left), F.size(right))
+    # per-position verdict: 0 = unequal, 1 = unknown, 2 = equal
+    zipped = F.zip_with(
+        F.slice(left, F.lit(1), m), F.slice(right, F.lit(1), m),
+        lambda x, y: (F.when(x.isNull() | y.isNull(), F.lit(1))
+                       .when(x == y, F.lit(2))
+                       .otherwise(F.lit(0))))
+    first = F.aggregate(
+        zipped, F.lit(2),
+        lambda acc, v: F.when(acc != 2, acc).otherwise(v))
+    return (F.when(left.isNull() | right.isNull(),
+                   F.lit(None).cast("boolean"))
+             .when(first == 0, F.lit(False))
+             .when(first == 1, F.lit(None).cast("boolean"))
+             .when(F.size(left) != F.size(right), F.lit(False))
+             .otherwise(F.lit(True)))
