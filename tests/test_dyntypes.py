@@ -156,3 +156,70 @@ def test_nested_list_and_struct_legs(spark):
     with pytest.raises(TypeError):
         dt.encode_rows(spark, [{"_id": 1, "v": [[1]]},
                                {"_id": 2, "v": "s"}])
+
+
+# ---- nested 3VL equality (reference expression.clj:1962-2010, 2256-2301) ----
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_eq3vl_pairs_min_fold(spark):
+    N = F.lit(None).cast("boolean")
+    T, Fl = F.lit(True), F.lit(False)
+    # FALSE dominates NULL regardless of position (AND-fold, not
+    # first-non-TRUE): [NULL, FALSE] must be FALSE.
+    assert _one(spark, dt.eq3vl_pairs([N, Fl])) is False
+    assert _one(spark, dt.eq3vl_pairs([Fl, N])) is False
+    assert _one(spark, dt.eq3vl_pairs([T, N])) is None
+    assert _one(spark, dt.eq3vl_pairs([N, T])) is None
+    assert _one(spark, dt.eq3vl_pairs([T, T])) is True
+    assert _one(spark, dt.eq3vl_pairs([T, Fl])) is False
+
+
+def test_struct_eq_3vl(spark):
+    def s(x, y):
+        return F.struct(F.lit(x).cast("int").alias("x"),
+                        F.lit(y).cast("int").alias("y"))
+    # {x: NULL, y: 2} = {x: 1, y: 3} → FALSE (y pair decides)
+    assert _one(spark, dt.struct_eq(s(None, 2), s(1, 3), ["x", "y"])) is False
+    # {x: NULL, y: 2} = {x: 1, y: 2} → NULL
+    assert _one(spark, dt.struct_eq(s(None, 2), s(1, 2), ["x", "y"])) is None
+    assert _one(spark, dt.struct_eq(s(1, 2), s(1, 2), ["x", "y"])) is True
+    assert _one(spark, dt.struct_eq(s(1, 2), s(1, 3), ["x", "y"])) is False
+    # NULL struct → NULL
+    ns = F.lit(None).cast("struct<x:int,y:int>")
+    assert _one(spark, dt.struct_eq(ns, s(1, 2), ["x", "y"])) is None
+    # differing key sets → FALSE (expression.clj:1967-1968)
+    assert _one(spark, dt.struct_eq(s(1, 2), s(1, 2), ["x", "y"],
+                                    right_fields=["x", "z"])) is False
+
+
+def test_array_eq_3vl(spark):
+    def a(*xs):
+        return F.array(*[F.lit(x).cast("int") for x in xs])
+    # length mismatch → FALSE even with NULL elements present
+    assert _one(spark, dt.array_eq(a(None), a(1, 2))) is False
+    # [NULL,5] = [1,6] → FALSE (second pair decides; min-fold)
+    assert _one(spark, dt.array_eq(a(None, 5), a(1, 6))) is False
+    # [NULL,1] = [2,1] → NULL (no FALSE pair)
+    assert _one(spark, dt.array_eq(a(None, 1), a(2, 1))) is None
+    assert _one(spark, dt.array_eq(a(1, 2), a(1, 2))) is True
+    assert _one(spark, dt.array_eq(a(1, 2), a(1, 3))) is False
+    na = F.lit(None).cast("array<int>")
+    assert _one(spark, dt.array_eq(na, a(1))) is None
+
+
+def test_array_eq_legs_numeric_cross_leg(spark):
+    # [1] (i64 leg) = [1.0] (f64 leg) → TRUE via leg-aware element eq
+    df = dt.encode_rows(spark, [
+        {"_id": 1, "l": [1], "r": [1.0]},
+        {"_id": 2, "l": [1], "r": [2.0]},
+        {"_id": 3, "l": ["a"], "r": ["a"]},
+        {"_id": 4, "l": ["a"], "r": [1]},
+    ])
+    got = {r["_id"]: r["e"] for r in df.select(
+        "_id",
+        dt.array_eq(F.col("l.arr"), F.col("r.arr"),
+                    elem_eq=dt.legs_elem_eq).alias("e")).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}

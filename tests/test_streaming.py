@@ -145,3 +145,31 @@ def test_dedupe_stream_drops_cross_batch_redeliveries(spark, tmp_path):
     # batch fallback dedupes on the key too
     batch = spark.createDataFrame(b1 + b2, schema)
     assert dedupe_stream(batch, ["event_id"]).count() == 3
+
+
+def test_catalog_stream_windowed_counts_entry(spark):
+    """Regression: the CATALOG entry (not a test-built source) must
+    run end-to-end on the driver's parquet. Round 3 broke because the
+    events parquet reads ts as TIMESTAMP_NTZ, withWatermark rejected
+    it, and the suite's own typed sources masked the failure."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["stream_windowed_counts"](
+        spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert dict(df.dtypes)["win_start"].startswith("timestamp")
+
+
+def test_windowed_counts_casts_ntz(spark):
+    """windowed_counts itself must tolerate a TIMESTAMP_NTZ event-time
+    column on the streaming path (cast, not crash)."""
+    from datetime import datetime
+
+    from xtdb_spark.streaming.ingest import windowed_counts
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 30), "a", 1.0)],
+        "ts timestamp_ntz, event_type string, value double")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = windowed_counts(df)
+    assert out.collect()[0]["n"] == 1

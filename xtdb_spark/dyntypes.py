@@ -227,53 +227,88 @@ def dyn_compare_key(col: Column, legs: tuple = SCALAR_LEGS,
 # ---- nested 3VL equality ----------------------------------------------------
 #
 # Spark's native `=` over struct/array treats a NULL element pair as
-# FALSE; the SQL standard, DuckDB, and the reference's codegen'd
-# nested equality (reference expression.clj:1963-2357, :788-835)
-# propagate UNKNOWN positionally: elements compare left-to-right and
-# the first non-TRUE pair decides — FALSE if it is definitively
-# unequal, NULL if it is UNKNOWN (either side NULL). A prefix of TRUE
-# pairs followed by a length mismatch is FALSE. These helpers emulate
-# that as pure column CASE expressions (JVM-side, codegen-friendly).
+# definitively unequal (FALSE); the SQL standard and the reference's
+# codegen'd nested equality (reference expression.clj:788-835,
+# 1962-2010 struct, 2256-2301 list) use AND-fold row-equality
+# semantics instead: every element pair compares with 3VL `=`, and the
+# verdicts fold with min over {FALSE=0 < NULL=1 < TRUE=2} — any FALSE
+# pair forces FALSE regardless of NULL pairs elsewhere, else any NULL
+# pair gives NULL, else TRUE. A list length mismatch is FALSE before
+# any element is examined. These helpers emulate that as pure column
+# CASE expressions (JVM-side, codegen-friendly).
 
 def eq3vl_pairs(pairs: list) -> Column:
-    """Fold element-wise 3VL comparisons positionally: the first pair
-    that is NULL yields NULL, the first that is FALSE yields FALSE,
-    all-TRUE yields TRUE. `pairs` are Columns already carrying 3VL
-    semantics (e.g. `l == r` on scalars)."""
-    res = F.lit(True)
-    for p in reversed(pairs):
-        res = (F.when(p.isNull(), F.lit(None).cast("boolean"))
-                .when(~p, F.lit(False))
-                .otherwise(res))
-    return res
+    """AND-fold element-wise 3VL comparisons (reference
+    expression.clj:1962-2010 min-fold): FALSE if any pair is FALSE,
+    else NULL if any pair is NULL, else TRUE. `pairs` are Columns
+    already carrying 3VL semantics (e.g. `l == r` on scalars)."""
+    any_false = F.lit(False)
+    any_null = F.lit(False)
+    for p in pairs:
+        any_false = any_false | ~F.coalesce(p, F.lit(True))
+        any_null = any_null | p.isNull()
+    return (F.when(any_false, F.lit(False))
+             .when(any_null, F.lit(None).cast("boolean"))
+             .otherwise(F.lit(True)))
 
 
-def struct_eq(left: Column, right: Column, fields: list) -> Column:
-    """Null-aware struct equality over named `fields` (positional
-    order = comparison order). NULL struct on either side → NULL."""
+def struct_eq(left: Column, right: Column, fields: list,
+              right_fields: list | None = None) -> Column:
+    """Null-aware struct equality with AND-fold semantics. NULL struct
+    on either side → NULL. When the two sides' key sets differ the
+    reference returns FALSE (expression.clj:1967-1968) — pass
+    `right_fields` to express that; with the default (shared schema,
+    the Spark-typed common case) both sides use `fields`."""
+    if right_fields is not None and sorted(right_fields) != sorted(fields):
+        return (F.when(left.isNull() | right.isNull(),
+                       F.lit(None).cast("boolean"))
+                 .otherwise(F.lit(False)))
     body = eq3vl_pairs([left[f] == right[f] for f in fields])
     return (F.when(left.isNull() | right.isNull(),
                    F.lit(None).cast("boolean"))
              .otherwise(body))
 
 
-def array_eq(left: Column, right: Column) -> Column:
-    """Null-aware array equality for scalar-element arrays of any
-    length. Lexicographic over the common prefix (first FALSE → FALSE,
-    first NULL-pair → NULL), then length check; NULL array → NULL."""
-    m = F.least(F.size(left), F.size(right))
-    # per-position verdict: 0 = unequal, 1 = unknown, 2 = equal
+def array_eq(left: Column, right: Column, elem_eq=None) -> Column:
+    """Null-aware array equality (reference list :==,
+    expression.clj:2256-2301): NULL array → NULL; length mismatch →
+    FALSE before any element comparison; else element verdicts
+    {FALSE=0, NULL=1, TRUE=2} fold with min, so FALSE dominates NULL.
+    `elem_eq(x, y) -> Column` overrides the element comparison (e.g.
+    `legs_elem_eq` for arrays of legs-structs)."""
+    cmp = elem_eq if elem_eq is not None else (lambda x, y: x == y)
     zipped = F.zip_with(
-        F.slice(left, F.lit(1), m), F.slice(right, F.lit(1), m),
+        left, right,
         lambda x, y: (F.when(x.isNull() | y.isNull(), F.lit(1))
-                       .when(x == y, F.lit(2))
+                       .when(cmp(x, y), F.lit(2))
                        .otherwise(F.lit(0))))
-    first = F.aggregate(
-        zipped, F.lit(2),
-        lambda acc, v: F.when(acc != 2, acc).otherwise(v))
+    verdict = F.aggregate(zipped, F.lit(2),
+                          lambda acc, v: F.least(acc, v))
     return (F.when(left.isNull() | right.isNull(),
                    F.lit(None).cast("boolean"))
-             .when(first == 0, F.lit(False))
-             .when(first == 1, F.lit(None).cast("boolean"))
              .when(F.size(left) != F.size(right), F.lit(False))
+             .when(verdict == 0, F.lit(False))
+             .when(verdict == 1, F.lit(None).cast("boolean"))
              .otherwise(F.lit(True)))
+
+
+def legs_elem_eq(x: Column, y: Column) -> Column:
+    """Leg-aware equality between two scalar legs-structs: numeric
+    legs (i64/f64/dec) compare by value across legs — the reference's
+    `:== :num :num` widens int/float/decimal so 1 = 1.0 is TRUE
+    (expression.clj numeric comparison) — while non-numeric legs
+    require the same leg and equal stored value."""
+    num = ("i64", "f64", "dec")
+    xn = F.coalesce(*[x[lg].cast("double") for lg in num])
+    yn = F.coalesce(*[y[lg].cast("double") for lg in num])
+    x_is_num, y_is_num = x["_leg"].isin(*num), y["_leg"].isin(*num)
+    same_leg_eq = F.lit(None).cast("boolean")
+    for lg in SCALAR_LEGS:
+        if lg in num:
+            continue
+        same_leg_eq = (F.when(x["_leg"] == F.lit(lg), x[lg] == y[lg])
+                        .otherwise(same_leg_eq))
+    return (F.when(x_is_num & y_is_num, xn == yn)
+             .when(x_is_num != y_is_num, F.lit(False))
+             .when(x["_leg"] != y["_leg"], F.lit(False))
+             .otherwise(same_leg_eq))

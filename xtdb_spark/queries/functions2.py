@@ -358,9 +358,10 @@ def misc_battery(spark, sf_dir):
            ROUND(ASIN(l_discount * 9), 6) AS asn,
            ROUND(ACOS(l_discount * 9), 6) AS acs,
            ROUND(ATAN(l_quantity), 6) AS atn,
-           ROUND(SINH(l_discount * 5), 6) AS snh,
-           ROUND(COSH(l_discount * 5), 6) AS csh,
-           ROUND(TANH(l_quantity / 10), 6) AS tnh,
+           ROUND((EXP(l_discount * 5) - EXP(-(l_discount * 5))) / 2, 6) AS snh,
+           ROUND((EXP(l_discount * 5) + EXP(-(l_discount * 5))) / 2, 6) AS csh,
+           ROUND((EXP(2 * (l_quantity / 10)) - 1)
+                 / (EXP(2 * (l_quantity / 10)) + 1), 6) AS tnh,
            ROUND(LOG(2.0, l_extendedprice), 6) AS lg2,
            ROUND(POWER(l_quantity, 0.5), 6) AS pw
     FROM lineitem WHERE l_orderkey < 300
@@ -372,7 +373,8 @@ def trig_battery(spark, sf_dir):
     expression.clj:1755-1757: sin cos tan asin acos atan sinh cosh
     tanh + 2-arg log/power). asin/acos inputs stay in [-1,1] via
     l_discount*9 (discount <= 0.1); 6dp rounding absorbs libm-vs-JVM
-    last-ulp noise."""
+    last-ulp noise. The oracle expresses sinh/cosh/tanh via exp
+    identities because DuckDB 1.0.0 has no hyperbolic functions."""
     li = ld(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     q, d, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     return (li.select(
@@ -414,9 +416,13 @@ def trig_battery(spark, sf_dir):
 def null_safe_eq(spark, sf_dir):
     """Null-safe `===` (reference expression.clj:812-835) vs 3VL `=`
     (:788-810), the is_true/is_false/is_null boolean accessors
-    (:837-855), and struct/list equality (:1963-2357). Spark
-    eqNullSafe == DuckDB IS NOT DISTINCT FROM; struct/array equality
-    is element-wise in both."""
+    (:837-855), and struct/list equality (:1962-2010, :2256-2301).
+    Spark eqNullSafe == DuckDB IS NOT DISTINCT FROM. Spark's native
+    struct/array `=` treats a NULL element pair as FALSE, so the
+    struct_eq/list_eq columns route through dyntypes.struct_eq /
+    array_eq, which implement the reference's AND-fold 3VL semantics
+    (any FALSE pair → FALSE, else any NULL pair → NULL)."""
+    from xtdb_spark import dyntypes as dt
     o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
     a = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)) \
         .otherwise(F.col("o_orderkey") % 5)
@@ -424,6 +430,8 @@ def null_safe_eq(spark, sf_dir):
         .otherwise(F.col("o_orderkey") % 5)
     base = o.select("o_orderkey", a.alias("a"), b.alias("b"))
     eq = F.col("a") == F.col("b")
+    sl = F.struct(F.col("a").alias("x"), F.lit(1).cast("bigint").alias("y"))
+    sr = F.struct(F.col("b").alias("x"), F.lit(1).cast("bigint").alias("y"))
     return (base.select(
         "o_orderkey",
         F.col("a").eqNullSafe(F.col("b")).alias("nseq"),
@@ -432,9 +440,8 @@ def null_safe_eq(spark, sf_dir):
         F.coalesce(eq, F.lit(False)).alias("is_true_eq"),
         (~F.coalesce(eq, F.lit(True))).alias("is_false_eq"),
         F.col("a").isNull().alias("a_null"),
-        (F.struct(F.col("a").alias("x"), F.lit(1).alias("y"))
-         == F.struct(F.col("b").alias("x"), F.lit(1).alias("y")))
-        .alias("struct_eq"),
-        (F.array(F.col("a"), F.lit(1)) == F.array(F.col("b"), F.lit(1)))
+        dt.struct_eq(sl, sr, ["x", "y"]).alias("struct_eq"),
+        dt.array_eq(F.array(F.col("a"), F.lit(1).cast("bigint")),
+                    F.array(F.col("b"), F.lit(1).cast("bigint")))
         .alias("list_eq"),
     ).orderBy("o_orderkey"))

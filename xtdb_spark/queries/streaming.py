@@ -42,8 +42,13 @@ def stream_windowed_counts(spark, sf_dir):
         os.symlink(f"{sf_dir}/events.parquet", link)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F2.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # parquet may read ts as TIMESTAMP_NTZ, which withWatermark
+        # rejects; session tz is pinned UTC so this is tag-only.
+        stream = stream.withColumn("ts", F2.col("ts").cast("timestamp"))
     agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
     name = "xt_stream_windowed_counts"
     with tempfile.TemporaryDirectory() as ckpt:

@@ -68,6 +68,11 @@ def windowed_counts(events: DataFrame, ts_col: str = "ts",
     late-data-tolerant rollup (exceeds the reference: XTDB has no
     streaming windows). Works on both streaming and batch frames."""
     df = events
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ event time
+        # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session tz is
+        # pinned UTC, so the cast is a pure type-tag change.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (df.groupBy(F.window(F.col(ts_col), window).alias("win"),
@@ -94,5 +99,7 @@ def dedupe_stream(events: DataFrame, id_cols: list[str] | None = None,
     id_cols = id_cols or ["event_id"]
     if not events.isStreaming:
         return events.dropDuplicates(id_cols)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(id_cols))
