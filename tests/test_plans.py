@@ -130,3 +130,20 @@ def test_minhash_lsh_verify_is_candidate_driven(no_aqe):
     one = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     got = jaccard_for_pairs(sh, one).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(0, 1, 1.0)]
+
+
+def test_sequence_packing_window_is_partitioned(spark):
+    """Scale regression: the big cumsum window in pipe_sequence_packing
+    must be PARTITIONED by shard — a bare Window.orderBy funnels the
+    whole table through one task at scale. Only the 256-row
+    shard-prefix window may be unpartitioned."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["pipe_sequence_packing"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins, "expected window operators in the packing plan"
+    big = [ln for ln in wins if "n_tokens" in ln and "shard_tokens" not in ln]
+    assert big and all("windowspecdefinition(shard" in ln for ln in big), \
+        f"per-doc cumsum window must be partitioned by shard: {big}"

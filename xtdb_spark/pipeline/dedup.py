@@ -207,43 +207,72 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 16,
+                       batch_rounds: int = 3) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id, cluster_id) where cluster_id = the MIN doc id reachable
     through dup edges — the canonical "keep one per dup cluster"
     reduction after any pairwise dedup (transitively: if A~B and B~C,
     all three land in one cluster even though A~C was never tested).
 
-    Algorithm: iterative min-label propagation — each round every
-    node takes min(own label, neighbors' labels); converges in
-    graph-diameter rounds. Dup graphs are near-cliques (diameter 2-3
-    in practice), so this beats the O(log n) star-contraction variants
-    on constant factors while having the same per-round cost: one
-    shuffle on node id. Each round `localCheckpoint`s to truncate
-    lineage (iterative plans otherwise grow unboundedly) and the
-    convergence probe is a cheap changed-row count; at 100 TB you'd
-    cap rounds instead of probing (diameter bound known) to save one
-    job per round."""
+    Algorithm: min-label propagation with pointer jumping — each
+    round every node takes min(own label, neighbors' labels), then
+    shortcuts through its label's label (path doubling), so
+    convergence needs O(log diameter) rounds, not O(diameter). Dup
+    graphs are near-cliques (diameter 2-4), so one batch of
+    `batch_rounds` rounds almost always converges.
+
+    Scale shape (100 TB): rounds run LAZILY in batches of
+    `batch_rounds` — one localCheckpoint (lineage truncation) plus
+    one convergence probe per BATCH, i.e. well under one driver job
+    per propagation round, instead of the 2 jobs/round a
+    checkpoint+probe-every-round loop costs. The probe checks the
+    fixpoint directly (a fixpoint ⇔ every edge's endpoints carry the
+    same label), so a converged batch is recognized immediately —
+    no extra confirming batch. Per-round data movement is one
+    shuffle on node id."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).distinct() \
         .localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(max_iter):
-        nbr = (edges.join(labels, edges.dst == labels.id)
+
+    def one_round(lab: DataFrame) -> DataFrame:
+        nbr = (edges.join(lab, edges.dst == lab.id)
                .groupBy("src").agg(F.min("label").alias("nbr_min")))
-        new = (labels.alias("l")
-               .join(nbr, F.col("l.id") == F.col("src"), "left")
-               .select(F.col("l.id").alias("id"),
-                       F.least(F.col("l.label"),
-                               F.coalesce(F.col("nbr_min"), F.col("l.label")))
-                       .alias("label"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        prop = (lab.alias("l")
+                .join(nbr, F.col("l.id") == F.col("src"), "left")
+                .select(F.col("l.id").alias("id"),
+                        F.least(F.col("l.label"),
+                                F.coalesce(F.col("nbr_min"),
+                                           F.col("l.label")))
+                        .alias("label")))
+        # pointer jumping: label <- min(label, label's own label)
+        ptr = prop.select(F.col("id").alias("pid"),
+                          F.col("label").alias("plabel"))
+        return (prop.alias("a")
+                .join(ptr, F.col("a.label") == F.col("pid"), "left")
+                .select(F.col("a.id").alias("id"),
+                        F.least(F.col("a.label"),
+                                F.coalesce(F.col("plabel"),
+                                           F.col("a.label")))
+                        .alias("label")))
+
+    rounds_done = 0
+    while rounds_done < max_iter:
+        new = labels
+        for _ in range(min(batch_rounds, max_iter - rounds_done)):
+            new = one_round(new)
+            rounds_done += 1
+        new = new.localCheckpoint(eager=True)
         labels = new
-        if changed == 0:
+        la = new.select(F.col("id").alias("sid"), F.col("label").alias("sl"))
+        lb = new.select(F.col("id").alias("did"), F.col("label").alias("dl"))
+        violations = (edges.join(la, edges.src == la.sid)
+                      .join(lb, edges.dst == lb.did)
+                      .filter(F.col("sl") != F.col("dl"))
+                      .limit(1).count())
+        if violations == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -474,22 +474,43 @@ def sequence_packing(spark, sf_dir):
     """Sequence packing for training: documents are hash-shuffled
     (deterministic), token counts cumulated, and each doc assigned to
     the 2048-token context window its running offset lands in — the
-    streaming-concatenation packing LLM dataloaders use. Window
-    cumsum + groupBy; the global ORDER BY cumsum is the scale
-    bottleneck by design here — production shards the shuffle key
-    range first (same math per shard), which this plan preserves."""
+    streaming-concatenation packing LLM dataloaders use.
+
+    Scale shape: a sharded two-pass cumsum, NOT a global
+    Window.orderBy (which funnels all rows through one partition).
+    The shard is the shuffle key's leading hex byte, so sorting by
+    (shard, shuffle_key, doc_id) IS the global (shuffle_key, doc_id)
+    order; pass 1 cumsums within each of the 256 shards in parallel,
+    pass 2 computes each shard's token total (256 rows — window over
+    that is trivially small) and broadcast-joins the exclusive prefix
+    offsets back. global_cumsum = shard_prefix + local_cumsum,
+    identical values to the single-partition plan at any scale."""
     d = ld(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
         .alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"))
-    w = Window.orderBy("shuffle_key", "doc_id") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.select(
-        "doc_id", "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
-        .cast("long").alias("seq_id"))
+    toks = toks.withColumn("shard", F.substring("shuffle_key", 1, 2))
+    w_local = (Window.partitionBy("shard")
+               .orderBy("shuffle_key", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = toks.select(
+        "doc_id", "n_tokens", "shard",
+        F.sum("n_tokens").over(w_local).alias("local_cum"))
+    shard_totals = (toks.groupBy("shard")
+                    .agg(F.sum("n_tokens").alias("shard_tokens")))
+    w_shard = (Window.orderBy("shard")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    prefixes = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_shard), F.lit(0))
+        .alias("shard_prefix"))
+    packed = (local.join(F.broadcast(prefixes), "shard")
+              .select("doc_id", "n_tokens",
+                      F.floor((F.col("shard_prefix") + F.col("local_cum")
+                               - F.col("n_tokens")) / 2048.0)
+                      .cast("long").alias("seq_id")))
     return (packed.groupBy("seq_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("seq_tokens"),
