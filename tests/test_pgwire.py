@@ -278,3 +278,114 @@ def test_client_compat_session_functions(client):
     assert results[0][1] == [["on"]] and tags == ["SHOW"]
     results, _ = client.query("SHOW transaction_isolation")
     assert results[0][1] == [["read committed"]]
+
+
+# ---- authentication (reference authn.clj:16-71) ----------------------------
+
+def _auth_startup(port, user, password=None, md5=False):
+    """Startup exchange returning ('ok'|'error', detail)."""
+    import hashlib
+
+    c = PgClient(port)
+    body = struct.pack(">i", 196608) + c.cstr("user") + c.cstr(user) \
+        + c.cstr("database") + c.cstr("xtdb") + b"\x00"
+    c.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+    while True:
+        t, b = c.read_msg()
+        if t == b"E":
+            c.sock.close()
+            return "error", b.decode(errors="replace")
+        if t == b"R":
+            (code,) = struct.unpack(">i", b[:4])
+            if code == 0:
+                return "ok", c
+            if code == 3:       # cleartext
+                c.send(b"p", c.cstr(password or ""))
+            elif code == 5:     # md5
+                salt = b[4:8]
+                inner = hashlib.md5(
+                    ((password or "") + user).encode()).hexdigest()
+                resp = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+                c.send(b"p", c.cstr(resp))
+            else:
+                raise AssertionError(f"unexpected auth code {code}")
+
+
+def _drain_to_ready(c):
+    while True:
+        t, _ = c.read_msg()
+        if t == b"Z":
+            return
+
+
+def test_auth_cleartext_password(xt):
+    from xtdb_spark.pgwire import AuthRules
+
+    srv = PgWireServer(xt, port=0, auth=AuthRules(
+        rules=[{"method": "password"}], users={"alice": "s3cret"})).start()
+    try:
+        st, detail = _auth_startup(srv.port, "alice", "wrong")
+        assert st == "error" and "28P01" in detail
+        st, c = _auth_startup(srv.port, "alice", "s3cret")
+        assert st == "ok"
+        _drain_to_ready(c)
+        results, tags = c.query("SELECT 1 AS one")
+        assert results[0][1] == [["1"]]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_auth_md5(xt):
+    from xtdb_spark.pgwire import AuthRules
+
+    srv = PgWireServer(xt, port=0, auth=AuthRules(
+        rules=[{"user": "bob", "method": "md5"}],
+        users={"bob": "hunter2"})).start()
+    try:
+        st, detail = _auth_startup(srv.port, "bob", "wrong", md5=True)
+        assert st == "error" and "28P01" in detail
+        st, c = _auth_startup(srv.port, "bob", "hunter2", md5=True)
+        assert st == "ok"
+        _drain_to_ready(c)
+        assert c.query("SELECT 2 AS two")[0][0][1] == [["2"]]
+        c.close()
+        # no rule matches another user → startup refused, 28000
+        st, detail = _auth_startup(srv.port, "mallory", "x")
+        assert st == "error" and "28000" in detail
+    finally:
+        srv.stop()
+
+
+def test_auth_address_rules(xt):
+    from xtdb_spark.pgwire import AuthRules
+
+    # first match wins: loopback trusted, everyone else needs password
+    srv = PgWireServer(xt, port=0, auth=AuthRules(
+        rules=[{"address": "127.", "method": "trust"},
+               {"method": "password"}])).start()
+    try:
+        st, c = _auth_startup(srv.port, "anyone")
+        assert st == "ok"
+        _drain_to_ready(c)
+        c.close()
+    finally:
+        srv.stop()
+
+
+# ---- parameter-binding injection hardening (ADVICE round 3) ----------------
+
+def test_bind_backslash_literal_roundtrip(xt, client):
+    # a value ending in a backslash must come back as DATA, not
+    # swallow the closing quote (Spark treats \ as an escape char)
+    results, _ = client.prepared("SELECT $1 AS v", ["tricky\\"])
+    assert results[0][1] == [["tricky\\"]]
+    results, _ = client.prepared("SELECT $1 AS v", ["a\\'b"])
+    assert results[0][1] == [["a\\'b"]]
+
+
+def test_bind_dollar_inside_string_is_data(xt, client):
+    # $1 inside a string literal is data; only the bare $1 binds
+    results, _ = client.prepared("SELECT '$1' AS s, $1 AS v", ["bound"])
+    (cols, rows), = results
+    assert rows == [["$1", "bound"]]

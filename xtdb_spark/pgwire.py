@@ -11,8 +11,12 @@ an xtdb_spark engine.
 Protocol subset (what real clients actually use):
 
 - StartupMessage / SSLRequest (refused with 'N') / CancelRequest
-- AuthenticationOk (trust), ParameterStatus handshake, BackendKeyData,
-  ReadyForQuery
+- Authentication: trust, cleartext password, and MD5 per an ordered
+  (user, address) rule list — the reference's authn rules model
+  (reference core/src/main/clojure/xtdb/authn.clj:16-71; pgwire.clj
+  startup). Unmatched startups are refused with SQLSTATE 28000,
+  failed passwords with 28P01.
+- ParameterStatus handshake, BackendKeyData, ReadyForQuery
 - Simple query `Q`: multi-statement (tokenizer split on top-level
   `;`), RowDescription + DataRow* + CommandComplete per statement
 - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync —
@@ -77,10 +81,57 @@ def _text(v: Any) -> str | None:
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
+class AuthRules:
+    """Authentication config (reference authn.clj:16-71): an ordered
+    rule list matched on (user, client address); the FIRST matching
+    rule decides the method, and a startup matching no rule is
+    refused. Methods: ``trust`` | ``password`` (cleartext) | ``md5``.
+
+    >>> AuthRules(rules=[{"user": "admin", "method": "password"},
+    ...                  {"address": "127.", "method": "trust"}],
+    ...           users={"admin": "s3cret"})
+
+    The default (no rules) trusts everyone — the out-of-the-box
+    behavior of the reference's dev node."""
+
+    def __init__(self, rules: list[dict] | None = None,
+                 users: dict[str, str] | None = None):
+        self.rules = rules if rules is not None else [{"method": "trust"}]
+        self.users = users or {}
+
+    def method_for(self, user: str, address: str) -> str | None:
+        for r in self.rules:
+            if r.get("user") is not None and r["user"] != user:
+                continue
+            if r.get("address") is not None and \
+                    not address.startswith(r["address"]):
+                continue
+            return r.get("method", "trust")
+        return None
+
+    def check_password(self, user: str, password: str) -> bool:
+        expect = self.users.get(user)
+        return expect is not None and password == expect
+
+    def check_md5(self, user: str, response: str, salt: bytes) -> bool:
+        import hashlib
+
+        expect = self.users.get(user)
+        if expect is None:
+            return False
+        inner = hashlib.md5((expect + user).encode()).hexdigest()
+        want = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+        return response == want
+
+
 def _literal(value: str | None, oid: int) -> str:
     """Render a text-format parameter as a SQL literal (the engine has
     no plan cache, so literal substitution == binding; quoting is
-    strict — '' doubling, typed by the Parse-declared oid)."""
+    strict — backslash doubling THEN '' doubling, typed by the
+    Parse-declared oid). Backslashes must be escaped because Spark's
+    parser treats them as escape characters inside string literals —
+    a trailing ``\\`` would otherwise swallow the closing quote
+    (injection vector)."""
     if value is None:
         return "NULL"
     if oid in _NUMERIC_OIDS or (oid == 0 and _NUM_RE.match(value)):
@@ -88,7 +139,7 @@ def _literal(value: str | None, oid: int) -> str:
             return value
     if oid == 16:
         return "TRUE" if value in ("t", "true", "1") else "FALSE"
-    return "'" + value.replace("'", "''") + "'"
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _split_statements(sql: str) -> list[str]:
@@ -122,9 +173,10 @@ class _Conn:
 
     BATCH = 1024  # DataRows per socket write
 
-    def __init__(self, sock: socket.socket, xt):
+    def __init__(self, sock: socket.socket, xt, auth: AuthRules | None = None):
         self.sock = sock
         self.xt = xt
+        self.auth = auth or AuthRules()
         self.buf = b""
         self.statements: dict[str, tuple[str, list[int]]] = {}
         self.portals: dict[str, str] = {}
@@ -163,7 +215,15 @@ class _Conn:
                 break
             self._error("08P01", f"unsupported protocol code {code}")
             return False
-        self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk (trust)
+        # startup params: key\0value\0 ... \0
+        params: dict[str, str] = {}
+        parts = body[4:].split(b"\x00")
+        for k, v in zip(parts[::2], parts[1::2]):
+            if k:
+                params[k.decode()] = v.decode()
+        if not self._authenticate(params.get("user", "")):
+            return False
+        self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk
         for k, v in (("server_version", "16.0 (xtdb_spark)"),
                      ("server_encoding", "UTF8"),
                      ("client_encoding", "UTF8"),
@@ -175,6 +235,49 @@ class _Conn:
         self._send(b"K", struct.pack(">ii", threading.get_ident() & 0x7FFFFFFF, 0))
         self._ready()
         return True
+
+    def _authenticate(self, user: str) -> bool:
+        """Run the auth exchange for `user` per the configured rules
+        (reference authn.clj:16-71 + pgwire.clj startup): trust →
+        AuthenticationOk immediately; password → AuthenticationCleartextPassword
+        (R code 3); md5 → AuthenticationMD5Password (R code 5 + salt).
+        No matching rule refuses the startup (SQLSTATE 28000)."""
+        try:
+            address = self.sock.getpeername()[0]
+        except OSError:
+            address = ""
+        method = self.auth.method_for(user, address)
+        if method is None:
+            self._error("28000", f"no auth rule matches user {user!r}")
+            return False
+        if method == "trust":
+            return True
+        if method == "password":
+            self._send(b"R", struct.pack(">i", 3))
+            ok = self.auth.check_password(user, self._read_password())
+        elif method == "md5":
+            import os as _os
+
+            salt = _os.urandom(4)
+            self._send(b"R", struct.pack(">i", 5) + salt)
+            ok = self.auth.check_md5(user, self._read_password(), salt)
+        else:
+            self._error("28000", f"unsupported auth method {method!r}")
+            return False
+        if not ok:
+            self._error("28P01", f"password authentication failed for "
+                                 f"user {user!r}")
+            return False
+        return True
+
+    def _read_password(self) -> str:
+        """Read the client's PasswordMessage ('p')."""
+        t = self._recv(1)
+        (ln,) = struct.unpack(">i", self._recv(4))
+        body = self._recv(ln - 4)
+        if t != b"p":
+            return ""
+        return body.rstrip(b"\x00").decode()
 
     def _ready(self) -> None:
         self._send(b"Z", b"I")
@@ -405,13 +508,27 @@ class _Conn:
 
     @staticmethod
     def _bind(sql: str, params: list[str | None], oids: list[int]) -> str:
-        """Substitute $n with typed literals (see _literal)."""
-        def repl(m: re.Match) -> str:
-            i = int(m.group(1)) - 1
-            oid = oids[i] if i < len(oids) else 0
-            return _literal(params[i], oid)
+        """Substitute $n with typed literals (see _literal),
+        token-aware: a `$n` inside a string literal, quoted
+        identifier, or comment is DATA and must survive verbatim —
+        regex-over-raw-SQL substitution would rewrite it."""
+        from xtdb_spark.sql.rewriter import _tokenize
 
-        return re.sub(r"\$(\d+)", repl, sql)
+        toks = _tokenize(sql)
+        out, i = [], 0
+        while i < len(toks):
+            kind, text = toks[i]
+            if (kind == "punct" and text == "$"
+                    and i + 1 < len(toks) and toks[i + 1][0] == "num"):
+                idx = int(toks[i + 1][1]) - 1
+                if 0 <= idx < len(params):
+                    oid = oids[idx] if idx < len(oids) else 0
+                    out.append(_literal(params[idx], oid))
+                    i += 2
+                    continue
+            out.append(text)
+            i += 1
+        return "".join(out)
 
 
 class PgWireServer:
@@ -421,16 +538,18 @@ class PgWireServer:
     connection (each connection issues blocking Spark actions anyway).
     """
 
-    def __init__(self, xt, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, xt, host: str = "127.0.0.1", port: int = 0,
+                 auth: AuthRules | None = None):
         self.xt = xt
         self.host = host
+        self.auth = auth
 
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):  # noqa: D401
                 try:
-                    _Conn(self.request, outer.xt).handle()
+                    _Conn(self.request, outer.xt, outer.auth).handle()
                 except (ConnectionResetError, BrokenPipeError):
                     pass
 
