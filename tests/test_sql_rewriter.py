@@ -280,3 +280,38 @@ def test_dotted_system_catalog_spellings(spark, tmp_path):
     bare = rewrite_and_run(
         xt, "SELECT tablename FROM pg_tables").collect()
     assert "users" in {r["tablename"] for r in bare}
+
+
+def test_pg_catalog_depth_and_xt_views(spark, tmp_path):
+    """The BI-probe complement: pg_proc/pg_index/pg_description/
+    pg_views/pg_roles plus xt.trie_stats and xt.metrics (reference
+    information_schema.clj:59-146,231-508; metrics.clj:1-80) — all
+    reachable through the dotted SQL spellings."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("mt", [{"_id": i, "v": i} for i in range(4)],
+                 system_from="2024-01-01")
+    xt.store.put("mt", [{"_id": 0, "v": 9}], system_from="2024-02-01")
+
+    procs = {r["proname"] for r in
+             rewrite_sql(xt, "SELECT proname FROM pg_catalog.pg_proc")
+             .collect()}
+    assert {"version", "current_schema", "generate_series"} <= procs
+    # empty-but-queryable: introspection must not error
+    assert rewrite_sql(xt, "SELECT * FROM pg_index").count() == 0
+    assert rewrite_sql(xt, "SELECT * FROM pg_catalog.pg_description") \
+        .count() == 0
+    assert rewrite_sql(xt, "SELECT * FROM pg_views").count() == 0
+    roles = rewrite_sql(xt, "SELECT rolname FROM pg_roles").collect()
+    assert roles[0]["rolname"] == "xtdb"
+
+    trie = rewrite_sql(
+        xt, "SELECT * FROM xt.trie_stats WHERE table_name = 'mt'").collect()
+    assert len(trie) == 2          # one row per event file
+    assert all(r["n_rows"] >= 1 and r["n_bytes"] > 0 for r in trie)
+    assert all(r["system_from_min"] is not None for r in trie)
+
+    metrics = {r["metric"]: r["value"] for r in
+               rewrite_sql(xt, "SELECT * FROM xt.metrics").collect()}
+    assert metrics["txs_total"] == 2.0
+    assert metrics["tables_total"] == 1.0
+    assert metrics["storage_files_total"] == 2.0

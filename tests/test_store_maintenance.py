@@ -112,3 +112,79 @@ def test_copy_to_roundtrip(store, tmp_path):
     a = sorted((r["_id"], r["v"]) for r in store.scan("ex").collect())
     b = sorted((r["_id"], r["v"]) for r in store.scan("ex2").collect())
     assert a == b and len(a) == 9
+
+
+# ---- vacuum / retention GC (reference garbage_collector.clj) ---------------
+
+def test_vacuum_deletes_superseded_files(store):
+    # both puts cover the SAME valid range, so v2 fully supersedes v1
+    # in system time — only then is v1 unreachable at system >= now
+    # (a later valid_from would leave v1 visible at old valid times)
+    store.put("g", [{"_id": i, "v": 1} for i in range(5)],
+              valid_from="2024-01-01", system_from="2024-01-01")
+    store.put("g", [{"_id": i, "v": 2} for i in range(5)],
+              valid_from="2024-01-01", system_from="2024-02-01")
+    assert len(store.table_files("g")) == 2
+    deleted = store.vacuum("g")   # horizon = now: keep current only
+    assert len(deleted) == 1
+    assert len(store.table_files("g")) == 1
+    # current state unaffected
+    assert sorted(r["v"] for r in store.scan("g").collect()) == [2] * 5
+    # FOR ALL SYSTEM_TIME truncates at the horizon: only v2 remains
+    hist = store.scan("g", all_system_time=True).collect()
+    assert sorted(set(r["v"] for r in hist)) == [2]
+
+
+def test_vacuum_respects_retention_window(store):
+    from datetime import datetime
+
+    store.put("g2", [{"_id": 1, "v": 1}], valid_from="2024-01-01",
+              system_from="2024-01-01")
+    store.put("g2", [{"_id": 1, "v": 2}], valid_from="2024-01-01",
+              system_from="2024-02-01")
+    # horizon BEFORE the superseding tx: v1 still reachable, keep it
+    assert store.vacuum("g2", datetime(2024, 1, 15)) == []
+    assert len(store.table_files("g2")) == 2
+    # horizon after: v1's file goes
+    assert len(store.vacuum("g2", datetime(2024, 3, 1))) == 1
+    assert store.scan("g2").collect()[0]["v"] == 2
+
+
+def test_vacuum_respects_pins(store):
+    store.put("g3", [{"_id": 1, "v": 1}], valid_from="2024-01-01",
+              system_from="2024-01-01")
+    token = store.pin("g3")
+    pinned_files = store.pinned_files(token)
+    store.put("g3", [{"_id": 1, "v": 2}], valid_from="2024-01-01",
+              system_from="2024-02-01")
+    # pinned manifest blocks the reclaim
+    assert store.vacuum("g3") == []
+    # the pinned scan still answers from its snapshot
+    ev = store.events("g3", files=pinned_files)
+    from xtdb_spark import bitemporal
+    assert bitemporal.resolve_asof(ev).collect()[0]["v"] == 1
+    store.unpin(token)
+    assert len(store.vacuum("g3")) == 1
+    assert store.scan("g3").collect()[0]["v"] == 2
+
+
+def test_vacuum_keeps_partially_live_files(store):
+    # one file carries ids 1+2; only id 1 is later superseded — the
+    # file stays (file-granularity GC, mixed files wait for optimize)
+    store.put("g4", [{"_id": 1, "v": 1}, {"_id": 2, "v": 1}],
+              valid_from="2024-01-01", system_from="2024-01-01")
+    store.put("g4", [{"_id": 1, "v": 2}], valid_from="2024-01-01",
+              system_from="2024-02-01")
+    assert store.vacuum("g4") == []
+    assert len(store.table_files("g4")) == 2
+    got = {r["_id"]: r["v"] for r in store.scan("g4").collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_vacuum_partial_valid_range_not_covering(store):
+    # the later event covers only part of the valid range → not dead
+    store.put("g5", [{"_id": 1, "v": 1}], valid_from="2024-01-01",
+              system_from="2024-01-01")
+    store.put("g5", [{"_id": 1, "v": 2}], valid_from="2024-06-01",
+              system_from="2024-02-01")   # open-ended but starts later
+    assert store.vacuum("g5") == []

@@ -4,10 +4,15 @@ Reference: the reference node exposes Arrow Flight SQL
 (reference core/src/main/clojure/xtdb/flight_sql.clj — FlightSqlProducer
 with statement execute / prepared statements streaming Arrow record
 batches) alongside pgwire. This module is the Spark-first counterpart
-built on `pyarrow.flight`: the full Flight SQL protobuf command
-vocabulary is overkill for a library engine, so we speak plain Flight
-with the conventional "ticket carries the query" encoding that Flight
-SQL compiles down to anyway:
+built on `pyarrow.flight`, speaking BOTH protocols on one port:
+
+- **Flight SQL proper** (see :mod:`xtdb_spark.flightsql`):
+  Any-wrapped protobuf descriptor commands — CommandStatementQuery,
+  CommandPreparedStatementQuery, CommandGetCatalogs/DbSchemas/Tables/
+  SqlInfo, CreatePreparedStatement/ClosePreparedStatement actions —
+  the wire surface stock `adbc_driver_flightsql` / JDBC clients use.
+- **Plain Flight** with the conventional "ticket carries the query"
+  JSON encoding, kept for the lightweight FlightClient below:
 
 - `get_flight_info` / `get_schema`: descriptor is either a table path
   (store table) or a command payload `{"sql": ..., "args": [...]}` —
@@ -62,9 +67,12 @@ if _HAVE_FLIGHT:
         """
 
         def __init__(self, session, location: str = "grpc://127.0.0.1:0"):
+            from xtdb_spark.flightsql import FlightSqlHandler
+
             super().__init__(location)
             self.session = session
             self._lock = threading.Lock()
+            self._fsql = FlightSqlHandler(session)
 
         # -- helpers -------------------------------------------------
         def _df_for_descriptor(self, descriptor):
@@ -87,11 +95,34 @@ if _HAVE_FLIGHT:
             return flight.FlightInfo(self._arrow_schema(df), descriptor,
                                      [endpoint], -1, -1)
 
+        def _fsql_info(self, descriptor):
+            """FlightInfo when the descriptor is a Flight SQL
+            (Any-wrapped protobuf) command, else None."""
+            from xtdb_spark.flightsql import any_unwrap
+
+            if descriptor.descriptor_type != flight.DescriptorType.CMD:
+                return None
+            wrapped = any_unwrap(descriptor.command)
+            if wrapped is None:
+                return None
+            served = self._fsql.info_for(*wrapped)
+            if served is None:
+                return None
+            schema, ticket = served
+            endpoint = flight.FlightEndpoint(flight.Ticket(ticket), [])
+            return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
         # -- Flight verbs --------------------------------------------
         def get_flight_info(self, context, descriptor):
+            info = self._fsql_info(descriptor)
+            if info is not None:
+                return info
             return self._info(descriptor)
 
         def get_schema(self, context, descriptor):
+            info = self._fsql_info(descriptor)
+            if info is not None:
+                return flight.SchemaResult(info.schema)
             df, _ = self._df_for_descriptor(descriptor)
             return flight.SchemaResult(self._arrow_schema(df))
 
@@ -101,6 +132,12 @@ if _HAVE_FLIGHT:
                     flight.FlightDescriptor.for_path(table.encode()))
 
         def do_get(self, context, ticket):
+            from xtdb_spark.flightsql import any_unwrap
+
+            wrapped = any_unwrap(ticket.ticket)
+            if wrapped is not None:
+                return flight.RecordBatchStream(
+                    self._fsql.table_for_ticket(*wrapped))
             cmd = json.loads(ticket.ticket.decode())
             tbl = self.session.to_arrow(cmd["sql"], cmd.get("args") or None)
             return flight.RecordBatchStream(tbl)
@@ -117,8 +154,13 @@ if _HAVE_FLIGHT:
                     self.session.put(table, rows)
 
         def do_action(self, context, action):
-            body = json.loads(action.body.to_pybytes().decode()) \
-                if action.body and len(action.body) else {}
+            raw = action.body.to_pybytes() if action.body else b""
+            fsql = self._fsql.action(action.type, raw)
+            if fsql is not None:
+                for payload in fsql:
+                    yield flight.Result(payload)
+                return
+            body = json.loads(raw.decode()) if raw else {}
             if action.type == "status":
                 out = self.session.status()
             elif action.type == "delete":
@@ -142,7 +184,9 @@ if _HAVE_FLIGHT:
             return [("status", "node status summary"),
                     ("delete", "delete ids: {table, ids}"),
                     ("erase", "erase ids: {table, ids}"),
-                    ("optimize", "compact store files (applies erases)")]
+                    ("optimize", "compact store files (applies erases)"),
+                    ("CreatePreparedStatement", "Flight SQL prepare"),
+                    ("ClosePreparedStatement", "Flight SQL close")]
 
 
 def serve_flight(session, location: str = "grpc://127.0.0.1:0"):

@@ -175,6 +175,125 @@ def pg_attribute(spark: SparkSession, store) -> DataFrame:
         "attnotnull boolean, attisdropped boolean").filter("attname != ''")
 
 
+# ---- BI-probe depth (reference information_schema.clj:59-146 defines
+# the full pg_catalog complement; tools like DBeaver/Tableau issue
+# exploratory SELECTs against these even when empty — an error aborts
+# their introspection, an empty relation doesn't).
+
+# engine-level SQL functions surfaced through the dialect layer; the
+# reference's pg_proc rows serve exactly this "does function X exist"
+# probe (information_schema.clj pg-proc)
+_PG_PROCS = ("version", "current_schema", "current_schemas",
+             "current_database", "current_user", "generate_series",
+             "uri_scheme", "uri_host", "uri_path", "uri_query")
+
+
+def pg_proc(spark: SparkSession, store=None) -> DataFrame:
+    rows = [(20000 + i, n, 11) for i, n in enumerate(sorted(_PG_PROCS))]
+    return spark.createDataFrame(
+        rows, "oid int, proname string, pronamespace int")
+
+
+def pg_index(spark: SparkSession, store=None) -> DataFrame:
+    """Always empty: the engine has no secondary indexes — scans are
+    pruned by parquet stats/partitioning instead (same answer the
+    reference gives, its trie is not a pg index)."""
+    return spark.createDataFrame(
+        [], "indexrelid int, indrelid int, indnatts int, "
+            "indisunique boolean, indisprimary boolean")
+
+
+def pg_description(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "objoid int, classoid int, objsubid int, description string")
+
+
+def pg_views(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "schemaname string, viewname string, viewowner string, "
+            "definition string")
+
+
+def pg_roles(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [(10, "xtdb", True, True)],
+        "oid int, rolname string, rolsuper boolean, rolcanlogin boolean")
+
+
+def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
+    """`xt.trie_stats` analogue (reference trie_catalog.clj +
+    information_schema.clj trie-stats): one row per storage file with
+    its level-0 metadata — here parquet files play the role of trie
+    leaves, so the row exposes file size + row count + the
+    `_system_from` range from the FOOTER statistics (O(files), no
+    data scan)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for s, t in _tables(store):
+        full = f"{s}.{t}" if s != "public" else t
+        d = store._path(full)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet")) \
+            if os.path.isdir(d) else []
+        for fname in files:
+            p = os.path.join(d, fname)
+            meta = pq.ParquetFile(p).metadata
+            sys_min = sys_max = None
+            try:
+                idx = {meta.schema.column(i).name: i
+                       for i in range(meta.num_columns)}["_system_from"]
+                stats = [meta.row_group(g).column(idx).statistics
+                         for g in range(meta.num_row_groups)]
+                mins = [st.min for st in stats if st and st.has_min_max]
+                maxs = [st.max for st in stats if st and st.has_min_max]
+                if mins:
+                    sys_min, sys_max = str(min(mins)), str(max(maxs))
+            except KeyError:
+                pass
+            rows.append((s, t, fname, 0, meta.num_rows,
+                         os.path.getsize(p), sys_min, sys_max))
+    return spark.createDataFrame(
+        rows or [("", "", "", 0, 0, 0, None, None)],
+        "schema string, table_name string, file string, level int, "
+        "n_rows long, n_bytes long, system_from_min string, "
+        "system_from_max string").filter("table_name != ''")
+
+
+def xt_metrics(spark: SparkSession, store) -> DataFrame:
+    """`xt.metrics` analogue (reference metrics.clj:1-80 exposes
+    node counters over a registry; here: store-level counters derived
+    from the manifest + tx log — the queryable subset that needs no
+    metrics daemon)."""
+    import json as _json
+
+    n_txs = n_committed = 0
+    path = os.path.join(store.warehouse, "_txs.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                n_txs += 1
+                if _json.loads(ln).get("committed"):
+                    n_committed += 1
+    tables = _tables(store)
+    n_files = n_bytes = 0
+    for s, t in tables:
+        d = store._path(f"{s}.{t}" if s != "public" else t)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(d, f))
+    rows = [("txs_total", float(n_txs)),
+            ("txs_committed", float(n_committed)),
+            ("txs_aborted", float(n_txs - n_committed)),
+            ("tables_total", float(len(tables))),
+            ("storage_files_total", float(n_files)),
+            ("storage_bytes_total", float(n_bytes))]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def register_all(spark: SparkSession, store) -> None:
     """Register every introspection view (underscore spellings)."""
     information_schema_tables(spark, store) \
@@ -188,4 +307,12 @@ def register_all(spark: SparkSession, store) -> None:
     pg_namespace(spark, store).createOrReplaceTempView("pg_catalog_pg_namespace")
     pg_class(spark, store).createOrReplaceTempView("pg_catalog_pg_class")
     pg_attribute(spark, store).createOrReplaceTempView("pg_catalog_pg_attribute")
+    pg_proc(spark).createOrReplaceTempView("pg_catalog_pg_proc")
+    pg_index(spark).createOrReplaceTempView("pg_catalog_pg_index")
+    pg_description(spark).createOrReplaceTempView("pg_catalog_pg_description")
+    pg_views(spark).createOrReplaceTempView("pg_catalog_pg_views")
+    pg_roles(spark).createOrReplaceTempView("pg_catalog_pg_roles")
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
+    xt_trie_stats(spark, store).createOrReplaceTempView("xt_trie_stats")
+    xt_metrics(spark, store).createOrReplaceTempView("xt_metrics")
+    store.txs().createOrReplaceTempView("xt_txs")

@@ -128,16 +128,19 @@ _NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
 # (reference routes these through :scan, information_schema.clj:277-285;
 # Spark temp views can't contain dots, so the rewriter maps them; the
 # bare pg_* spellings mirror postgres' pg_catalog search path)
+_PG_CATALOG_TABLES = ("pg_tables", "pg_type", "pg_namespace", "pg_class",
+                      "pg_attribute", "pg_proc", "pg_index",
+                      "pg_description", "pg_views", "pg_roles")
+
 _SYSTEM_VIEWS = {
     "information_schema.tables": "information_schema_tables",
     "information_schema.columns": "information_schema_columns",
     "information_schema.schemata": "information_schema_schemata",
-    **{f"pg_catalog.{t}": f"pg_catalog_{t}"
-       for t in ("pg_tables", "pg_type", "pg_namespace", "pg_class",
-                 "pg_attribute")},
-    **{t: f"pg_catalog_{t}"
-       for t in ("pg_tables", "pg_type", "pg_namespace", "pg_class",
-                 "pg_attribute")},
+    **{f"pg_catalog.{t}": f"pg_catalog_{t}" for t in _PG_CATALOG_TABLES},
+    **{t: f"pg_catalog_{t}" for t in _PG_CATALOG_TABLES},
+    "xt.table_stats": "xt_table_stats",
+    "xt.trie_stats": "xt_trie_stats",
+    "xt.metrics": "xt_metrics",
 }
 
 

@@ -48,6 +48,8 @@ class TableStore:
             "XTDB_SPARK_WAREHOUSE", "/tmp/xtdb_spark_warehouse")
         os.makedirs(self.warehouse, exist_ok=True)
         self._tx_counter = 0
+        self._pins: dict[int, tuple[str, tuple[str, ...]]] = {}
+        self._pin_counter = 0
 
     def _path(self, table: str) -> str:
         schema = table.split(".")[0] if "." in table else None
@@ -453,6 +455,95 @@ class TableStore:
         os.rename(tmp, path)
         shutil.rmtree(old)
         return len(glob.glob(os.path.join(path, "*.parquet")))
+
+    def pin(self, table: str) -> int:
+        """Pin the table's CURRENT file manifest against garbage
+        collection (reference garbage_collector.clj respects live
+        snapshot references the same way). Returns a token; scans
+        built with `events(table, files=pinned_files(token))` keep
+        working even while `vacuum` reclaims files outside the pin.
+        Release with `unpin(token)`."""
+        self._pin_counter += 1
+        self._pins[self._pin_counter] = (table, tuple(self.table_files(table)))
+        return self._pin_counter
+
+    def pinned_files(self, token: int) -> list[str]:
+        return list(self._pins[token][1])
+
+    def unpin(self, token: int) -> None:
+        self._pins.pop(token, None)
+
+    def vacuum(self, table: str, retain_system_time=None) -> list[str]:
+        """Garbage-collect WHOLLY-SUPERSEDED event files (reference
+        garbage_collector.clj + trie-catalog retention: delete files
+        no query inside the retention window can reach).
+
+        `retain_system_time` sets the horizon H: a `datetime` is used
+        as-is; a `timedelta` keeps that much trailing system history
+        (H = now − retain); None retains nothing beyond the current
+        state (H = now). An event is *dead* at H when a LATER event
+        for the same `_iid`, itself committed at or before H, fully
+        covers its valid range (or is an erase) — every as-of or
+        history query with system time ≥ H then resolves past it.
+        Valid-time travel is fully preserved: a version whose valid
+        range is NOT covered by any later event (e.g. a put with a
+        later `valid_from`) stays reachable at old valid times and is
+        never collected — only SYSTEM history truncates. A
+        file is deleted only when EVERY event in it is dead and it is
+        not referenced by an active `pin` — file granularity, like
+        the reference (dead events inside mixed files wait for
+        `optimize`). `FOR ALL SYSTEM_TIME` afterwards shows history
+        truncated at the horizon; current-state scans are unaffected.
+
+        Returns the deleted file paths. Single-writer caveat applies
+        (don't run concurrently with unpinned readers of pre-vacuum
+        manifests)."""
+        from datetime import timedelta
+
+        if retain_system_time is None:
+            horizon = datetime.now(timezone.utc).replace(tzinfo=None)
+        elif isinstance(retain_system_time, timedelta):
+            horizon = (datetime.now(timezone.utc).replace(tzinfo=None)
+                       - retain_system_time)
+        else:
+            horizon = retain_system_time
+        files = self.table_files(table)
+        pinned = {f for t, fs in self._pins.values() if t == table
+                  for f in fs}
+        candidates = [f for f in files if f not in pinned]
+        if not candidates:
+            return []
+
+        ev = (self.events(table, files=files)
+              .withColumn("__file", F.input_file_name()))
+        max_ts = F.lit(bitemporal.MAX_TS).cast("timestamp")
+        h = F.lit(horizon).cast("timestamp")
+        a = ev.alias("a")
+        b = (ev.select("_iid", "_system_from", "_valid_from", "_valid_to",
+                       "op").alias("b"))
+        covers = ((F.col("b.op") == "erase")
+                  | ((F.col("b._valid_from") <= F.col("a._valid_from"))
+                     & (F.coalesce(F.col("b._valid_to"), max_ts)
+                        >= F.coalesce(F.col("a._valid_to"), max_ts))))
+        dead_cond = ((F.col("b._iid") == F.col("a._iid"))
+                     & (F.col("b._system_from") > F.col("a._system_from"))
+                     & (F.col("b._system_from") <= h)
+                     & covers)
+        live = a.join(b, dead_cond, "left_anti")
+
+        def _norm(p: str) -> str:
+            if p.startswith("file:"):
+                p = p[5:]
+            return "/" + p.lstrip("/")
+
+        # one row per file — metadata-scale collect, not data
+        live_files = {_norm(f)
+                      for (f,) in live.select("__file").distinct().collect()}
+        deletable = [f for f in candidates
+                     if _norm(os.path.abspath(f)) not in live_files]
+        for f in deletable:
+            os.remove(f)
+        return deletable
 
     # ---- reads ----
 
