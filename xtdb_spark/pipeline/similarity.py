@@ -51,43 +51,84 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rnk") <= k))
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Random-hyperplane LSH signature as a bit-packed long. Plane
-    p's component j is a deterministic pseudo-random ±1 derived from
-    xxhash64(p, j) — reproducible across runs and engines, no
+def hyperplane_components(vec: Column, dim: int,
+                          n_planes: int = 16) -> Column:
+    """Per-plane projection values (array<double>, length n_planes).
+    Plane p's component j is a deterministic pseudo-random ±1 derived
+    from xxhash64(p, j) — reproducible across runs and engines, no
     driver-side randomness, no data movement."""
-    bits = []
+    def plane_term(p: int):
+        # closure factory, not a default arg: PySpark reads the
+        # lambda's arity, so an extra bound parameter breaks zip_with
+        return lambda x, j: x * F.when(
+            F.pmod(F.xxhash64(F.lit(p), j), F.lit(2)) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    comps = []
     for p in range(n_planes):
-        comp = F.aggregate(
+        comps.append(F.aggregate(
             F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)),
-                       lambda x, j: x * F.when(
-                           F.pmod(F.xxhash64(F.lit(p), j), F.lit(2)) == 0,
-                           F.lit(1.0)).otherwise(F.lit(-1.0))),
-            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-        bits.append((comp > 0).cast("long") * (2 ** p))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+                       plane_term(p)),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    return F.array(*comps)
+
+
+def _sig_of(comps: Column, n_planes: int) -> Column:
+    sig = (comps[0] > 0).cast("long")
+    for p in range(1, n_planes):
+        sig = sig + (comps[p] > 0).cast("long") * (2 ** p)
     return sig
 
 
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane LSH signature as a bit-packed long."""
+    return _sig_of(hyperplane_components(vec, dim, n_planes), n_planes)
+
+
+def _probe_signatures(comps: Column, n_planes: int, n_probes: int) -> Column:
+    """Multi-probe signature set (array<long>): the base signature
+    plus the `n_probes - 1` single-bit flips with the SMALLEST
+    projection margin |comps[p]| — the standard multi-probe LSH
+    heuristic (Lv et al., VLDB'07): a near-zero margin means the
+    neighbor plausibly lies on the other side of that plane, so those
+    adjacent buckets are probed first."""
+    sig = _sig_of(comps, n_planes)
+    pairs = F.array_sort(F.array(*[
+        F.struct(F.abs(comps[p]).alias("m"), F.lit(p).alias("p"))
+        for p in range(n_planes)]))
+    flips = F.slice(pairs, 1, n_probes - 1)
+    flipped = F.transform(
+        flips, lambda s: sig.bitwiseXOR(
+            F.pow(F.lit(2.0), s["p"]).cast("long")))
+    return F.concat(F.array(sig), flipped)
+
+
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-                 n_planes: int = 12, id_col: str = "vec_id",
-                 vec_col: str = "embedding", q_id_col: str = "q_id",
-                 q_vec_col: str = "q_vec") -> DataFrame:
-    """Approximate top-k: bucket corpus+queries by hyperplane
-    signature, exact cosine re-rank within each bucket. Recall < 1 by
-    design; the candidate join is bucket-local (shuffle on signature
-    instead of a full cross join)."""
+                 n_planes: int = 12, n_probes: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: bucket the corpus by hyperplane signature
+    ONCE, probe each query's own bucket plus its `n_probes - 1`
+    smallest-margin adjacent buckets (multi-probe — recall climbs
+    without rehashing the corpus), exact cosine re-rank over the
+    deduped candidates. The candidate join stays bucket-local: a
+    shuffle on signature, never a cross join; multi-probe multiplies
+    only the (tiny) query side by n_probes."""
     c = corpus.select(F.col(id_col).alias("nn_id"),
                       as_double_array(F.col(vec_col)).alias("v"))
     c = c.withColumn("sig", hyperplane_signature(F.col("v"), dim, n_planes))
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        as_double_array(F.col(q_vec_col)).alias("qv"))
-    q = q.withColumn("sig", hyperplane_signature(F.col("qv"), dim, n_planes))
-    scored = (q.join(c, "sig")
-              .select("q_id", "nn_id",
-                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+    q = (q.withColumn("__comps",
+                      hyperplane_components(F.col("qv"), dim, n_planes))
+         .withColumn("sig", F.explode(_probe_signatures(
+             F.col("__comps"), n_planes, max(1, n_probes))))
+         .drop("__comps"))
+    cand = (q.join(c, "sig")
+            .select("q_id", "qv", "nn_id", "v")
+            .dropDuplicates(["q_id", "nn_id"]))
+    scored = cand.select("q_id", "nn_id",
+                         cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))

@@ -225,8 +225,10 @@ def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
     information_schema.clj trie-stats): one row per storage file with
     its level-0 metadata — here parquet files play the role of trie
     leaves, so the row exposes file size + row count + the
-    `_system_from` range from the FOOTER statistics (O(files), no
-    data scan)."""
+    `_system_from` range from the FOOTER statistics when the writer
+    recorded them (Spark's default INT96 timestamp encoding carries
+    no min/max stats — the columns are then NULL). O(files), never a
+    data scan."""
     import pyarrow.parquet as pq
 
     rows = []
