@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xtdb_spark.queries.registry import dsum, ld, register, sql_dsum
+from xtdb_spark.queries.registry import dsum, exact_agg, ld, register, sql_dsum
 
 
 @register(
@@ -138,15 +138,18 @@ def q7(spark, sf_dir):
     pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (s.join(l, s.s_suppkey == l.l_suppkey)
-            .join(o, o.o_orderkey == l.l_orderkey)
-            .join(c, c.c_custkey == o.o_custkey)
-            .join(n1, F.col("s_nationkey") == F.col("nk1"))
-            .join(n2, F.col("c_nationkey") == F.col("nk2"))
-            .filter(pair)
-            .groupBy("supp_nation", "cust_nation",
-                     F.year("l_shipdate").alias("l_year"))
-            .agg(dsum(vol, "revenue")))
+    joined = (s.join(l, s.s_suppkey == l.l_suppkey)
+              .join(o, o.o_orderkey == l.l_orderkey)
+              .join(c, c.c_custkey == o.o_custkey)
+              .join(n1, F.col("s_nationkey") == F.col("nk1"))
+              .join(n2, F.col("c_nationkey") == F.col("nk2"))
+              .filter(pair))
+    # 2 nation-pairs × years: low-cardinality groups, unbounded rows
+    # per group → two-level exact fixed-point aggregation
+    return exact_agg(
+        joined, ["supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year")],
+        sums={"revenue": vol})
 
 
 @register(

@@ -150,6 +150,74 @@ def dsum(col: Column, alias: str, scale: str = "decimal(38,6)") -> Column:
     return F.sum(col.cast(scale)).cast("double").alias(alias)
 
 
+def fx(col: Column) -> Column:
+    """Exact 6dp fixed-point units: per-row COMPACT decimal(18,6)
+    cast (long-backed — same HALF_UP rounding as the decimal(38,6)
+    route, valid for |x| < 1e12) → long micro-units. Summing these
+    longs stays in Spark's fast primitive aggregation path, unlike a
+    wide-decimal sum which drops to per-row BigDecimal (measured 5×
+    slower on TPC-H Q1 at the 60M-row scale)."""
+    return (col.cast("decimal(18,6)") * 1_000_000).cast("long")
+
+
+def fx_total(col: Column) -> Column:
+    """Exact total of fixed-point partials: decimal-sum the (few)
+    longs so the merge can't overflow, then scale back."""
+    return F.sum(col.cast("decimal(38,0)")) / 1_000_000
+
+
+def fxsum(col: Column, alias: str) -> Column:
+    """Single-level exact fixed-point sum — bit-identical to
+    `dsum` but long-accumulated. ONLY for bounded group sizes: the
+    long buffer holds |value|·1e6 per row, so a group must stay under
+    ~9.2e18 / (max|value|·1e6) rows (e.g. ≤ 4.6e7 rows at values up
+    to 2e5 — fine for per-order/per-customer groups whose size is
+    data-model-bounded, wrong for global or per-nation sums at 100 TB
+    — use `exact_agg` there)."""
+    return (F.sum(fx(col)).cast("decimal(38,0)") / 1_000_000) \
+        .cast("double").alias(alias)
+
+
+def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
+              avgs: dict | None = None,
+              counts: dict | None = None) -> DataFrame:
+    """Two-level exact float aggregation for LOW-cardinality groups:
+    stage 1 sums 6dp fixed-point LONGS per (keys, partition) — the
+    whole data pass stays in the primitive fast path — stage 2
+    decimal-sums the per-partition partials (n_partitions × n_groups
+    rows, so the slow wide-decimal arithmetic touches almost
+    nothing). Bit-identical to the direct decimal(38,6) route at any
+    parallelism (same per-row rounding, exact integer summation both
+    levels); no overflow at any scale because a stage-1 group is
+    bounded by partition size and stage 2 is decimal.
+
+    sums/avgs/counts map output alias → input Column (counts: None =
+    COUNT(*)); avgs divide exact sums by counts in DOUBLE, matching
+    `davg`."""
+    sums, avgs, counts = sums or {}, avgs or {}, counts or {}
+    s1 = []
+    for a, c in {**sums, **avgs}.items():
+        s1.append(F.sum(fx(c)).alias(f"__s_{a}"))
+    for a, c in avgs.items():
+        s1.append(F.count(c).alias(f"__n_{a}"))
+    for a, c in counts.items():
+        s1.append((F.count("*") if c is None else F.count(c))
+                  .alias(f"__c_{a}"))
+    g1 = df.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(*s1)
+    s2 = []
+    for a in sums:
+        s2.append(fx_total(F.col(f"__s_{a}")).cast("double").alias(a))
+    for a in avgs:
+        s2.append((fx_total(F.col(f"__s_{a}")).cast("double")
+                   / F.sum(f"__n_{a}").cast("double")).alias(a))
+    for a in counts:
+        s2.append(F.sum(f"__c_{a}").alias(a))
+    # stage 2 regroups BY NAME (keys may be computed expressions that
+    # only exist as columns after stage 1)
+    key_names = [c for c in g1.columns if not c.startswith("__")]
+    return g1.groupBy(*key_names).agg(*s2)
+
+
 def davg(col: Column, alias: str, scale: str = "decimal(38,6)") -> Column:
     """Order-insensitive double average (exact sum / count)."""
     return (F.sum(col.cast(scale)).cast("double") /

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xtdb_spark.queries.registry import (
-    dsum, ld, register, sql_dsum,
+    dsum, exact_agg, ld, register, sql_dsum,
 )
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -183,8 +183,8 @@ def q9(spark, sf_dir):
             .select(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").alias("o_year"),
                     amount.alias("amount"))
-            .groupBy("nation", "o_year")
-            .agg(F.sum("amount").cast("double").alias("sum_profit"))
+            .transform(lambda df: exact_agg(
+                df, ["nation", "o_year"], sums={"sum_profit": F.col("amount")}))
             .orderBy("nation", F.desc("o_year")))
 
 
