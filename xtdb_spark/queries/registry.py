@@ -96,11 +96,35 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
         # cached scans use the whole machine; tiny dims stay at 1.
         size = os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
         npart = 1 if size < 65536 else (8 if size < 4194304 else cpus)
-        df = df.repartition(npart)
+        # Hash-partition fact tables by their PRIMARY join key while
+        # pinning — the local analogue of bucketing: the cached
+        # InMemoryRelation reports HashPartitioning(key, n), so joins
+        # on that key skip the big side's exchange entirely (orders ⋈
+        # lineitem on orderkey is the hottest join in the battery).
+        # On a cluster the same effect comes from bucketed tables /
+        # storage-partitioned joins.
+        key = _CACHE_CLUSTER_KEY.get(t)
+        df = (df.repartition(npart, F.col(key))
+              if key is not None and npart > 1 else df.repartition(npart))
         view = _cache_view_name(sf_dir, t)
         df.createOrReplaceTempView(view)
         spark.catalog.cacheTable(view)
         df.count()  # materialize
+
+
+# primary join key per table (TPC-H-ish schema): orderkey co-locates
+# the orders ⋈ lineitem joins; keys for the smaller tables at least
+# halve their own exchange
+_CACHE_CLUSTER_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
 
 def _cache_view_name(sf_dir: str, table: str) -> str:

@@ -26,6 +26,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~1/4 of physical RAM, clamped to [8g, 32g] — enough execution
+    headroom next to a pinned GB-scale cache, without assuming the
+    whole box."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(8, min(32, pages // (4 << 30)))
+        return f"{gb}g"
+    except (ValueError, OSError):
+        return "8g"
+
+
 def build_spark(
     app_name: str = "xtdb_spark",
     master: str | None = None,
@@ -56,7 +68,12 @@ def build_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[n] runs everything in the driver JVM: the cached
+        # buffer pool AND all execution memory share this heap, so at
+        # GB-scale working sets 8g starves 32-way sort/agg tasks
+        # ([UNABLE_TO_ACQUIRE_MEMORY]); size to the machine, capped
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
     )
