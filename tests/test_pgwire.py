@@ -389,3 +389,77 @@ def test_bind_dollar_inside_string_is_data(xt, client):
     results, _ = client.prepared("SELECT '$1' AS s, $1 AS v", ["bound"])
     (cols, rows), = results
     assert rows == [["$1", "bound"]]
+
+
+def test_auth_scram_sha_256(xt):
+    """Full RFC 5802 client exchange against the server — the
+    mechanism psycopg/JDBC default to on modern Postgres."""
+    import base64
+    import hashlib
+    import hmac as hmac_mod
+    import os as os_mod
+
+    from xtdb_spark.pgwire import AuthRules
+
+    srv = PgWireServer(xt, port=0, auth=AuthRules(
+        rules=[{"method": "scram-sha-256"}],
+        users={"carol": "tops3cret"})).start()
+
+    def scram_login(user, password):
+        c = PgClient(srv.port)
+        body = struct.pack(">i", 196608) + c.cstr("user") + c.cstr(user) \
+            + c.cstr("database") + c.cstr("xtdb") + b"\x00"
+        c.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        t, b = c.read_msg()
+        if t == b"E":
+            return "error", b.decode(errors="replace")
+        assert t == b"R" and struct.unpack(">i", b[:4])[0] == 10
+        assert b"SCRAM-SHA-256" in b
+        cnonce = base64.b64encode(os_mod.urandom(16)).decode()
+        bare = f"n={user},r={cnonce}"
+        client_first = ("n,," + bare).encode()
+        c.send(b"p", c.cstr("SCRAM-SHA-256")
+               + struct.pack(">i", len(client_first)) + client_first)
+        t, b = c.read_msg()
+        if t == b"E":
+            return "error", b.decode(errors="replace")
+        assert struct.unpack(">i", b[:4])[0] == 11
+        server_first = b[4:].decode()
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        assert attrs["r"].startswith(cnonce)
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+        ckey = hmac_mod.new(salted, b"Client Key", hashlib.sha256).digest()
+        skey = hashlib.sha256(ckey).digest()
+        without_proof = f"c=biws,r={attrs['r']}"
+        auth_msg = f"{bare},{server_first},{without_proof}".encode()
+        csig = hmac_mod.new(skey, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ x for a, x in zip(ckey, csig))
+        final = (without_proof + ",p=" + base64.b64encode(proof).decode())
+        c.send(b"p", final.encode())
+        t, b = c.read_msg()
+        if t == b"E":
+            return "error", b.decode(errors="replace")
+        assert struct.unpack(">i", b[:4])[0] == 12   # SASLFinal
+        # server signature verifies (mutual auth)
+        v = base64.b64decode(dict(
+            kv.split("=", 1) for kv in b[4:].decode().split(","))["v"])
+        server_key = hmac_mod.new(salted, b"Server Key",
+                                  hashlib.sha256).digest()
+        assert v == hmac_mod.new(server_key, auth_msg,
+                                 hashlib.sha256).digest()
+        t, b = c.read_msg()
+        assert t == b"R" and struct.unpack(">i", b[:4])[0] == 0
+        _drain_to_ready(c)
+        return "ok", c
+
+    try:
+        st, detail = scram_login("carol", "wrong-password")
+        assert st == "error" and "28P01" in detail
+        st, c = scram_login("carol", "tops3cret")
+        assert st == "ok"
+        assert c.query("SELECT 3 AS three")[0][0][1] == [["3"]]
+        c.close()
+    finally:
+        srv.stop()

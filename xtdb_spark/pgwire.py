@@ -123,6 +123,23 @@ class AuthRules:
         want = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
         return response == want
 
+    def scram_keys(self, user: str, salt: bytes,
+                   iterations: int) -> tuple[bytes, bytes] | None:
+        """(StoredKey, ServerKey) per RFC 5802 §3 for the user's
+        password, or None for an unknown user."""
+        import hashlib
+        import hmac as _hmac
+
+        password = self.users.get(user)
+        if password is None:
+            return None
+        salted = hashlib.pbkdf2_hmac("sha256", password.encode(),
+                                     salt, iterations)
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        return stored_key, server_key
+
 
 def _literal(value: str | None, oid: int) -> str:
     """Render a text-format parameter as a SQL literal (the engine has
@@ -261,6 +278,8 @@ class _Conn:
             salt = _os.urandom(4)
             self._send(b"R", struct.pack(">i", 5) + salt)
             ok = self.auth.check_md5(user, self._read_password(), salt)
+        elif method == "scram-sha-256":
+            ok = self._scram_exchange(user)
         else:
             self._error("28000", f"unsupported auth method {method!r}")
             return False
@@ -278,6 +297,71 @@ class _Conn:
         if t != b"p":
             return ""
         return body.rstrip(b"\x00").decode()
+
+    def _read_p(self) -> bytes:
+        t = self._recv(1)
+        (ln,) = struct.unpack(">i", self._recv(4))
+        body = self._recv(ln - 4)
+        return body if t == b"p" else b""
+
+    def _scram_exchange(self, user: str) -> bool:
+        """SCRAM-SHA-256 (RFC 5802/7677, the mechanism modern
+        Postgres clients default to). Server side of the 4-message
+        exchange; channel binding is not offered (gs2 'n')."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        # AuthenticationSASL: advertise the mechanism
+        self._send(b"R", struct.pack(">i", 10)
+                   + self._cstr("SCRAM-SHA-256") + b"\x00")
+        # SASLInitialResponse: mechanism cstr + int32 + client-first
+        body = self._read_p()
+        try:
+            mech, rest = body.split(b"\x00", 1)
+            (rlen,) = struct.unpack(">i", rest[:4])
+            client_first = rest[4:4 + rlen].decode()
+            if mech.decode() != "SCRAM-SHA-256":
+                return False
+            # gs2 header "n,," then n=user,r=nonce
+            bare = client_first.split(",", 2)[2]
+            attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+            cnonce = attrs["r"]
+        except (ValueError, KeyError, IndexError, struct.error):
+            return False
+        snonce = base64.b64encode(_os.urandom(18)).decode()
+        salt = _os.urandom(16)
+        iterations = 4096
+        server_first = (f"r={cnonce}{snonce},"
+                        f"s={base64.b64encode(salt).decode()},i={iterations}")
+        self._send(b"R", struct.pack(">i", 11) + server_first.encode())
+        # SASLResponse: client-final "c=biws,r=...,p=proof"
+        final = self._read_p().decode()
+        try:
+            without_proof, proof_part = final.rsplit(",p=", 1)
+            fattrs = dict(kv.split("=", 1)
+                          for kv in without_proof.split(","))
+            if fattrs.get("r") != cnonce + snonce:
+                return False
+            proof = base64.b64decode(proof_part)
+        except (ValueError, KeyError):
+            return False
+        keys = self.auth.scram_keys(user, salt, iterations)
+        if keys is None:
+            return False
+        stored_key, server_key = keys
+        auth_message = f"{bare},{server_first},{without_proof}".encode()
+        client_sig = _hmac.new(stored_key, auth_message,
+                               hashlib.sha256).digest()
+        client_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.sha256(client_key).digest() != stored_key:
+            return False
+        server_sig = _hmac.new(server_key, auth_message,
+                               hashlib.sha256).digest()
+        v = "v=" + base64.b64encode(server_sig).decode()
+        self._send(b"R", struct.pack(">i", 12) + v.encode())
+        return True
 
     def _ready(self) -> None:
         self._send(b"Z", b"I")
