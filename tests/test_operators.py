@@ -123,3 +123,24 @@ def test_asof_join_does_not_blend_right_rows(spark):
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
     assert len(out) == 1
     assert (out[0]["x"], out[0]["y"]) == (None, 2)
+
+
+def test_exact_agg_paths_bit_identical(spark):
+    """The two-level fixed-point path and the single-level decimal
+    path of registry.exact_agg must produce IDENTICAL values — the
+    data-size gate (big_input) is a physical choice only."""
+    from xtdb_spark.queries.registry import exact_agg
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 1.37 % 97.3).alias("x"),
+        F.when(F.col("id") % 11 == 0, None)
+         .otherwise(F.col("id") / 7.0).alias("y"))
+    kw = dict(sums={"sx": F.col("x"), "sy": F.col("y")},
+              avgs={"ax": F.col("x")}, counts={"n": None, "ny": F.col("y")})
+    a = {r["g"]: tuple(r)[1:] for r in
+         exact_agg(df, ["g"], two_level=True, **kw).collect()}
+    b = {r["g"]: tuple(r)[1:] for r in
+         exact_agg(df, ["g"], two_level=False, **kw).collect()}
+    assert a == b

@@ -8,7 +8,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xtdb_spark.queries.registry import dsum, exact_agg, ld, register, sql_dsum
+from xtdb_spark.queries.registry import (
+    big_input, dsum, exact_agg, ld, register, sql_dsum,
+)
 
 
 @register(
@@ -149,7 +151,7 @@ def q7(spark, sf_dir):
     return exact_agg(
         joined, ["supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year")],
-        sums={"revenue": vol})
+        sums={"revenue": vol}, two_level=big_input(sf_dir))
 
 
 @register(

@@ -202,9 +202,25 @@ def fxsum(col: Column, alias: str) -> Column:
         .cast("double").alias(alias)
 
 
+def big_input(sf_dir: str, table: str = "lineitem",
+              threshold: int = 64 << 20) -> bool:
+    """Physical-strategy gate: True when `table`'s parquet is big
+    enough for the two-level `exact_agg` to pay for its extra stage
+    (same data-size-gating philosophy as cache_tables' AQE/shuffle
+    sizing). Missing file (store-backed path) → assume big."""
+    import os
+
+    try:
+        return os.path.getsize(
+            os.path.join(sf_dir, f"{table}.parquet")) >= threshold
+    except OSError:
+        return True
+
+
 def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
               avgs: dict | None = None,
-              counts: dict | None = None) -> DataFrame:
+              counts: dict | None = None,
+              two_level: bool = True) -> DataFrame:
     """Two-level exact float aggregation for LOW-cardinality groups:
     stage 1 sums 6dp fixed-point LONGS per (keys, partition) — the
     whole data pass stays in the primitive fast path — stage 2
@@ -217,8 +233,17 @@ def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
 
     sums/avgs/counts map output alias → input Column (counts: None =
     COUNT(*)); avgs divide exact sums by counts in DOUBLE, matching
-    `davg`."""
+    `davg`. `two_level=False` (pass `big_input(sf_dir)` — MB-scale
+    inputs don't amortize the extra stage) emits the plain
+    wide-decimal single-level aggregate instead; both paths are
+    bit-identical (test_operators asserts it)."""
     sums, avgs, counts = sums or {}, avgs or {}, counts or {}
+    if not two_level:
+        aggs = [dsum(c, a) for a, c in sums.items()]
+        aggs += [davg(c, a) for a, c in avgs.items()]
+        aggs += [(F.count("*") if c is None else F.count(c)).alias(a)
+                 for a, c in counts.items()]
+        return df.groupBy(*keys).agg(*aggs)
     s1 = []
     for a, c in {**sums, **avgs}.items():
         s1.append(F.sum(fx(c)).alias(f"__s_{a}"))

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xtdb_spark.queries.registry import (
-    davg, dsum, exact_agg, fx, fxsum, ld, register, sql_davg, sql_dsum,
+    big_input, davg, dsum, exact_agg, fx, fxsum, ld, register,
+    sql_davg, sql_dsum,
 )
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -56,6 +57,7 @@ def q1(spark, sf_dir):
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     out = exact_agg(
         filtered, ["l_returnflag", "l_linestatus"],
+        two_level=big_input(sf_dir),
         sums={"sum_qty": F.col("l_quantity"),
               "sum_base_price": F.col("l_extendedprice"),
               "sum_disc_price": rev,
@@ -172,7 +174,8 @@ def q5(spark, sf_dir):
     # two-level exact_agg keeps the data pass on long sums (no
     # overflow — stage-1 groups are partition-bounded, stage-2 merge
     # is decimal) instead of a wide-decimal sum over every row
-    return (exact_agg(joined, ["n_name"], sums={"revenue": rev})
+    return (exact_agg(joined, ["n_name"], sums={"revenue": rev},
+                      two_level=big_input(sf_dir))
             .orderBy(F.desc("revenue"), "n_name"))
 
 

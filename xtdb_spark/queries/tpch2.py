@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xtdb_spark.queries.registry import (
-    dsum, exact_agg, ld, register, sql_dsum,
+    big_input, dsum, exact_agg, ld, register, sql_dsum,
 )
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -184,7 +184,9 @@ def q9(spark, sf_dir):
                     F.year("o_orderdate").alias("o_year"),
                     amount.alias("amount"))
             .transform(lambda df: exact_agg(
-                df, ["nation", "o_year"], sums={"sum_profit": F.col("amount")}))
+                df, ["nation", "o_year"],
+                sums={"sum_profit": F.col("amount")},
+                two_level=big_input(sf_dir)))
             .orderBy("nation", F.desc("o_year")))
 
 

@@ -1,0 +1,146 @@
+"""Postgres CDC source: logical-decoding change streams → bitemporal
+tables.
+
+Reference: `modules/postgres-source` tails a pgoutput logical
+replication slot (PostgresSource.kt:42-220 — slot + publication,
+initial snapshot, then ordered insert/update/delete events with LSN
+resume tokens, applied through the indexer). The Spark-first
+re-expression splits that into:
+
+- a CHANGE-STREAM READER over the standard **wal2json v2** line
+  format (one JSON object per change: ``{"action": "I|U|D", "table":
+  ..., "columns": [...], "identity": [...], "lsn": ...}``) — any
+  `pg_recvlogical -o format-version=2` dump, Debezium-ish bridge, or
+  live tail that lands files in a directory becomes a Structured
+  Streaming source. A LIVE slot connection needs a Postgres driver
+  the container doesn't ship, so (exactly like the Kafka log source)
+  the JDBC path is env-gated while the file path carries the tested
+  semantics.
+- a CDC APPLY operator with the reference's semantics: within each
+  micro-batch, changes collapse per (table, primary key) to the
+  highest-LSN change (standard batch last-write-wins), inserts and
+  updates become `put`s, deletes become `delete`s, all at one system
+  time per batch; exactly-once comes from the streaming checkpoint +
+  the idempotent event append — the LSN plays the reference's resume
+  -token role (PostgresSource.kt:199-210).
+
+Scale shape: parsing is `from_json` column work (JVM), collapse is
+one window per batch keyed on (table, pk) — no driver-side loops; a
+batch's changes for ALL tables apply from the same shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# wal2json v2 per-line schema (action B/C lines carry no table)
+WAL2JSON_SCHEMA = (
+    "action string, `schema` string, `table` string, lsn string, "
+    "timestamp string, "
+    "columns array<struct<name:string, type:string, value:string>>, "
+    "identity array<struct<name:string, type:string, value:string>>"
+)
+
+
+def parse_wal2json(lines: DataFrame) -> DataFrame:
+    """wal2json v2 text lines → typed change rows. Keeps only data
+    changes (I/U/D); values stay as strings (wal2json's text
+    encoding) in a name→value map — the widest-type canonicalization
+    at put time handles numerics, matching the reference's
+    text-protocol type mapping (PgWireDriver.kt)."""
+    col = "value" if "value" in lines.columns else lines.columns[0]
+    ch = lines.select(
+        F.from_json(F.col(col).cast("string"), WAL2JSON_SCHEMA).alias("c"))
+    return (ch.select("c.*")
+            .filter(F.col("action").isin("I", "U", "D"))
+            .withColumn("doc", F.map_from_entries(
+                F.transform(F.coalesce("columns", F.array()),
+                            lambda s: F.struct(s["name"], s["value"]))))
+            .withColumn("ident", F.map_from_entries(
+                F.transform(F.coalesce("identity", F.array()),
+                            lambda s: F.struct(s["name"], s["value"]))))
+            # LSN "X/Y" → orderable long (high<<32 | low)
+            .withColumn("lsn_num", (
+                F.conv(F.split_part(F.col("lsn"), F.lit("/"), F.lit(1)),
+                       16, 10).cast("long") * F.lit(4294967296).cast("long")
+                + F.conv(F.split_part(F.col("lsn"), F.lit("/"), F.lit(2)),
+                         16, 10).cast("long"))))
+
+
+def collapse_batch(changes: DataFrame, pk: str = "id") -> DataFrame:
+    """Per (table, pk) last-write-wins within a batch: the highest-LSN
+    change decides the row's fate (put vs delete) — the same net
+    result as replaying the batch in LSN order, in one window."""
+    keyed = changes.withColumn(
+        "_pk", F.coalesce(F.col("ident").getItem(pk),
+                          F.col("doc").getItem(pk)))
+    w = Window.partitionBy("table", "_pk").orderBy(F.desc("lsn_num"))
+    return (keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def apply_cdc_batch(store, batch: DataFrame, pk: str = "id") -> None:
+    """Apply one collapsed batch: upserts become puts, deletes become
+    deletes, one system time for the whole batch (the reference
+    indexes a replication batch as one tx window). The per-table
+    loop iterates TABLE NAMES (metadata), never rows."""
+    final = collapse_batch(batch, pk)
+    tables = [r["table"] for r in
+              final.select("table").distinct().collect()]
+    st = store._next_system_time()
+    for t in tables:
+        tb = final.filter(F.col("table") == t)
+        ups = tb.filter(F.col("action") != "D")
+        if ups.take(1):
+            # distinct column names across the batch (distributed
+            # explode/distinct; the collect is column NAMES only)
+            keys = sorted(r["k"] for r in ups.select(
+                F.explode(F.map_keys("doc")).alias("k")).distinct()
+                .collect())
+            docs = ups.select(
+                F.col("_pk").alias("_id"),
+                *[F.col("doc").getItem(k).alias(k)
+                  for k in keys if k != pk])
+            store.put(t, docs, system_from=st)
+        dels = tb.filter(F.col("action") == "D")
+        if dels.take(1):
+            store.delete(t, dels.select(F.col("_pk").alias("_id")),
+                         system_from=st)
+
+
+def stream_wal2json_dir(spark: SparkSession, source_dir: str, store,
+                        checkpoint: str, pk: str = "id") -> None:
+    """Tail a directory of wal2json v2 line files into the store via
+    micro-batches (AvailableNow: drains and terminates — run it on a
+    schedule or loop it for continuous tailing). The checkpoint
+    carries the resume position, the analogue of the replication
+    slot's confirmed LSN."""
+    stream = spark.readStream.format("text").load(source_dir)
+    parsed = parse_wal2json(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            apply_cdc_batch(store, batch_df, pk)
+
+    (parsed.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
+def postgres_replication_stream(host: str, port: int, database: str,
+                                slot: str, publication: str,
+                                username: str, password: str):
+    """Live pgoutput slot connection (reference
+    PostgresSource.kt:120-151 factory surface). Requires a Postgres
+    JDBC/replication driver on the classpath — not shipped in this
+    container, so this raises a clear error instead of being silently
+    untested (same gate as the Kafka log source)."""
+    raise RuntimeError(
+        "live Postgres logical replication needs the org.postgresql "
+        "driver on the Spark classpath; dump the slot with "
+        "`pg_recvlogical -o format-version=2` (wal2json) into a "
+        "directory and use stream_wal2json_dir, or add the driver "
+        "and wire a JDBC reader here")
