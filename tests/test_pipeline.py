@@ -224,3 +224,30 @@ def test_ann_lsh_multiprobe_recall(spark):
     r1, r8 = recall(1), recall(8)
     assert r8 > r1
     assert r8 >= 0.3
+
+
+def test_repetition_stats_hand_computed(spark):
+    from xtdb_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [(1, "a a b"),        # words [a,a,b]; bigrams "a a","a b" tie -> "a a"
+         (2, "x y x y x y"),  # top word x (3/6); top bigram "x y" 3x
+         (3, "solo")],        # no bigram -> frac 0.0
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            text.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["distinct_word_ratio"] == round(2 / 3, 6)
+    assert r1["top_word_frac"] == round(2 / 3, 6)
+    # tie breaks lexicographically: "a a" (len 3, cnt 1) over "a b";
+    # tc = len("a a b") = 5
+    assert r1["top_bigram_char_frac"] == 0.6
+    r2 = rows[2]
+    assert r2["distinct_word_ratio"] == round(2 / 6, 6)
+    assert r2["top_word_frac"] == 0.5
+    # "x y" cnt 3 of bigrams, len 3, tc = 11 -> 9/11
+    assert r2["top_bigram_char_frac"] == round(9 / 11, 6)
+    r3 = rows[3]
+    assert r3["distinct_word_ratio"] == 1.0
+    assert r3["top_word_frac"] == 1.0
+    assert r3["top_bigram_char_frac"] == 0.0

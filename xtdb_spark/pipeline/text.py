@@ -117,3 +117,67 @@ def pii_redact(text: Column) -> Column:
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def repetition_stats(df, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Gopher-style intra-document repetition signals (Rae et al.
+    2021, "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", appendix A1.1 repetition filters — the public
+    heuristic set MassiveText used): distinct-word ratio, the
+    fraction of words taken by the most frequent word, and the
+    fraction of characters covered by the most frequent word bigram.
+    High top-gram fractions flag boilerplate/spam documents a
+    training pipeline should drop.
+
+    All quantities stay exact integers (counts, character lengths)
+    until one final division, so values are bit-stable across
+    engines, partition counts, and row orders. Argmax ties break on
+    the token string (deterministic).
+
+    Scale shape (100 TB): token and bigram counts shuffle on
+    (doc, token) — fully parallel with map-side combine; the per-doc
+    top-1 is a rank-1 window over the per-doc count relation (keyed
+    by doc, never global); bigrams come from zip_with over the
+    already-split array, so the text is tokenized once. No Python
+    UDF anywhere.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.length(text_col).alias("tc"), ws.alias("ws"))
+    w = base.select("doc_id", F.explode("ws").alias("w"))
+    wstats = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"))
+    rank_w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
+    wtop = (w.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("cnt").alias("top_word_cnt")))
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
+                   F.slice("ws", 2, F.size("ws") - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", "tc", F.explode(grams).alias("g"))
+    rank_g = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    gtop = (g.groupBy("doc_id", "tc", "g").agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(rank_g))
+            .filter(F.col("rn") == 1)
+            .select("doc_id",
+                    F.round((F.col("cnt") * F.length("g"))
+                            .cast("double") / F.col("tc"), 6)
+                    .alias("top_bigram_char_frac")))
+    return (wstats.join(wtop, "doc_id").join(gtop, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.col("n_distinct").cast("double")
+                            / F.col("n_words"), 6)
+                    .alias("distinct_word_ratio"),
+                    F.round(F.col("top_word_cnt").cast("double")
+                            / F.col("n_words"), 6)
+                    .alias("top_word_frac"),
+                    F.coalesce("top_bigram_char_frac", F.lit(0.0))
+                    .alias("top_bigram_char_frac")))

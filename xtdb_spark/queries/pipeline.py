@@ -686,3 +686,53 @@ def contamination_check(spark, sf_dir):
             .groupBy(F.col("id").alias("doc_id"), "bench_id")
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= 3))
+
+
+@register(
+    "pipe_repetition_score",
+    r"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS tc,
+             string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS w FROM base
+    ), wstats AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+      FROM w GROUP BY doc_id
+    ), wtop AS (
+      SELECT doc_id, cnt AS top_word_cnt FROM (
+        SELECT doc_id, w, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, w) AS rn
+        FROM w GROUP BY doc_id, w) WHERE rn = 1
+    ), g AS (
+      SELECT doc_id, tc,
+             unnest(list_transform(range(1, len(ws)::BIGINT),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM base WHERE len(ws) >= 2
+    ), gtop AS (
+      SELECT doc_id, ROUND(CAST(cnt * length(g) AS DOUBLE) / tc, 6)
+               AS top_bigram_char_frac
+      FROM (
+        SELECT doc_id, tc, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM g GROUP BY doc_id, tc, g) WHERE rn = 1
+    )
+    SELECT s.doc_id, ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6)
+             AS distinct_word_ratio,
+           ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 6)
+             AS top_word_frac,
+           COALESCE(top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+    FROM wstats s JOIN wtop USING (doc_id)
+    LEFT JOIN gtop USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_score(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per document —
+    see xtdb_spark.pipeline.text.repetition_stats for the scale
+    shape. The quality-filter companion to pipe_quality_score."""
+    d = ld(spark, sf_dir, "documents")
+    return text.repetition_stats(d).orderBy("doc_id")
