@@ -144,3 +144,61 @@ def test_exact_agg_paths_bit_identical(spark):
     b = {r["g"]: tuple(r)[1:] for r in
          exact_agg(df, ["g"], two_level=False, **kw).collect()}
     assert a == b
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketized range join ≡ the naive theta join on random
+    intervals spanning many buckets (incl. degenerate from==to)."""
+    import random
+
+    from xtdb_spark.operators.range_join import range_join
+
+    rnd = random.Random(20260814)
+    base = T("2024-01-01 00:00").timestamp()
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            k = rnd.randint(0, 4)
+            f = base + rnd.uniform(0, 86400 * 3)
+            dur = rnd.choice([0.0, 60.0, 3600.0, 7 * 3600.0, 86400.0 * 2])
+            rows.append((i, k, datetime.fromtimestamp(f),
+                         datetime.fromtimestamp(f + dur)))
+        return spark.createDataFrame(
+            rows, f"{tag}_id long, k long, {tag}_from timestamp, {tag}_to timestamp")
+
+    lt, rt = mk(60, "l"), mk(60, "r")
+    got = range_join(lt, rt, "l_from", "l_to", "r_from", "r_to",
+                     on=["k"], bucket="6 hours")
+    naive = lt.join(rt.withColumnRenamed("k", "k2"),
+                    (F.col("k") == F.col("k2"))
+                    & (F.col("l_from") < F.col("r_to"))
+                    & (F.col("r_from") < F.col("l_to")), "inner")
+    want = {(r["l_id"], r["r_id"]) for r in naive.collect()}
+    have = [(r["l_id"], r["r_id"]) for r in got.collect()]
+    assert len(have) == len(set(have)), "canonical-bucket dedup failed"
+    assert set(have) == want
+
+
+def test_range_join_left_outer_and_plan(spark):
+    from xtdb_spark.operators.range_join import range_join
+
+    lt = spark.createDataFrame(
+        [(1, 1, T("2024-01-01 00:00"), T("2024-01-01 02:00")),
+         (2, 1, T("2024-03-01 00:00"), T("2024-03-01 01:00")),
+         (3, 2, T("2024-01-01 00:30"), T("2024-01-01 00:45"))],
+        "l_id long, k long, l_from timestamp, l_to timestamp")
+    rt = spark.createDataFrame(
+        [(10, 1, T("2024-01-01 01:00"), T("2024-01-01 03:00")),
+         (11, 2, T("2024-01-02 00:00"), T("2024-01-02 01:00"))],
+        "r_id long, k long, r_from timestamp, r_to timestamp")
+    out = range_join(lt, rt, "l_from", "l_to", "r_from", "r_to",
+                     on=["k"], bucket="1 hour", how="left")
+    got = {r["l_id"]: r["r_id"] for r in out.collect()}
+    assert got == {1: 10, 2: None, 3: None}
+    # the rewrite must execute as an equi-join, not a nested loop
+    plan = range_join(lt, rt, "l_from", "l_to", "r_from", "r_to",
+                      on=["k"], bucket="1 hour")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

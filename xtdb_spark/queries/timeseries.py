@@ -103,3 +103,44 @@ def ts_readings_rollup_q(spark, sf_dir):
                          .cast("double") / F.count("value"), 6).alias("avg_v"),
                  F.round(F.min("value"), 6).alias("min_v"),
                  F.round(F.max("value"), 6).alias("max_v")))
+
+
+@register(
+    "ts_range_join",
+    """
+    WITH clicks AS (SELECT event_id AS l_event_id, user_id,
+                           ts AS l_from, ts + INTERVAL 90 MINUTE AS l_to
+                    FROM events WHERE event_type = 'click'),
+         views AS (SELECT event_id AS r_event_id, user_id,
+                          ts AS r_from, ts + INTERVAL 90 MINUTE AS r_to
+                   FROM events WHERE event_type = 'view')
+    SELECT c.l_event_id, v.r_event_id, c.user_id,
+           greatest(c.l_from, v.r_from) AS overlap_start,
+           least(c.l_to, v.r_to) AS overlap_end
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id AND c.l_from < v.r_to AND v.r_from < c.l_to
+    """,
+)
+def ts_range_join_q(spark, sf_dir):
+    """Interval-overlap join: 90-minute attention windows around
+    clicks and views, paired when they overlap for the same user.
+    Bucketized into an equi-join (operators/range_join.py) — the
+    oracle is the plain theta-join spelling, proving the rewrite
+    exact. The reference reaches the same results via period overlap
+    predicates inside a theta join (SURVEY §2.3)."""
+    from xtdb_spark.operators.range_join import range_join
+
+    e = ld(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 90 MINUTES")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_event_id"), "user_id",
+        F.col("ts").alias("l_from"), (F.col("ts") + win).alias("l_to"))
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_event_id"), "user_id",
+        F.col("ts").alias("r_from"), (F.col("ts") + win).alias("r_to"))
+    j = range_join(clicks, views, "l_from", "l_to", "r_from", "r_to",
+                   on=["user_id"], bucket="2 hours")
+    return j.select(
+        "l_event_id", "r_event_id", "user_id",
+        F.greatest("l_from", "r_from").alias("overlap_start"),
+        F.least("l_to", "r_to").alias("overlap_end"))
