@@ -188,3 +188,53 @@ def test_vacuum_partial_valid_range_not_covering(store):
     store.put("g5", [{"_id": 1, "v": 2}], valid_from="2024-06-01",
               system_from="2024-02-01")   # open-ended but starts later
     assert store.vacuum("g5") == []
+
+
+def test_system_time_file_pruning(store):
+    """Historical AS-OF scans must read only the manifest prefix whose
+    footer min(_system_from) is within the bound (trie-catalog walk),
+    and pruning must not change results."""
+    for day in (1, 2, 3):
+        store.put("pr", [{"_id": i, "v": day} for i in range(5)],
+                  system_from=f"2024-02-0{day}")
+    all_files = store.table_files("pr")
+    pruned = store.prune_manifest("pr", "2024-02-01 12:00:00")
+    assert 0 < len(pruned) < len(all_files)
+    # every kept file's footer min is within the bound
+    from datetime import datetime
+    bound = datetime.fromisoformat("2024-02-01 12:00:00")
+    assert all(store._file_min_system_from(f) <= bound for f in pruned)
+
+    hist = store.scan("pr", system_time="2024-02-01 12:00:00")
+    # the built plan reads only the pruned files
+    read = {f.removeprefix("file://") for f in hist.inputFiles()}
+    assert read <= set(pruned)
+    rows = {(r["_id"], r["v"]) for r in hist.collect()}
+    assert rows == {(i, 1) for i in range(5)}
+    # unpruned current scan still sees the latest version
+    assert {r["v"] for r in store.scan("pr").collect()} == {3}
+
+
+def test_system_time_prune_to_empty(store):
+    store.put("pr2", [{"_id": 1, "v": 10}], system_from="2024-02-05")
+    out = store.scan("pr2", system_time="2020-01-01")
+    assert out.count() == 0
+    assert set(out.columns) == set(store.scan("pr2").columns)
+
+
+def test_prune_keeps_retroactive_erase_files(store):
+    """ERASE is retroactive across ALL system time, so a later erase
+    file must survive system-time pruning (op-column footer range
+    carve-out) while ordinary later put files are pruned."""
+    store.put("pe", [{"_id": 1, "v": 1}, {"_id": 2, "v": 2}],
+              system_from="2024-03-01")
+    store.put("pe", [{"_id": 1, "v": 10}], system_from="2024-03-02")
+    store.erase("pe", [1], system_from="2024-03-03")
+    pruned = store.prune_manifest("pe", "2024-03-01 12:00:00")
+    infos = [store._file_footer_info(f) for f in pruned]
+    # the erase file (min_sf Mar 3) is kept; the Mar 2 put file is not
+    assert any(me for _, me in infos)
+    assert all(me or mn.day == 1 for mn, me in infos)
+    got = [r["_id"] for r in
+           store.scan("pe", system_time="2024-03-01 12:00:00").collect()]
+    assert got == [2]

@@ -50,6 +50,17 @@ class TableStore:
         self._tx_counter = 0
         self._pins: dict[int, tuple[str, tuple[str, ...]]] = {}
         self._pin_counter = 0
+        # INT96 (Spark's legacy default) writes NO min/max stats, which
+        # would blind both the file-level pruning below and parquet
+        # row-group pruning on temporal predicates. MICROS matches the
+        # event model's precision (µs-truncated system times).
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
+        # parquet-footer stats cache for file-level temporal pruning,
+        # keyed by path and invalidated by (size, mtime) — the
+        # trie-catalog role (reference trie_catalog.clj: per-trie
+        # temporal bounds consulted before opening leaves)
+        self._footer_cache: dict[str, tuple[tuple[int, float], object]] = {}
 
     def _path(self, table: str) -> str:
         schema = table.split(".")[0] if "." in table else None
@@ -564,6 +575,88 @@ class TableStore:
 
         return sorted(glob.glob(os.path.join(self._path(table), "*.parquet")))
 
+    def _file_footer_info(self, path: str):
+        """(min `_system_from`, may-contain-erase) for a file, read
+        from the parquet FOOTER only (no data pages), cached by
+        (size, mtime). min=None = stats unavailable → never prune;
+        may-contain-erase uses the `op` column's min/max range and
+        defaults True when stats are missing."""
+        import pyarrow.parquet as pq
+
+        st = os.stat(path)
+        key = (st.st_size, st.st_mtime)
+        hit = self._footer_cache.get(path)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        min_sf, may_erase = None, True
+        try:
+            md = pq.ParquetFile(path).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+
+            def rg_stats(col):
+                out = []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(col).statistics
+                    if s is None or not s.has_min_max:
+                        return None
+                    out.append((s.min, s.max))
+                return out
+
+            if "_system_from" in names:
+                sf = rg_stats(names["_system_from"])
+                if sf:
+                    m = min(lo for lo, _ in sf)
+                    if getattr(m, "tzinfo", None) is not None:
+                        m = m.astimezone(timezone.utc).replace(tzinfo=None)
+                    min_sf = m
+            if "op" in names:
+                ops = rg_stats(names["op"])
+                if ops:
+                    may_erase = any(lo <= "erase" <= hi for lo, hi in ops)
+        except Exception:
+            min_sf, may_erase = None, True
+        self._footer_cache[path] = (key, (min_sf, may_erase))
+        return min_sf, may_erase
+
+    def _file_min_system_from(self, path: str):
+        return self._file_footer_info(path)[0]
+
+    def prune_manifest(self, table: str, system_time) -> list[str]:
+        """Manifest restricted to files that can contain rows visible
+        at `system_time`: appends are monotone in `_system_from`, so a
+        file whose footer min exceeds the bound holds ONLY
+        later-system rows — invisible at the bound and (system time
+        being the supersession axis) unable to clip anything visible
+        there, hence skippable without touching resolution semantics.
+        The reference does the same walk over trie-catalog temporal
+        metadata before opening leaves (trie_catalog.clj;
+        scan.clj:62-114 bounds). At 100 TB this turns a historical
+        AS-OF query over years of appends into a scan of the matching
+        prefix of the manifest — file-granularity pruning BEFORE
+        Spark's own row-group-stats pruning kicks in inside the kept
+        files. Two conservative carve-outs: files without footer
+        stats are kept, and files that may contain ERASE events are
+        ALWAYS kept — erase is retroactive across all system time
+        (reference: erase wipes the id from history entirely), so a
+        later erase must still suppress rows in an earlier AS-OF
+        scan. The `op` column's footer min/max range detects
+        erase-free files (the overwhelmingly common case)."""
+        files = self.table_files(table)
+        t = system_time
+        if t is None:
+            return files
+        if isinstance(t, str):
+            t = datetime.fromisoformat(t)
+        if getattr(t, "tzinfo", None) is not None:
+            t = t.astimezone(timezone.utc).replace(tzinfo=None)
+        kept = []
+        for f in files:
+            mn, may_erase = self._file_footer_info(f)
+            if mn is None or mn <= t or may_erase:
+                kept.append(f)
+        return kept
+
     def events(self, table: str, files: list[str] | None = None) -> DataFrame:
         """Event scan pinned to a manifest SNAPSHOT: the file list is
         resolved once, when the DataFrame is built, and baked into the
@@ -587,8 +680,22 @@ class TableStore:
         temporal bounds → resolution strategy. Column pruning +
         predicate pushdown on the returned DataFrame reach the parquet
         scan via Catalyst (the reference's metadata page pruning ≈
-        parquet row-group stats)."""
-        ev = self.events(table)
+        parquet row-group stats). Historical `system_time` bounds
+        additionally prune whole FILES from the manifest before the
+        Spark scan is built (`prune_manifest` — the trie-catalog
+        walk); `FOR ALL SYSTEM_TIME` needs the full history, so it
+        never prunes."""
+        files = None
+        if system_time is not None and not all_system_time:
+            files = self.prune_manifest(table, system_time)
+            if not files:
+                # bound precedes every append: empty result with the
+                # table's schema, zero I/O (filter(false) folds to an
+                # empty LocalRelation)
+                return self.scan(table, valid_time=valid_time,
+                                 all_valid_time=all_valid_time) \
+                    .filter(F.lit(False))
+        ev = self.events(table, files=files)
         doc_cols = [c for c in ev.columns if c not in bitemporal.META_COLS]
         if all_valid_time and all_system_time:
             return bitemporal.polygon_history(ev, doc_cols)
