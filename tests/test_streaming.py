@@ -173,3 +173,35 @@ def test_windowed_counts_casts_ntz(spark):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     out = windowed_counts(df)
     assert out.collect()[0]["n"] == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermark-bounded state: clicks pair
+    with purchases up to 1h BEFORE them for the same user; result
+    matches the equivalent batch join over the same files."""
+    import os
+
+    from xtdb_spark.streaming.joins import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    os.makedirs(lsrc), os.makedirs(rsrc)
+    lschema = "user_id long, ts timestamp, click_id long"
+    rschema = "user_id long, ts timestamp, amount double"
+    clicks = [(1, datetime(2024, 1, 1, 10, 30), 100),
+              (1, datetime(2024, 1, 1, 12, 0), 101),
+              (2, datetime(2024, 1, 1, 10, 15), 102)]
+    buys = [(1, datetime(2024, 1, 1, 10, 0), 5.0),    # pairs with click 100
+            (1, datetime(2024, 1, 1, 11, 30), 7.0),   # pairs with click 101
+            (2, datetime(2024, 1, 1, 8, 0), 9.0)]     # too old for click 102
+    spark.createDataFrame(clicks, lschema).coalesce(1).write.parquet(lsrc + "/f0")
+    spark.createDataFrame(buys, rschema).coalesce(1).write.parquet(rsrc + "/f0")
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc + "/f*")
+    rs = spark.readStream.schema(rschema).parquet(rsrc + "/f*")
+    out = stream_interval_join(ls, rs, on="user_id", lookback="1 hour")
+    q = (out.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["l_click_id"], r["r_amount"])
+           for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == {(100, 5.0), (101, 7.0)}

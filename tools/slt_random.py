@@ -94,12 +94,12 @@ def gen_query(rng: random.Random) -> str:
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
 
     shape = rng.random()
-    if shape < 0.3:  # scalar aggregate
+    if shape < 0.24:  # scalar aggregate
         c = rng.choice(ints)
         sel = (f"COUNT(*) AS n, MIN({c}) AS mn, MAX({c}) AS mx, "
                f"CAST(SUM({c}) AS BIGINT) AS s")
         return f"SELECT {sel} FROM {from_clause}{where}"
-    if shape < 0.35:  # CASE + integer arithmetic projection
+    if shape < 0.29:  # CASE + integer arithmetic projection
         c1, c2 = rng.choice(ints), rng.choice(ints)
         g = rng.choice(strs)
         th = rng.randint(10, 400)
@@ -109,7 +109,7 @@ def gen_query(rng: random.Random) -> str:
                 f"CAST(SUM({c1} * 3 + {c2} % 11) AS BIGINT) AS s, "
                 f"COUNT(*) AS n "
                 f"FROM {from_clause}{where} GROUP BY 1, 2")
-    if shape < 0.75:  # group by
+    if shape < 0.55:  # group by
         g = rng.choice(strs)
         c = rng.choice(ints)
         having = ""
@@ -120,44 +120,44 @@ def gen_query(rng: random.Random) -> str:
         if rng.random() < 0.5:
             q += f" ORDER BY {g} LIMIT {rng.randint(1, 20)}"
         return q
-    if shape < 0.82:  # distinct projection
+    if shape < 0.60:  # distinct projection
         g = rng.choice(strs)
         c = rng.choice(ints)
         return (f"SELECT DISTINCT {g}, {c} % 7 AS m FROM {from_clause}{where} "
                 f"ORDER BY {g}, m LIMIT 50")
-    if shape < 0.88:  # window over total order
+    if shape < 0.65:  # window over total order
         g = rng.choice(strs)
         c = rng.choice(ints)
         return (f"SELECT {g}, {c}, "
                 f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {c}) AS rn, "
                 f"CAST(SUM({c}) OVER (PARTITION BY {g}) AS BIGINT) AS s "
                 f"FROM (SELECT DISTINCT {g}, {c} FROM {from_clause}{where}) t")
-    if shape < 0.87:  # set op between two slices of one table
+    if shape < 0.68:  # set op between two slices of one table
         t = rng.choice(list(TABLES))
         i0 = TABLES[t][0][0]
         a, b = sorted(rng.sample(range(0, 800), 2))
         op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
         return (f"SELECT {i0} FROM {t} WHERE {i0} < {b} "
                 f"{op} SELECT {i0} FROM {t} WHERE {i0} >= {a}")
-    if shape < 0.90:  # correlated scalar subquery (decorrelation path)
+    if shape < 0.71:  # correlated scalar subquery (decorrelation path)
         th = rng.randint(100, 5000)
         return (f"SELECT c_custkey, "
                 f"(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey "
                 f"AND o_orderkey < {th}) AS n_orders "
                 f"FROM customer WHERE c_custkey < {rng.randint(50, 300)} "
                 f"ORDER BY c_custkey LIMIT 50")
-    if shape < 0.93:  # string-function projection
+    if shape < 0.74:  # string-function projection
         g = rng.choice([s for s in strs if STR_LITS.get(s)] or strs)
         a, b = rng.randint(1, 2), rng.randint(2, 4)
         return (f"SELECT DISTINCT upper({g}) AS u, length({g}) AS l, "
                 f"substr({g}, {a}, {b}) AS s3, "
                 f"replace({g}, 'A', '_') AS rp "
                 f"FROM {from_clause}{where} ORDER BY u, s3 LIMIT 40")
-    if shape < 0.95:  # null-free NOT IN subquery (anti-join path)
+    if shape < 0.77:  # null-free NOT IN subquery (anti-join path)
         th = rng.randint(100, 5000)
         return (f"SELECT COUNT(*) AS n FROM customer WHERE c_custkey NOT IN "
                 f"(SELECT o_custkey FROM orders WHERE o_orderkey < {th})")
-    if shape < 0.97:  # CTE reuse
+    if shape < 0.80:  # CTE reuse
         g = rng.choice(strs)
         c = rng.choice(ints)
         k = rng.randint(1, 10)
@@ -165,6 +165,49 @@ def gen_query(rng: random.Random) -> str:
                 f"CAST(SUM({c}) AS BIGINT) AS s FROM {from_clause}{where} "
                 f"GROUP BY {g}) "
                 f"SELECT g, n, s FROM t WHERE n > {k} ORDER BY g")
+    if shape < 0.82:  # BETWEEN + LIKE predicate battery
+        t = rng.choice(["customer", "orders", "part"])
+        ints_t, strs_t = TABLES[t]
+        c = rng.choice(ints_t)
+        g = rng.choice([s for s in strs_t if STR_LITS.get(s)] or strs_t)
+        a, b = sorted(rng.sample(range(0, 900), 2))
+        pat = rng.choice(["%1%", "B%", "%E", "_-%"])
+        return (f"SELECT COUNT(*) AS n, CAST(SUM({c}) AS BIGINT) AS s "
+                f"FROM {t} WHERE {c} BETWEEN {a} AND {b} "
+                f"AND {g} LIKE '{pat}'")
+    if shape < 0.85:  # derived-table join (grouped subquery joined back)
+        k = rng.randint(1, 8)
+        return (f"SELECT c_mktsegment, COUNT(*) AS n_cust, "
+                f"CAST(SUM(t.n) AS BIGINT) AS n_orders "
+                f"FROM customer JOIN "
+                f"(SELECT o_custkey, COUNT(*) AS n FROM orders "
+                f"GROUP BY o_custkey HAVING COUNT(*) >= {k}) t "
+                f"ON c_custkey = t.o_custkey GROUP BY c_mktsegment")
+    if shape < 0.87:  # COALESCE/NULLIF/GREATEST/LEAST projection
+        c1, c2 = rng.choice(ints), rng.choice(ints)
+        return (f"SELECT COUNT(*) AS n, "
+                f"CAST(SUM(COALESCE(NULLIF({c1}, {rng.randint(0, 50)}), -1)) "
+                f"AS BIGINT) AS s, "
+                f"MIN(LEAST({c1}, {c2})) AS mn, "
+                f"MAX(GREATEST({c1}, {c2})) AS mx "
+                f"FROM {from_clause}{where}")
+    if shape < 0.90:  # rank/dense_rank over deduped deterministic input
+        g = rng.choice(strs)
+        c = rng.choice(ints)
+        return (f"SELECT g, c, RANK() OVER (ORDER BY c, g) AS rk, "
+                f"DENSE_RANK() OVER (ORDER BY c) AS drk "
+                f"FROM (SELECT DISTINCT {g} AS g, {c} % 13 AS c "
+                f"FROM {from_clause}{where}) t "
+                f"ORDER BY rk, g LIMIT 60")
+    if shape < 0.92:  # uncorrelated scalar subquery in WHERE
+        t = rng.choice(["customer", "supplier"])
+        i0 = TABLES[t][0][0]
+        return (f"SELECT COUNT(*) AS n FROM {t} WHERE {i0} * 2 < "
+                f"(SELECT MAX({i0}) FROM {t})")
+    if shape < 0.94:  # NOT EXISTS (null-aware anti path)
+        return (f"SELECT COUNT(*) AS n FROM customer WHERE NOT EXISTS "
+                f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+                f"AND o_orderkey < {rng.randint(100, 5000)})")
     if shape < 0.985:  # ROLLUP with grand-total row (no WHERE: Spark
         # returns 0 rows for the () grouping set over EMPTY input where
         # the standard/DuckDB/Postgres produce the grand-total row —

@@ -226,9 +226,11 @@ def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
     its level-0 metadata — here parquet files play the role of trie
     leaves, so the row exposes file size + row count + the
     `_system_from` range from the FOOTER statistics when the writer
-    recorded them (Spark's default INT96 timestamp encoding carries
-    no min/max stats — the columns are then NULL). O(files), never a
-    data scan."""
+    recorded them (the store writes TIMESTAMP_MICROS precisely so
+    these stats exist — they also drive `TableStore.prune_manifest`'s
+    file-level temporal pruning; files written by other tools with
+    INT96 timestamps show NULL here and are never pruned). O(files),
+    never a data scan."""
     import pyarrow.parquet as pq
 
     rows = []
