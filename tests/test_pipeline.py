@@ -251,3 +251,28 @@ def test_repetition_stats_hand_computed(spark):
     assert r3["distinct_word_ratio"] == 1.0
     assert r3["top_word_frac"] == 1.0
     assert r3["top_bigram_char_frac"] == 0.0
+
+
+def test_kmeans_cluster_recovers_blobs(spark):
+    """Three well-separated blobs must come back as three pure
+    clusters, every member closest to its own centroid."""
+    import random
+
+    from xtdb_spark.pipeline.similarity import kmeans_cluster
+
+    rnd = random.Random(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rnd.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_cluster(df, k=3, max_iter=10).collect()
+    assert len(out) == 90
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r["id"] % 3, set()).add(r["cluster"])
+        assert r["sim"] > 0.99
+    # each true blob maps to exactly one k-means cluster, all distinct
+    assert all(len(v) == 1 for v in by_true.values())
+    assert len({next(iter(v)) for v in by_true.values()}) == 3

@@ -200,3 +200,26 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k).distinct())
+
+
+def kmeans_cluster(corpus: DataFrame, k: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   train_cap: int = 50_000, max_iter: int = 10) -> DataFrame:
+    """Semantic clustering of an embedding corpus — the curation
+    primitive behind diversity sampling, per-cluster quota filtering,
+    and cluster-level dedup in training-data pipelines. Same scale
+    shape as IVF training: k-means fits on a BOUNDED sample
+    (O(train_cap) regardless of corpus size), the fitted centroids
+    broadcast, and assignment is a narrow argmin over each row —
+    corpus touched exactly once, no shuffle beyond the caller's.
+    Returns (id, cluster, sim) with `sim` the cosine to the assigned
+    centroid (a per-row quality/typicality signal)."""
+    c = corpus.select(F.col(id_col).alias("id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    cents = ivf_centroids(c, k, train_cap, max_iter)
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), "cell")
+    return (c.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("id"), F.col("cell").alias("cluster"), F.col("sim")))

@@ -246,3 +246,36 @@ def value_percentiles(spark, sf_dir):
                  F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
             .orderBy("event_type"))
+
+
+@register(
+    "op_agg_approx",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_distinct_ok,
+           TRUE AS approx_median_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx(spark, sf_dir):
+    """Approximate aggregates for the 100 TB regime (beyond the
+    reference, §2.4 extension): HyperLogLog++ distinct counts and
+    quantile sketches are single-pass, mergeable, fixed-memory —
+    COUNT(DISTINCT) and exact percentile need a shuffle of the full
+    key set. The oracle contract: the entry returns the EXACT values
+    plus booleans asserting the sketch landed inside its error bound,
+    and DuckDB returns the exact values plus TRUE literals — so the
+    accuracy claim itself is value-hash-verified, not just row-counted."""
+    e = ld(spark, sf_dir, "events")
+    out = (e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("__acd"),
+        F.expr("percentile(value, 0.5)").alias("__em"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__am")))
+    return out.select(
+        "event_type", "n_users_exact",
+        (F.abs(F.col("__acd") - F.col("n_users_exact"))
+         <= 0.05 * F.col("n_users_exact") + F.lit(2)).alias("approx_distinct_ok"),
+        (F.abs(F.col("__am") - F.col("__em"))
+         <= 0.05 * F.abs(F.col("__em")) + F.lit(0.01)).alias("approx_median_ok"))

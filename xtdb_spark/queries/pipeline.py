@@ -736,3 +736,19 @@ def repetition_score(spark, sf_dir):
     shape. The quality-filter companion to pipe_quality_score."""
     d = ld(spark, sf_dir, "documents")
     return text.repetition_stats(d).orderBy("doc_id")
+
+
+@register("pipe_embedding_kmeans")  # rows-only: k-means isn't SQL-expressible
+def embedding_kmeans(spark, sf_dir):
+    """Semantic k-means clustering over the embeddings table
+    (similarity.kmeans_cluster): per-cluster membership counts and
+    typicality stats — the diversity-sampling/quota primitive of a
+    training-data pipeline. Deterministic given the fixed seed;
+    verified structurally (pytest asserts perfect recovery of
+    separated blobs) and here by stable row shape."""
+    e = ld(spark, sf_dir, "embeddings")
+    cl = similarity.kmeans_cluster(e, k=8)
+    return (cl.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.round(F.avg("sim"), 4).alias("avg_sim"))
+            .orderBy("cluster"))
