@@ -463,3 +463,56 @@ def test_auth_scram_sha_256(xt):
         c.close()
     finally:
         srv.stop()
+
+
+def test_tx_block_commits_atomically(xt, client):
+    """BEGIN…COMMIT buffers DML and submits ONE atomic tx: nothing
+    visible before COMMIT, everything shares one system time after."""
+    _, tags = client.query("BEGIN")
+    assert tags == ["BEGIN"]
+    client.query("INSERT INTO txa (_id, v) VALUES (1, 'a')")
+    client.query("INSERT INTO txa (_id, v) VALUES (2, 'b')")
+    # not visible pre-commit (fresh scan on the server side)
+    assert xt.scan("txa").count() == 0 if "txa" in xt.store.tables() else True
+    _, tags = client.query("COMMIT")
+    assert tags == ["COMMIT"]
+    rows = xt.scan("txa").collect()
+    assert sorted(r["v"] for r in rows) == ["a", "b"]
+    sts = {str(r["_system_from"]) for r in
+           xt.store.events("txa").select("_system_from").collect()}
+    assert len(sts) == 1  # one tx, one system time
+
+
+def test_tx_rollback_discards(xt, client):
+    client.query("BEGIN")
+    client.query("INSERT INTO txr (_id) VALUES (1)")
+    _, tags = client.query("ROLLBACK")
+    assert tags == ["ROLLBACK"]
+    assert "txr" not in xt.store.tables()
+
+
+def test_tx_error_aborts_block_until_rollback(xt, client):
+    client.query("BEGIN")
+    client.query("INSERT INTO txe (_id) VALUES (1)")
+    with pytest.raises(RuntimeError):
+        client.query("BOGUS SYNTAX !!")
+    # aborted: even valid statements now refuse with 25P02
+    with pytest.raises(RuntimeError, match="25P02"):
+        client.query("SELECT 1")
+    # COMMIT of a failed tx rolls back
+    _, tags = client.query("COMMIT")
+    assert tags == ["ROLLBACK"]
+    assert "txe" not in xt.store.tables()
+    # connection usable again
+    results, _ = client.query("SELECT 1 AS one")
+    _cols, rows = results[0]
+    assert rows == [["1"]]
+
+
+def test_tx_assert_aborts_whole_batch(xt, client):
+    client.query("BEGIN")
+    client.query("INSERT INTO txq (_id, v) VALUES (1, 5)")
+    client.query("ASSERT 1 = 2")
+    with pytest.raises(RuntimeError):
+        client.query("COMMIT")
+    assert "txq" not in xt.store.tables()

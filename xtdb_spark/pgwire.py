@@ -180,9 +180,10 @@ _TAG_RE = re.compile(
     r"ROLLBACK|SET|RESET|DISCARD)\b",
     re.IGNORECASE)
 
-# statements accepted as connection-level no-ops (autocommit engine;
-# reference pgwire tags these for driver compatibility)
-_NOOP = {"BEGIN", "COMMIT", "ROLLBACK", "SET", "RESET", "DISCARD"}
+# statements accepted as connection-level no-ops (reference pgwire
+# tags these for driver compatibility); BEGIN/COMMIT/ROLLBACK are
+# real transaction-block control, handled in _run
+_NOOP = {"SET", "RESET", "DISCARD"}
 
 
 class _Conn:
@@ -197,6 +198,11 @@ class _Conn:
         self.buf = b""
         self.statements: dict[str, tuple[str, list[int]]] = {}
         self.portals: dict[str, str] = {}
+        # explicit transaction block state: None = autocommit, else
+        # the buffered submit_tx ops (reference pgwire.clj: DML in
+        # BEGIN…COMMIT accumulates and commits as ONE atomic tx)
+        self.tx: list | None = None
+        self.tx_failed = False
 
     # ---- low-level frames
 
@@ -364,7 +370,10 @@ class _Conn:
         return True
 
     def _ready(self) -> None:
-        self._send(b"Z", b"I")
+        # protocol-correct status byte: Idle / in-Transaction / Error
+        status = (b"E" if self.tx_failed
+                  else b"T" if self.tx is not None else b"I")
+        self._send(b"Z", status)
 
     def _error(self, sqlstate: str, message: str) -> None:
         self._send(b"E", b"S" + self._cstr("ERROR")
@@ -469,8 +478,46 @@ class _Conn:
             return
         sql = self._compat_sql(sql)
         m = _TAG_RE.match(sql)
-        if m and m.group(1).upper() in _NOOP:
-            self._send(b"C", self._cstr(m.group(1).upper()))
+        kw = m.group(1).upper() if m else None
+        if self.tx_failed and kw not in ("COMMIT", "ROLLBACK"):
+            self._error("25P02", "current transaction is aborted, "
+                        "commands ignored until end of transaction block")
+            return
+        if kw == "BEGIN":
+            if self.tx is None:
+                self.tx, self.tx_failed = [], False
+            self._send(b"C", self._cstr("BEGIN"))
+            return
+        if kw == "ROLLBACK":
+            self.tx, self.tx_failed = None, False
+            self._send(b"C", self._cstr("ROLLBACK"))
+            return
+        if kw == "COMMIT":
+            if self.tx_failed:          # postgres: COMMIT of a failed
+                self.tx, self.tx_failed = None, False   # tx rolls back
+                self._send(b"C", self._cstr("ROLLBACK"))
+                return
+            ops, self.tx = self.tx, None
+            if ops:
+                self.xt.submit_tx(ops)  # raises → wire error upstream
+            self._send(b"C", self._cstr("COMMIT"))
+            return
+        if kw in _NOOP:
+            self._send(b"C", self._cstr(kw))
+            return
+        if self.tx is not None and kw is not None:
+            # DML inside an explicit block: record, don't execute
+            from xtdb_spark.sql.dml import record_dml_ops
+
+            if kw == "COPY":
+                raise ValueError("COPY is not allowed inside a "
+                                 "transaction block")
+            self.tx.extend(record_dml_ops(self.xt, sql))
+            tag = {"INSERT": "INSERT 0 0"}.get(kw, kw + " 0")
+            if not describe_only:
+                self._send(b"C", self._cstr(tag))
+            else:
+                self._send(b"n")
             return
         df = self.xt.sql(sql)
         if df is None or m:          # DML path: no result relation
@@ -503,6 +550,8 @@ class _Conn:
             except (ConnectionResetError, BrokenPipeError):
                 raise
             except Exception as e:  # noqa: BLE001 — every engine error → wire error
+                if self.tx is not None:   # error inside a tx block
+                    self.tx_failed = True  # aborts it (postgres 25P02)
                 self._error("XX000", f"{type(e).__name__}: {e}")
                 if t == b"Q":
                     self._ready()

@@ -185,3 +185,68 @@ def execute_dml(xt, query: str):
         return None
 
     raise ValueError(f"unsupported DML statement: {query[:120]}")
+
+
+class _TxRecorder:
+    """Session shim for transactional DML recording: exposes the
+    surface `execute_dml` touches (.spark, .store, scan/rewrite
+    delegation) but turns store mutations into `submit_tx` op tuples
+    instead of executing them. Read-side DataFrames (UPDATE/DELETE
+    sources) are still BUILT at record time, so they pin the
+    statement-time manifest snapshot; nothing is written until the
+    buffered ops go through `TableStore.submit_tx` at COMMIT."""
+
+    class _Store:
+        def __init__(self, real, ops):
+            self._real, self._ops = real, ops
+
+        def put(self, table, rows, valid_from=None, valid_to=None, **kw):
+            self._ops.append(("put", table, rows,
+                              {"valid_from": valid_from, "valid_to": valid_to}))
+
+        def patch(self, table, rows, valid_from=None, valid_to=None, **kw):
+            self._ops.append(("patch", table, rows,
+                              {"valid_from": valid_from, "valid_to": valid_to}))
+
+        def delete(self, table, ids, valid_from=None, valid_to=None, **kw):
+            self._ops.append(("delete", table, ids,
+                              {"valid_from": valid_from, "valid_to": valid_to}))
+
+        def erase(self, table, ids, **kw):
+            self._ops.append(("erase", table, ids))
+
+        def __getattr__(self, name):  # scan() etc. read the real store
+            return getattr(self._real, name)
+
+    def __init__(self, xt, ops: list):
+        self._xt = xt
+        self.spark = xt.spark
+        self.store = self._Store(xt.store, ops)
+
+    def __getattr__(self, name):
+        return getattr(self._xt, name)
+
+
+def record_dml_ops(xt, query: str) -> list:
+    """Parse one DML statement into `submit_tx` op tuples without
+    executing it — the pgwire BEGIN…COMMIT buffering path (reference
+    pgwire.clj: DML inside an explicit transaction block accumulates
+    and submits as ONE tx on COMMIT). ASSERT defers its check to
+    commit time so it runs against the tx basis, aborting the whole
+    batch like the reference's `ASSERT` tx op."""
+    m = _ASSERT_RE.match(query)
+    if m:
+        from xtdb_spark.sql.rewriter import rewrite
+
+        cond_sql = rewrite(xt, m.group("cond"))
+        src = m.group("cond").strip()
+
+        def _check(_store, _sql=cond_sql, _src=src):
+            ok = xt.spark.sql(f"SELECT ({_sql}) AS ok").collect()[0]["ok"]
+            if not ok:
+                raise AssertFailed(f"ASSERT failed: {_src}")
+
+        return [("assert_", _check)]
+    ops: list = []
+    execute_dml(_TxRecorder(xt, ops), query)
+    return ops
