@@ -221,3 +221,73 @@ def valid_between(spark, sf_dir):
                      & (F.col("_valid_to_eff").isNull()
                         | (F.col("_valid_to_eff") > a)))
             .select("_id", "value", "_valid_from", "_valid_to_eff"))
+
+
+@register(
+    "bitemp_readings_rollup",
+    """
+    WITH ev AS (
+      SELECT user_id AS _id, value, ts AS _valid_from,
+             CASE WHEN event_type = 'purchase'
+                  THEN ts + INTERVAL 7 DAY ELSE NULL END AS _valid_to,
+             ts AS _system_from,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op
+      FROM events),
+    hist AS (
+      SELECT _id, value, _valid_from, op,
+             CASE WHEN next_vf IS NULL THEN _valid_to
+                  ELSE LEAST(COALESCE(_valid_to, TIMESTAMP '9999-12-31'),
+                             next_vf) END AS _valid_to_eff
+      FROM (SELECT *, LEAD(_valid_from) OVER (PARTITION BY _id
+                      ORDER BY _valid_from, _system_from) AS next_vf
+            FROM ev))
+    SELECT _id,
+           COUNT(*) AS n_readings,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS avg_v,
+           ROUND(MIN(value), 6) AS min_v,
+           ROUND(MAX(value), 6) AS max_v
+    FROM hist
+    WHERE op = 'put'
+      AND _valid_from < TIMESTAMP '2024-01-20'
+      AND (_valid_to_eff IS NULL OR _valid_to_eff > TIMESTAMP '2024-01-05')
+    GROUP BY _id
+    """,
+)
+def readings_rollup(spark, sf_dir):
+    """The reference's time-series bench query verbatim in shape
+    (modules/bench/src/main/clojure/xtdb/bench/readings.clj:25-47:
+    `SELECT AVG(value), MIN(value), MAX(value) FROM readings
+    FOR VALID_TIME BETWEEN ? AND ? GROUP BY _id`): device readings
+    modeled as bitemporal versions, aggregated over the valid-time
+    window. Composition: valid_history (effective intervals after
+    supersession) → overlap filter → per-entity aggregate — the
+    temporal scan is one window over _id, the rollup one shuffle on
+    _id, so the whole query is TWO exchanges at any scale (and the
+    window and groupBy share the _id partitioning, so AQE reuses the
+    exchange on a cluster)."""
+    e = ld(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("user_id").alias("_id"),
+        F.col("value"),
+        F.col("user_id").alias("_iid"),
+        F.col("ts").alias("_valid_from"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("ts") + F.expr("INTERVAL 7 DAY"))
+        .otherwise(F.lit(None).cast("timestamp")).alias("_valid_to"),
+        F.col("ts").alias("_system_from"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put").alias("op"),
+    )
+    h = bitemporal.valid_history(ev)
+    a = F.lit("2024-01-05").cast("timestamp")
+    b = F.lit("2024-01-20").cast("timestamp")
+    vis = h.filter((F.col("_valid_from") < b)
+                   & (F.col("_valid_to_eff").isNull()
+                      | (F.col("_valid_to_eff") > a)))
+    return vis.groupBy("_id").agg(
+        F.count("*").alias("n_readings"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value"), 6).alias("avg_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"))

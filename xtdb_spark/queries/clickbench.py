@@ -1,0 +1,322 @@
+"""ClickBench-parity battery over the `events` table.
+
+The reference benches ClickBench's 43 `hits` queries via
+`modules/bench/src/main/clojure/xtdb/bench/clickbench.clj:23,95-102,
+177-205` (HugSQL query file, sizes small/full). The `hits` schema
+isn't in the driver's testdata, so each entry here adapts one
+canonical ClickBench query SHAPE (the named Q numbers) to
+events(event_id, ts, user_id, event_type, value, props) — same
+aggregation/filter/topk structure, same physical challenges
+(wide-group topk, LIKE scans, regex extraction, minute histograms).
+
+Every entry is oracle-checked. Top-k orderings carry full
+deterministic tiebreakers so the value-hash comparison is stable on
+both engines. All expressions are JVM-side built-ins — no Python in
+any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xtdb_spark.queries.registry import (
+    davg, dsum, ld, register, sql_davg, sql_dsum,
+)
+
+
+@register(
+    "cb_simple_aggs",
+    f"""
+    SELECT COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           {sql_dsum('value', 'sum_value')},
+           {sql_davg('value', 'avg_value')},
+           CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM events
+    """,
+)
+def cb_simple_aggs(spark, sf_dir):
+    """ClickBench Q0-Q3 shape: whole-table scan aggregates (COUNT,
+    filtered COUNT, SUM, AVG). One pass, map-side partial agg, no
+    shuffle beyond the single-row merge."""
+    e = ld(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        dsum(F.col("value"), "sum_value"),
+        davg(F.col("value"), "avg_value"),
+        F.sum("user_id").alias("sum_user"))
+
+
+@register(
+    "cb_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT props->>'$.k') AS n_props,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def cb_distinct_counts(spark, sf_dir):
+    """ClickBench Q4-Q5 shape: COUNT(DISTINCT) over high- and
+    low-cardinality columns. Spark expands multiple distincts via
+    expand + two-level agg; at 100 TB swap for approx_count_distinct
+    (see op_agg_approx, which verifies the sketch's error bound)."""
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(k).alias("n_props"),
+        F.countDistinct("event_type").alias("n_types"))
+
+
+@register(
+    "cb_minmax_ts",
+    """
+    SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS span_seconds
+    FROM events
+    """,
+)
+def cb_minmax_ts(spark, sf_dir):
+    """ClickBench Q6 shape: MIN/MAX over the event-time column —
+    answerable from parquet footer stats at scale (see xt.trie_stats
+    / sources/info_schema.py footer-stats path). Span via
+    unix_timestamp (session tz pinned UTC, so NTZ epoch matches
+    DuckDB's epoch())."""
+    e = ld(spark, sf_dir, "events")
+    return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")) \
+        .withColumn("span_seconds",
+                    F.unix_timestamp(F.col("max_ts").cast("timestamp"))
+                    - F.unix_timestamp(F.col("min_ts").cast("timestamp")))
+
+
+@register(
+    "cb_group_count_topk",
+    """
+    SELECT CAST(props->>'$.k' AS INTEGER) AS k, COUNT(*) AS n
+    FROM events
+    GROUP BY k
+    ORDER BY n DESC, k
+    LIMIT 10
+    """,
+)
+def cb_group_count_topk(spark, sf_dir):
+    """ClickBench Q7/Q10 shape: GROUP BY one key, ORDER BY count
+    LIMIT k. Partial-agg then TakeOrderedAndProject — no global
+    sort."""
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.groupBy(k.alias("k")).agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "k").limit(10))
+
+
+@register(
+    "cb_region_metrics_topk",
+    f"""
+    SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS region,
+           {sql_dsum('value', 'sum_value')},
+           COUNT(*) AS n,
+           {sql_davg('value', 'avg_value')},
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY region
+    ORDER BY n_users DESC, region
+    LIMIT 10
+    """,
+)
+def cb_region_metrics_topk(spark, sf_dir):
+    """ClickBench Q9 shape: per-region mixed aggregates including a
+    distinct count, top-k by the distinct count."""
+    e = ld(spark, sf_dir, "events")
+    region = (F.get_json_object(F.col("props"), "$.k").cast("int")
+              / F.lit(10)).cast("int")
+    return (e.groupBy(region.alias("region"))
+            .agg(dsum(F.col("value"), "sum_value"),
+                 F.count("*").alias("n"),
+                 davg(F.col("value"), "avg_value"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy(F.desc("n_users"), "region").limit(10))
+
+
+@register(
+    "cb_two_key_topk",
+    """
+    SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k, COUNT(*) AS n
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY event_type, k
+    ORDER BY n DESC, event_type, k
+    LIMIT 10
+    """,
+)
+def cb_two_key_topk(spark, sf_dir):
+    """ClickBench Q13/Q14 shape: two-key GROUP BY with a non-empty
+    filter, top-k by count."""
+    e = ld(spark, sf_dir, "events").filter(F.col("event_type") != "view")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.groupBy("event_type", k.alias("k"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "event_type", "k").limit(10))
+
+
+@register(
+    "cb_user_key_topk",
+    """
+    SELECT user_id, CAST(props->>'$.k' AS INTEGER) AS k, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, k
+    ORDER BY n DESC, user_id, k
+    LIMIT 10
+    """,
+)
+def cb_user_key_topk(spark, sf_dir):
+    """ClickBench Q16-Q17 shape: high-cardinality (user × key)
+    grouping, top-k. The group count approaches the row count — the
+    shape that punishes engines whose aggregation can't spill."""
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.groupBy("user_id", k.alias("k"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "user_id", "k").limit(10))
+
+
+@register(
+    "cb_point_lookup",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE user_id = 42
+    ORDER BY ts, event_id
+    LIMIT 20
+    """,
+)
+def cb_point_lookup(spark, sf_dir):
+    """ClickBench Q19 shape: point filter on a key column. The
+    predicate reaches the parquet scan (PushedFilters) so row-group
+    stats skip non-matching files at scale."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter(F.col("user_id") == 42)
+            .select("event_id", "ts", "event_type", "value")
+            .orderBy("ts", "event_id").limit(20))
+
+
+@register(
+    "cb_like_scan",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    WHERE props LIKE '%"k": 7%' AND event_type LIKE '%c%'
+    """,
+)
+def cb_like_scan(spark, sf_dir):
+    """ClickBench Q20-Q22 shape: LIKE substring scans over a string
+    column plus aggregates. Stays in whole-stage codegen (Contains on
+    UTF8String) — ClickBench's URL LIKE '%google%'."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter(F.col("props").like('%"k": 7%')
+                     & F.col("event_type").like("%c%"))
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("min_event"),
+                 F.max("user_id").alias("max_user")))
+
+
+@register(
+    "cb_regex_extract_agg",
+    """
+    SELECT regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(length(props) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_len
+    FROM events
+    WHERE props LIKE '%"k"%'
+    GROUP BY k_str
+    ORDER BY n DESC, k_str
+    LIMIT 25
+    """,
+)
+def cb_regex_extract_agg(spark, sf_dir):
+    """ClickBench Q28 shape: regex extraction + length aggregates,
+    top-25. Regex runs per-row JVM-side; the integer-exact avg (sum
+    of lengths / count) keeps the hash stable across engines."""
+    e = ld(spark, sf_dir, "events").filter(F.col("props").like('%"k"%'))
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    return (e.groupBy(k.alias("k_str"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.length("props").cast("long")).cast("double")
+                         / F.count("*"), 6).alias("avg_len"))
+            .orderBy(F.desc("n"), "k_str").limit(25))
+
+
+@register(
+    "cb_conditional_sums",
+    f"""
+    SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END",
+                     'purchase_value')},
+           {sql_dsum("CASE WHEN event_type = 'click' THEN value ELSE 0 END",
+                     'click_value')},
+           {sql_dsum("CASE WHEN user_id % 2 = 0 THEN value END",
+                     'even_user_value')}
+    FROM events
+    """,
+)
+def cb_conditional_sums(spark, sf_dir):
+    """ClickBench Q30-Q32 shape: many conditional sums in one scan
+    (the reference's `sum(case …)` batteries) — one pass, one
+    single-row merge."""
+    e = ld(spark, sf_dir, "events")
+    v = F.col("value")
+    t = F.col("event_type")
+    return e.agg(
+        F.sum(F.when(t == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        dsum(F.when(t == "purchase", v).otherwise(F.lit(0)), "purchase_value"),
+        dsum(F.when(t == "click", v).otherwise(F.lit(0)), "click_value"),
+        dsum(F.when(F.col("user_id") % 2 == 0, v), "even_user_value"))
+
+
+@register(
+    "cb_ordered_page",
+    """
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE event_type = 'view' AND value > 100
+    ORDER BY ts DESC, event_id
+    LIMIT 10 OFFSET 10
+    """,
+)
+def cb_ordered_page(spark, sf_dir):
+    """ClickBench Q36-Q39 shape: filtered ORDER BY … LIMIT/OFFSET
+    pagination. offset+limit on the sorted stream — Spark executes
+    top-(offset+limit) then drops the head, no global sort."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter((F.col("event_type") == "view") & (F.col("value") > 100))
+            .select("event_id", "user_id", "ts")
+            .orderBy(F.desc("ts"), "event_id")
+            .offset(10).limit(10))
+
+
+@register(
+    "cb_minute_histogram",
+    """
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+    GROUP BY minute
+    ORDER BY minute
+    LIMIT 100
+    """,
+)
+def cb_minute_histogram(spark, sf_dir):
+    """ClickBench Q40-Q42 shape: minute-bucketed event histogram over
+    a time window. The range predicate is pushed to the scan; the
+    bucketing is arithmetic (date_trunc), not a join."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-11"))
+            .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("minute").limit(100))
