@@ -142,14 +142,23 @@ class TableStore:
         return F.unhex(F.md5(F.concat(F.lit(tag + ":"),
                                       F.col("_id").cast("string"))))
 
+    def _local_df(self, rows) -> DataFrame:
+        """Local row list → single-slice DataFrame. One slice means
+        one output file per append (no small-file problem) AND one
+        Python-worker launch per job over the frame — `.coalesce(1)`
+        over the default 32 inference slices computes all 32 parent
+        partitions inside a single task, launching a fresh Python
+        worker per empty slice (measured 3.9 s/job vs 0.2 s; it was
+        the dominant cost of every small OLTP tx). Schema still comes
+        from the same driver-side inference over the full row list."""
+        probe = self.spark.createDataFrame(rows)
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1),
+            schema=probe.schema)
+
     def _events_df(self, rows, op: str, valid_from, valid_to,
                    system_from) -> DataFrame:
-        if isinstance(rows, DataFrame):
-            df = rows
-        else:
-            # local-rows puts are small: one output file, not one per
-            # default partition (avoids the small-file problem)
-            df = self.spark.createDataFrame(rows).coalesce(1)
+        df = rows if isinstance(rows, DataFrame) else self._local_df(rows)
         # widest-type canonicalization (SURVEY §1.3 strategy (c)):
         # integral → bigint, fractional → double, so later appends
         # from differently-inferred sources always schema-merge
@@ -251,8 +260,9 @@ class TableStore:
         partial tx — the reference's log gives it atomically, Delta
         commit protocols would here.)"""
         st = system_from or self._next_system_time()
-        staged: list[tuple[str, DataFrame]] = []
-        stage = lambda table, ev: staged.append((table, ev))  # noqa: E731
+        staged: list[tuple[str, DataFrame, bool]] = []
+        stage = (lambda table, ev, snap=True:  # noqa: E731
+                 staged.append((table, ev, snap)))
 
         try:
             self._submit_tx_ops(ops, st, stage)
@@ -260,9 +270,13 @@ class TableStore:
             self._record_tx(st, committed=False,
                             error=f"{type(e).__name__}: {e}"[:500])
             raise
-        # materialize against the pre-tx snapshot, then commit
-        staged = [(table, ev.localCheckpoint(eager=True))
-                  for table, ev in staged]
+        # materialize against the pre-tx snapshot, then commit.
+        # `snap=False` frames derive from LITERAL driver-side rows
+        # only — they cannot observe the store, so re-evaluating them
+        # after earlier appends of this tx is provably identical and
+        # the checkpoint job (one Spark job per op) is skipped.
+        staged = [(table, ev.localCheckpoint(eager=True) if snap else ev)
+                  for table, ev, snap in staged]
         for table, ev in staged:
             self._append(table, ev)
         self._record_tx(st)
@@ -277,14 +291,18 @@ class TableStore:
             table, payload = rest[0], rest[1]
             kw = dict(rest[2]) if len(rest) > 2 else {}
             vf, vt = kw.get("valid_from"), kw.get("valid_to")
+            lit = not isinstance(payload, DataFrame)
             if kind == "put":
-                stage(table, self._events_df(payload, "put", vf, vt, st))
+                stage(table, self._events_df(payload, "put", vf, vt, st),
+                      snap=not lit)
             elif kind == "delete":
                 stage(table, self._events_df(self._id_rows(payload),
-                                             "delete", vf, vt, st))
+                                             "delete", vf, vt, st),
+                      snap=not lit)
             elif kind == "erase":
                 stage(table, self._events_df(self._id_rows(payload),
-                                             "erase", None, None, st))
+                                             "erase", None, None, st),
+                      snap=not lit)
             elif kind == "patch":
                 if vf is not None or vt is not None:
                     stage(table, self._patch_portion_events(
@@ -313,7 +331,7 @@ class TableStore:
 
     def _patch_events(self, table, rows, st) -> DataFrame:
         patch_df = (rows if isinstance(rows, DataFrame)
-                    else self.spark.createDataFrame(rows))
+                    else self._local_df(rows))
         current = bitemporal.resolve_asof(self.events(table), keep_meta=False)
         doc_cols = [c for c in current.columns if c != "_iid"]
         cur = current.withColumnRenamed("_id", "__cur_id") if "_id" in doc_cols \
@@ -356,7 +374,7 @@ class TableStore:
         b = (F.lit(valid_to).cast("timestamp") if valid_to is not None
              else F.lit(bitemporal.MAX_TS).cast("timestamp"))
         patch_df = (rows if isinstance(rows, DataFrame)
-                    else self.spark.createDataFrame(rows).coalesce(1))
+                    else self._local_df(rows))
         hist = bitemporal.valid_history(self.events(table)) \
             .withColumn("__vt", F.coalesce(
                 F.col("_valid_to_eff"),
