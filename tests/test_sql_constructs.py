@@ -1,0 +1,122 @@
+"""XTDB dialect-construct tests: object/array literals, RECORDS,
+NEST_ONE/NEST_MANY (reference Sql.g4:283-284,386-393,524-531,802-813;
+planned by sql.clj's ObjectExpr / RecordsQuery / NestOne/NestMany
+visitors). Translation layer: xtdb_spark/sql/constructs.py."""
+
+import pytest
+
+from xtdb_spark.session import XtdbSession
+from xtdb_spark.sql.constructs import translate
+from xtdb_spark.sql.rewriter import rewrite_and_run
+
+
+def make_xt(spark, tmp_path):
+    xt = XtdbSession.__new__(XtdbSession)
+    from xtdb_spark.tx import TableStore
+
+    xt.spark = spark
+    xt.store = TableStore(spark, str(tmp_path / "wh"))
+    return xt
+
+
+def test_translate_pure():
+    assert translate("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+    assert translate("SELECT {a: 1} AS r") == \
+        "SELECT named_struct('a', 1) AS r"
+    assert translate("SELECT [1, x] AS xs FROM t") == \
+        "SELECT array(1, x) AS xs FROM t"
+    assert translate("SELECT OBJECT(a: 1, b: {c: [2]}) AS r") == \
+        "SELECT named_struct('a', 1, 'b', named_struct('c', array(2))) AS r"
+    # subscripts keep working next to literals
+    assert translate("SELECT f([1,2])[0] FROM t") == \
+        "SELECT f(array(1,2))[0] FROM t"
+
+
+def test_object_and_array_literals_run(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    r = rewrite_and_run(
+        xt, "SELECT {a: 1 + 1, tags: ['x', 'y']} AS r").collect()[0]["r"]
+    assert r["a"] == 2 and list(r["tags"]) == ["x", "y"]
+    # OBJECT(...) spelling, nested
+    r2 = rewrite_and_run(
+        xt, "SELECT OBJECT(p: {q: [1, 2]}) AS r").collect()[0]["r"]
+    assert list(r2["p"]["q"]) == [1, 2]
+
+
+def test_records_query_and_insert(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    # standalone RECORDS query (RecordsQuery, Sql.g4:683)
+    rows = rewrite_and_run(
+        xt, "RECORDS {_id: 1, name: 'a'}, {_id: 2, age: 30}").collect()
+    got = {(r["_id"], r["name"], r["age"]) for r in rows}
+    assert got == {(1, "a", None), (2, None, 30)}
+
+    # INSERT INTO … RECORDS (InsertRecords, Sql.g4:811) — dynamic
+    # keys union; missing keys NULL
+    rewrite_and_run(
+        xt, "INSERT INTO people RECORDS "
+            "{_id: 1, name: 'Alice', age: 30}, {_id: 2, name: 'Bob'}")
+    out = rewrite_and_run(
+        xt, "SELECT _id, name, age FROM people ORDER BY _id").collect()
+    assert [(r["_id"], r["name"], r["age"]) for r in out] == \
+        [(1, "Alice", 30), (2, "Bob", None)]
+
+    # PATCH INTO … RECORDS (PatchRecords, Sql.g4:803): merge keys
+    rewrite_and_run(
+        xt, "PATCH INTO people RECORDS {_id: 2, age: 41}")
+    out = rewrite_and_run(
+        xt, "SELECT name, age FROM people WHERE _id = 2").collect()
+    assert [(r["name"], r["age"]) for r in out] == [("Bob", 41)]
+
+
+def test_nest_many_and_nest_one(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO customers RECORDS "
+                        "{_id: 1, name: 'c1'}, {_id: 2, name: 'c2'}")
+    rewrite_and_run(xt, "INSERT INTO orders RECORDS "
+                        "{_id: 10, cust: 1, amt: 5.0}, "
+                        "{_id: 11, cust: 1, amt: 7.0}, "
+                        "{_id: 12, cust: 2, amt: 1.0}")
+
+    # NEST_MANY: one array-of-records column per customer
+    rows = rewrite_and_run(xt, """
+        SELECT c._id AS cid,
+               NEST_MANY (SELECT o._id AS oid, o.amt FROM orders o
+                          WHERE o.cust = c._id) AS orders
+        FROM customers c ORDER BY cid
+    """).collect()
+    nested = {r["cid"]: sorted((o["oid"], o["amt"]) for o in r["orders"])
+              for r in rows}
+    assert nested == {1: [(10, 5.0), (11, 7.0)], 2: [(12, 1.0)]}
+
+    # NEST_ONE: single record (cardinality 1 here)
+    rows = rewrite_and_run(xt, """
+        SELECT c._id AS cid,
+               NEST_ONE (SELECT o.amt FROM orders o
+                         WHERE o.cust = c._id AND o.amt > 6) AS big
+        FROM customers c ORDER BY cid
+    """).collect()
+    assert rows[0]["big"]["amt"] == 7.0
+    assert rows[1]["big"] is None
+
+    # NEST_ONE over a >1-row subquery errors (the reference's
+    # single-join cardinality check; Spark's scalar-subquery guard)
+    with pytest.raises(Exception):
+        rewrite_and_run(xt, """
+            SELECT c._id, NEST_ONE (SELECT o.amt FROM orders o
+                                    WHERE o.cust = c._id) AS one
+            FROM customers c
+        """).collect()
+
+
+def test_nest_many_grouped(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO ev RECORDS "
+                        "{_id: 1, cat: 'a'}, {_id: 2, cat: 'a'}, "
+                        "{_id: 3, cat: 'b'}")
+    rows = rewrite_and_run(xt, """
+        SELECT NEST_MANY (SELECT cat, COUNT(*) AS n FROM ev
+                          GROUP BY cat) AS by_cat
+    """).collect()
+    got = sorted((o["cat"], o["n"]) for o in rows[0]["by_cat"])
+    assert got == [("a", 2), ("b", 1)]

@@ -1,0 +1,328 @@
+"""XTDB-dialect expression constructs → Spark SQL (token-level).
+
+The reference grammar admits several non-standard constructs anywhere
+an expression or query body appears (Sql.g4):
+
+- object literals ``{k: expr, …}`` and ``OBJECT(k: expr, …)`` /
+  ``RECORD(k: expr, …)`` (Sql.g4:386-393 objectConstructor)
+    → ``named_struct('k', expr, …)``
+- array literals ``[e1, e2]`` (arrayValueConstructor)
+    → ``array(e1, e2)`` — disambiguated from subscript ``expr[i]``
+      by what precedes the bracket, the same rule a lexer uses
+- ``NEST_ONE (subquery)`` (Sql.g4:283) → scalar subquery returning a
+  struct of the select list; Spark's scalar-subquery cardinality
+  check supplies the reference's single-row error semantics
+- ``NEST_MANY (subquery)`` (Sql.g4:284) → scalar subquery returning
+  ``collect_list(struct(select list))`` (grouped subqueries wrap in a
+  derived table so the aggregate collects the grouped rows)
+- ``RECORDS {…}, {…}`` (Sql.g4:529-531, RecordsQuery/InsertRecords/
+  PatchRecords) → ``SELECT … UNION ALL SELECT …`` over the UNION of
+  the records' keys (missing keys are NULL — the dynamic-document
+  model; the store's widest-type canonicalization merges the rest)
+
+This is a pure text→text pass over the same token stream the
+temporal rewriter uses; positional ``?`` params pass through in
+order. It runs before temporal rewriting and before DML parsing, so
+``INSERT INTO t RECORDS {…}`` reaches the DML layer as
+``INSERT INTO t SELECT …``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from xtdb_spark.sql.rewriter import _TOKEN_RE, _unquote
+
+_TRIGGER_RE = re.compile(
+    r"[{\[]|\bNEST_ONE\b|\bNEST_MANY\b|\bRECORDS\b"
+    r"|\bOBJECT\s*\(|\bRECORD\s*\(",
+    re.IGNORECASE)
+
+# keywords that cannot END an expression — a `[` after one of these
+# starts an array literal, not a subscript
+_NON_POSTFIX_WORDS = {
+    "SELECT", "DISTINCT", "ALL", "FROM", "WHERE", "AND", "OR", "NOT", "IN",
+    "ON", "WHEN", "THEN", "ELSE", "CASE", "BY", "AS", "HAVING", "UNION",
+    "EXCEPT", "INTERSECT", "VALUES", "SET", "LIKE", "ILIKE", "BETWEEN",
+    "IS", "RETURNING", "OVER", "PARTITION", "ORDER", "GROUP", "LIMIT",
+    "OFFSET", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+    "COALESCE", "RECORDS", "THEN", "END", "ANY", "SOME", "EXISTS",
+}
+
+
+def translate(sql: str) -> str:
+    """Translate XTDB constructs to Spark SQL; no-op (same string)
+    when none are present."""
+    if not _TRIGGER_RE.search(sql):
+        return sql
+    return _Translator(sql).run()
+
+
+def _has_toplevel_word(text: str, word: str) -> bool:
+    depth = 0
+    for m in _TOKEN_RE.finditer(text):
+        kind, t = m.lastgroup, m.group()
+        if kind == "punct":
+            if t in "([{":
+                depth += 1
+            elif t in ")]}":
+                depth -= 1
+        elif kind == "word" and depth == 0 and t.upper() == word:
+            return True
+    return False
+
+
+def _ident_sql(name: str) -> str:
+    if re.fullmatch(r"[A-Za-z_]\w*", name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
+class _Translator:
+    def __init__(self, sql: str):
+        self.toks = [(m.lastgroup, m.group())
+                     for m in _TOKEN_RE.finditer(sql)]
+        self.i = 0
+        self.postfix = False  # does the last significant output token
+        #                       end an expression? (subscript context)
+
+    # -- plumbing
+
+    def _peek(self, k: int = 0):
+        j, seen = self.i, 0
+        while j < len(self.toks):
+            if self.toks[j][0] not in ("ws", "comment"):
+                if seen == k:
+                    return self.toks[j]
+                seen += 1
+            j += 1
+        return (None, "")
+
+    def _next(self):
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def _skip_ws(self) -> str:
+        parts = []
+        while self.i < len(self.toks) and \
+                self.toks[self.i][0] in ("ws", "comment"):
+            parts.append(self._next()[1])
+        return "".join(parts)
+
+    # -- main walk
+
+    def run(self) -> str:
+        return self._walk(closers=())
+
+    def _walk(self, closers: tuple, stop_words: tuple = ()) -> str:
+        """Translate until (exclusive) a top-level closer punct, a
+        top-level stop word, or EOF. Consumes nested () [] {} wholly
+        via the construct branches."""
+        parts: list[str] = []
+        while self.i < len(self.toks):
+            kind, text = self.toks[self.i]
+            if kind in ("ws", "comment"):
+                parts.append(self._next()[1])
+                continue
+            if kind == "punct" and text in closers:
+                break
+            if kind == "word" and stop_words and text.upper() in stop_words:
+                break
+            if kind == "punct" and text == "{":
+                parts.append(self._object_literal())
+                self.postfix = True
+                continue
+            if kind == "punct" and text == "[":
+                if self.postfix:  # subscript expr[i]
+                    parts.append(self._next()[1])
+                    self.postfix = False
+                    parts.append(self._walk(closers=("]",)))
+                    if self._peek() == ("punct", "]"):
+                        parts.append(self._next()[1])
+                    self.postfix = True
+                else:             # array literal [e1, e2]
+                    parts.append(self._array_literal())
+                    self.postfix = True
+                continue
+            if kind == "punct" and text == "(":
+                parts.append(self._next()[1])
+                self.postfix = False  # fresh expression context
+                parts.append(self._walk(closers=(")",)))
+                if self._peek() == ("punct", ")"):
+                    parts.append(self._next()[1])
+                self.postfix = True
+                continue
+            if kind == "word":
+                up = text.upper()
+                if up in ("OBJECT", "RECORD") and self._object_call_ahead():
+                    parts.append(self._object_call())
+                    self.postfix = True
+                    continue
+                if up in ("NEST_ONE", "NEST_MANY") and \
+                        self._peek(1) == ("punct", "("):
+                    parts.append(self._nest(up))
+                    self.postfix = True
+                    continue
+                if up == "RECORDS" and self._records_ahead(1):
+                    parts.append(self._records())
+                    self.postfix = True
+                    continue
+            tok = self._next()
+            parts.append(tok[1])
+            if tok[0] == "word":
+                self.postfix = tok[1].upper() not in _NON_POSTFIX_WORDS
+            elif tok[0] in ("qident", "num", "str"):
+                self.postfix = True
+            else:
+                self.postfix = False
+        return "".join(parts)
+
+    # -- object constructors
+
+    def _object_call_ahead(self) -> bool:
+        """OBJECT( / RECORD( followed by `ident :` (or empty) is an
+        object constructor; anything else passes through."""
+        if self._peek(1) != ("punct", "("):
+            return False
+        if self._peek(2) == ("punct", ")"):
+            return True
+        return (self._peek(2)[0] in ("word", "qident")
+                and self._peek(3) == ("punct", ":")
+                and self._peek(4) != ("punct", ":"))  # not a :: cast
+
+    def _object_pairs(self, closer: str) -> list[tuple[str, str]]:
+        """Parse `k: expr, …` up to (and consuming) `closer`."""
+        pairs: list[tuple[str, str]] = []
+        while True:
+            self._skip_ws()
+            if self._peek() == ("punct", closer):
+                self._next()
+                return pairs
+            k, t = self._peek()
+            if k not in ("word", "qident"):
+                raise ValueError(
+                    f"malformed object literal: expected a key, got {t!r}")
+            key = _unquote(self._next())
+            self._skip_ws()
+            if self._peek() != ("punct", ":"):
+                raise ValueError(
+                    f"malformed object literal: expected ':' after {key!r}")
+            self._next()
+            self.postfix = False  # fresh expression context
+            val = self._walk(closers=(",", closer)).strip()
+            pairs.append((key, val))
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            if self._peek() == ("punct", closer):
+                self._next()
+                return pairs
+            raise ValueError("malformed object literal: unterminated")
+
+    @staticmethod
+    def _named_struct(pairs: list[tuple[str, str]]) -> str:
+        if not pairs:
+            return "named_struct()"
+        args = ", ".join(f"'{k}'" + ", " + v for k, v in pairs)
+        return f"named_struct({args})"
+
+    def _object_literal(self) -> str:
+        self._next()  # {
+        return self._named_struct(self._object_pairs("}"))
+
+    def _object_call(self) -> str:
+        self._next()  # OBJECT / RECORD
+        self._skip_ws()
+        self._next()  # (
+        return self._named_struct(self._object_pairs(")"))
+
+    def _array_literal(self) -> str:
+        self._next()  # [
+        self.postfix = False  # fresh expression context
+        body = self._walk(closers=("]",))
+        if self._peek() == ("punct", "]"):
+            self._next()
+        return f"array({body})"
+
+    # -- NEST_ONE / NEST_MANY
+
+    def _nest(self, kind: str) -> str:
+        self._next()  # NEST_ONE / NEST_MANY
+        self._skip_ws()
+        self._next()  # (
+        self._skip_ws()
+        k, t = self._peek()
+        if k != "word" or t.upper() != "SELECT":
+            raise ValueError(f"{kind} requires a subquery")
+        self._next()  # SELECT
+        self._skip_ws()
+        distinct = False
+        k, t = self._peek()
+        if k == "word" and t.upper() == "DISTINCT":
+            distinct = True
+            self._next()
+        sel = self._walk(closers=(")",), stop_words=("FROM",)).strip()
+        rest = self._walk(closers=(")",)).strip()  # FROM … (may be empty)
+        if self._peek() == ("punct", ")"):
+            self._next()
+        if kind == "NEST_ONE":
+            return f"(SELECT struct({sel}) {rest})".rstrip() + ""
+        if _has_toplevel_word(rest, "GROUP"):
+            # grouped subquery: one record per GROUP — collect over a
+            # derived table so the aggregate sees the grouped rows
+            inner = f"SELECT {sel} {rest}"
+            return (f"(SELECT collect_list(struct(*)) "
+                    f"FROM ({inner}) __nest_rows)")
+        agg = f"collect_list(struct({sel}))"
+        if distinct:
+            agg = f"array_distinct({agg})"
+        return f"(SELECT {agg} {rest})".rstrip()
+
+    # -- RECORDS
+
+    def _records_ahead(self, k: int) -> bool:
+        nk, nt = self._peek(k)
+        if nk == "punct" and nt == "{":
+            return True
+        return (nk == "word" and nt.upper() in ("OBJECT", "RECORD")
+                and self._peek(k + 1) == ("punct", "("))
+
+    def _records(self) -> str:
+        self._next()  # RECORDS
+        records: list[list[tuple[str, str]]] = []
+        while True:
+            self._skip_ws()
+            k, t = self._peek()
+            if k == "punct" and t == "{":
+                self._next()
+                records.append(self._object_pairs("}"))
+            elif k == "word" and t.upper() in ("OBJECT", "RECORD"):
+                self._next()
+                self._skip_ws()
+                self._next()  # (
+                records.append(self._object_pairs(")"))
+            elif k == "param":
+                raise ValueError(
+                    "RECORDS ? (parameter record) is not supported — "
+                    "bind documents via the tx API instead")
+            else:
+                raise ValueError("RECORDS requires object literals")
+            if self._peek() == ("punct", ",") and self._records_ahead(1):
+                self._next()  # the comma
+                continue
+            break
+        # union of keys, first-seen order (dynamic-document model)
+        keys: list[str] = []
+        for rec in records:
+            for key, _ in rec:
+                if key not in keys:
+                    keys.append(key)
+        selects = []
+        for rec in records:
+            vals = dict(rec)
+            cols = ", ".join(
+                f"{vals.get(key, 'NULL')} AS {_ident_sql(key)}"
+                for key in keys)
+            selects.append(f"SELECT {cols}")
+        return " UNION ALL ".join(selects)

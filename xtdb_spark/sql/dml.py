@@ -104,8 +104,21 @@ def _current_view(xt, table: str) -> str:
     return view
 
 
+_PATCH_SELECT_RE = re.compile(
+    rf"^\s*PATCH\s+INTO\s+(?P<table>[\w.]+){_PORTION_RE}\s*"
+    r"(?P<select>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def execute_dml(xt, query: str):
     spark = xt.spark
+    # XTDB dialect constructs first: `INSERT INTO t RECORDS {…}` /
+    # `PATCH INTO t RECORDS {…}` (reference Sql.g4:811,803) arrive
+    # here as `… SELECT …` and fall into the SELECT branches below
+    from xtdb_spark.sql.constructs import translate
+
+    query = translate(query)
 
     m = _INSERT_VALUES_RE.match(query)
     if m:
@@ -134,6 +147,17 @@ def execute_dml(xt, query: str):
         if m.group("cols"):
             rel = rel.toDF(*[c.strip() for c in m.group("cols").split(",")])
         return xt.store.put(m.group("table"), rel)
+
+    m = _PATCH_SELECT_RE.match(query)
+    if m:
+        # PATCH INTO t RECORDS {…} arrives here post-translation as
+        # PATCH INTO t SELECT … (reference Sql.g4:802-805 PatchRecords)
+        from xtdb_spark.sql.rewriter import rewrite
+
+        rel = spark.sql(rewrite(xt, m.group("select")))
+        return xt.store.patch(m.group("table"), rel,
+                              valid_from=m.group("vf"),
+                              valid_to=m.group("vt"))
 
     m = _UPDATE_RE.match(query)
     if m:

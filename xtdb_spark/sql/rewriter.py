@@ -477,15 +477,22 @@ def parse_clauses(clause_text: str, args: list | None = None) -> TemporalBounds:
 
 def rewrite(xt, query: str) -> str:
     """Rewrite temporal table references; no positional params."""
-    sql, _ = _Rewriter(xt, query, None).run()
+    from xtdb_spark.sql.constructs import translate
+
+    sql, _ = _Rewriter(xt, translate(query), None).run()
     return sql
 
 
 def rewrite_with_args(xt, query: str, args: list | None):
     """Rewrite + bind any `?` inside temporal clauses from `args`;
     returns (sql, remaining_args) with the bound args removed so the
-    remaining positions still line up for Spark's parameterized SQL."""
-    return _Rewriter(xt, query, args).run()
+    remaining positions still line up for Spark's parameterized SQL.
+    XTDB dialect constructs (object/array literals, NEST_ONE/
+    NEST_MANY, RECORDS — sql/constructs.py) translate first; the
+    translation preserves `?` order, so param binding is unaffected."""
+    from xtdb_spark.sql.constructs import translate
+
+    return _Rewriter(xt, translate(query), args).run()
 
 
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
