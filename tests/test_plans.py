@@ -147,3 +147,27 @@ def test_sequence_packing_window_is_partitioned(spark):
     big = [ln for ln in wins if "n_tokens" in ln and "shard_tokens" not in ln]
     assert big and all("windowspecdefinition(shard" in ln for ln in big), \
         f"per-doc cumsum window must be partitioned by shard: {big}"
+
+
+def test_cb_point_lookup_pushdown(no_aqe):
+    """ClickBench point-filter shape: the user_id predicate must
+    reach the parquet scan (row-group stats skip at scale)."""
+    f = facts(no_aqe, "cb_point_lookup")
+    assert any("user_id" in pf for pf in f.pushed_filters), f.pushed_filters
+    assert f.scan_reads_only("event_id", "ts", "event_type", "value",
+                             "user_id")
+
+
+def test_cb_minute_histogram_range_pushdown(no_aqe):
+    """Time-window histogram: the ts range predicate reaches the scan
+    and only (ts) is read."""
+    f = facts(no_aqe, "cb_minute_histogram")
+    assert any("ts" in pf for pf in f.pushed_filters), f.pushed_filters
+    assert f.scan_reads_only("ts")
+
+
+def test_cb_topk_no_global_sort(no_aqe):
+    """Group-topk must TakeOrderedAndProject, not globally sort the
+    aggregate output."""
+    f = facts(no_aqe, "cb_group_count_topk")
+    assert "TakeOrderedAndProject" in f.text

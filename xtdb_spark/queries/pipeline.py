@@ -752,3 +752,54 @@ def embedding_kmeans(spark, sf_dir):
             .agg(F.count("*").alias("n_members"),
                  F.round(F.avg("sim"), 4).alias("avg_sim"))
             .orderBy("cluster"))
+
+
+@register(
+    "pipe_source_mixture",
+    r"""
+    WITH tagged AS (
+      SELECT source,
+             (1 + CAST(SUBSTR(source, 4) AS INTEGER) % 10) / 10.0
+               AS target_frac,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE target_frac >= 1.0
+                OR h4 < printf('%04x',
+                     CAST(FLOOR(target_frac * 65536) AS INTEGER))) AS n_kept,
+           ROUND(MAX(target_frac), 6) AS target_frac
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_mixture(spark, sf_dir):
+    """Training-mixture construction: downsample each source to a
+    target weight (the data-mixing step every pretraining pipeline
+    runs — e.g. upweight curated sources, downweight crawl). The
+    keep/drop decision is a pure hash threshold — include a document
+    iff the first 4 hex chars of md5(doc_id) fall below
+    floor(target_frac * 2^16) — so the sample is deterministic across
+    runs, engines, partitionings, and cluster sizes: no RNG, no seed
+    coordination, no driver round-trip, and the SAME documents are
+    kept when the corpus is re-processed incrementally. At 100 TB
+    this is a stateless map + one aggregation shuffle; the filter
+    itself can precede any expensive downstream op so dropped docs
+    are never decoded. (Demo weights derive from the source id;
+    production passes a weights dict and broadcasts it.)"""
+    d = ld(spark, sf_dir, "documents")
+    target = ((1 + F.substring("source", 4, 10).cast("int") % 10)
+              / F.lit(10.0))
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.format_string(
+        "%04x", F.floor(target * 65536).cast("int"))
+    kept = (target >= 1.0) | (h4 < thresh)
+    return (d.select("source", target.alias("target_frac"),
+                     kept.alias("kept"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+                 F.round(F.max("target_frac"), 6).alias("target_frac"))
+            .orderBy("source"))
