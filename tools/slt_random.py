@@ -56,7 +56,53 @@ STR_LITS = {
 }
 
 
-def gen_query(rng: random.Random) -> str:
+def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
+    """XTDB-dialect constructs (sql/constructs.py) need PAIRED
+    spellings: the left string is XTDB syntax (object/array literals,
+    NEST_MANY) run through `constructs.translate` + Spark; the right
+    is DuckDB's native spelling of the same computation ({'k': v}
+    struct literals, 1-based list subscripts, correlated COUNT).
+    Both reduce to identical scalar outputs, so the value-hash
+    compare verifies the translation END-TO-END against an
+    independent engine."""
+    t = rng.choice(list(TABLES))
+    ints, strs = TABLES[t]
+    c1, c2 = rng.choice(ints), rng.choice(ints)
+    g = rng.choice(strs)
+    kind = rng.random()
+    if kind < 0.33:
+        # object literal + field access
+        m = rng.randint(5, 13)
+        sel_x = f"({{a: {c1} % {m}, b: {g}}})"
+        sel_d = f"({{'a': {c1} % {m}, 'b': {g}}})"
+        tail = f"AS fa, {{}}.b AS fb FROM {t} ORDER BY fa, fb LIMIT 40"
+        return (f"SELECT DISTINCT {sel_x}.a " + tail.format(sel_x),
+                f"SELECT DISTINCT {sel_d}.a " + tail.format(sel_d))
+    if kind < 0.66:
+        # array literal + element extraction (element_at and DuckDB
+        # [] are both 1-based)
+        i = rng.randint(1, 3)
+        arr = f"[{c1} % 50, {c2}, 7]"
+        return (f"SELECT COUNT(*) AS n, CAST(SUM(element_at({arr}, {i})) "
+                f"AS BIGINT) AS s FROM {t}",
+                f"SELECT COUNT(*) AS n, CAST(SUM({arr}[{i}]) "
+                f"AS BIGINT) AS s FROM {t}")
+    # NEST_MANY cardinality vs correlated COUNT
+    th = rng.randint(100, 5000)
+    lim = rng.randint(50, 300)
+    return (
+        f"SELECT c_custkey, COALESCE(size(NEST_MANY "
+        f"(SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_orderkey < {th})), 0) AS n_orders "
+        f"FROM customer WHERE c_custkey < {lim} ORDER BY c_custkey",
+        f"SELECT c_custkey, (SELECT COUNT(*) FROM orders "
+        f"WHERE o_custkey = c_custkey AND o_orderkey < {th}) AS n_orders "
+        f"FROM customer WHERE c_custkey < {lim} ORDER BY c_custkey")
+
+
+def gen_query(rng: random.Random):
+    if rng.random() < 0.08:
+        return gen_construct_pair(rng)
     use_join = rng.random() < 0.4
     if use_join:
         lt, rt, cond = rng.choice(JOINS)
@@ -224,21 +270,24 @@ def gen_query(rng: random.Random) -> str:
 
 
 def run_battery(spark, con, n_queries: int, seed: int, verbose: bool = True):
+    from xtdb_spark.sql.constructs import translate
+
     rng = random.Random(seed)
     failures = []
     for i in range(n_queries):
-        sql = gen_query(rng)
-        sdf = spark.sql(sql)
+        q = gen_query(rng)
+        s_sql, d_sql = q if isinstance(q, tuple) else (q, q)
+        sdf = spark.sql(translate(s_sql))
         scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        res = con.execute(sql)
+        res = con.execute(d_sql)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         ok = (sorted(scols) == sorted(dcols) and len(srows) == len(drows)
               and rows_key(srows, scols) == rows_key(drows, dcols))
         if not ok:
-            failures.append((i, sql, len(srows), len(drows)))
+            failures.append((i, s_sql, len(srows), len(drows)))
             if verbose:
-                print(f"FAIL [{i}] {sql}\n  spark={len(srows)} duck={len(drows)}")
+                print(f"FAIL [{i}] {s_sql}\n  spark={len(srows)} duck={len(drows)}")
         elif verbose and i % 10 == 0:
             print(f"ok   [{i}] {len(srows)} rows")
     return failures
