@@ -92,10 +92,22 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
         # Parquet row groups give these files only ~1-3 input splits,
         # so a scan of the cache would run on 3 of 32 cores with one
         # straggler partition (measured 1.1s vs 0.3s on sf0.1
-        # lineitem). Re-partition by compressed size before pinning so
-        # cached scans use the whole machine; tiny dims stay at 1.
+        # lineitem). Re-partition before pinning — but size the
+        # partition COUNT to the data, like the shuffle above:
+        # ~1.5 MB of compressed parquet per cached partition. Pinning
+        # every big table at `cpus` partitions made EVERY downstream
+        # stage schedule 32 near-empty tasks (the same
+        # scheduling-dominates failure mode as sp=32; measured ~30%
+        # off the full best-of-3 headline at sf0.1 — 9.9s → 6.7s —
+        # same-JVM A/B). Floor of 4 keeps CPU-bound per-row work
+        # (regex over documents) parallel even when the file is
+        # small; the `cpus` cap restores full-machine scans once the
+        # table is big enough to deserve them (sf1 lineitem hits the
+        # cap, so large-SF behavior is unchanged — on a cluster this
+        # is Delta's target file size doing the same job).
         size = os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        npart = 1 if size < 65536 else (8 if size < 4194304 else cpus)
+        npart = 1 if size < 65536 else \
+            max(4, min(cpus, -(-size // 1572864)))
         # Hash-partition fact tables by their PRIMARY join key while
         # pinning — the local analogue of bucketing: the cached
         # InMemoryRelation reports HashPartitioning(key, n), so joins
