@@ -318,3 +318,41 @@ def test_pg_catalog_depth_and_xt_views(spark, tmp_path):
     assert metrics["txs_total"] == 2.0
     assert metrics["tables_total"] == 1.0
     assert metrics["storage_files_total"] == 2.0
+
+
+def test_setting_default_system_time(spark, tmp_path):
+    """SETTING DEFAULT VALID_TIME/SYSTEM_TIME query prefix (reference
+    Sql.g4:79-83): defaults apply to tables without their own FOR
+    clause; an explicit FOR clause overrides per dimension."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("st_users", [{"_id": 1, "name": "v1"}],
+                 system_from="2024-01-01")
+    xt.store.put("st_users", [{"_id": 1, "name": "v2"}],
+                 system_from="2024-02-01")
+
+    old = rewrite_and_run(
+        xt, "SETTING DEFAULT SYSTEM_TIME TO AS OF '2024-01-15' "
+            "SELECT name FROM st_users").collect()
+    assert [r["name"] for r in old] == ["v1"]
+
+    # explicit FOR beats the default
+    cur = rewrite_and_run(
+        xt, "SETTING DEFAULT SYSTEM_TIME TO AS OF '2024-01-15' "
+            "SELECT name FROM st_users FOR SYSTEM_TIME AS OF "
+            "'2024-02-15'").collect()
+    assert [r["name"] for r in cur] == ["v2"]
+
+    # ALL-dimension default: both versions visible
+    hist = rewrite_and_run(
+        xt, "SETTING DEFAULT SYSTEM_TIME ALL "
+            "SELECT COUNT(*) AS n FROM st_users").collect()
+    assert hist[0]["n"] == 2
+
+    # comma-separated two-dimension prefix parses
+    both = rewrite_and_run(
+        xt, "SETTING DEFAULT VALID_TIME TO AS OF '2024-03-01', "
+            "DEFAULT SYSTEM_TIME ALL "
+            "SELECT COUNT(*) AS n FROM st_users").collect()
+    assert both[0]["n"] == 2

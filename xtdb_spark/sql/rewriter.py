@@ -190,6 +190,7 @@ class _Rewriter:
     # -- main walk
 
     def run(self) -> tuple[str, list]:
+        self._setting_prefix()
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind == "word" and text.upper() in ("FROM", "JOIN"):
@@ -199,6 +200,99 @@ class _Rewriter:
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
         return "".join(self.out), remaining
+
+    def _setting_prefix(self):
+        """`SETTING DEFAULT VALID_TIME [TO] <spec>[, DEFAULT
+        SYSTEM_TIME [TO] <spec>]` query prefix (reference Sql.g4:79-83
+        settingQueryVariables; applied as scan defaults in
+        plan/QueryOpts): parsed into per-dimension default bounds
+        applied to every table reference that doesn't carry its own
+        FOR clause for that dimension. The prefix tokens are consumed,
+        not emitted — Spark SQL never sees them."""
+        self.defaults = TemporalBounds()
+        if not (self._peek()[0] == "word"
+                and self._peek()[1].upper() == "SETTING"
+                and self._peek(1)[1].upper() == "DEFAULT"):
+            return
+        sink: list[str] = []
+        self._cap = sink          # swallow the prefix
+
+        def cap_take():
+            tok = self._take()
+            sink.append(tok[1])
+            return tok
+
+        def cap_skip_ws():
+            while self.i < len(self.toks) and \
+                    self.toks[self.i][0] in ("ws", "comment"):
+                cap_take()
+
+        cap_take()  # SETTING
+        while True:
+            cap_skip_ws()
+            if self._peek()[1].upper() != "DEFAULT":
+                break
+            cap_take()  # DEFAULT
+            cap_skip_ws()
+            dim = self._peek()[1].upper()
+            if dim not in ("VALID_TIME", "SYSTEM_TIME"):
+                raise ValueError("SETTING DEFAULT expects VALID_TIME "
+                                 "or SYSTEM_TIME")
+            cap_take()
+            cap_skip_ws()
+            if self._peek()[1].upper() == "TO":
+                cap_take()
+                cap_skip_ws()
+            kw = self._peek()[1].upper()
+            if kw == "ALL":
+                cap_take()
+                self._set_all(self.defaults, dim)
+            elif kw == "AS" and self._peek(1)[1].upper() == "OF":
+                cap_take(); cap_skip_ws(); cap_take()
+                v = self._temporal_arg(cap_take, cap_skip_ws)
+                if v is _FAIL:
+                    raise ValueError("malformed SETTING DEFAULT AS OF")
+                if dim == "VALID_TIME":
+                    self.defaults.valid_asof = v
+                else:
+                    self.defaults.system_asof = v
+            elif kw in ("BETWEEN", "FROM"):
+                sep = "AND" if kw == "BETWEEN" else "TO"
+                cap_take()
+                lo = self._temporal_arg(cap_take, cap_skip_ws)
+                cap_skip_ws()
+                if lo is _FAIL or self._peek()[1].upper() != sep:
+                    raise ValueError("malformed SETTING DEFAULT range")
+                cap_take()
+                hi = self._temporal_arg(cap_take, cap_skip_ws)
+                if hi is _FAIL:
+                    raise ValueError("malformed SETTING DEFAULT range")
+                if dim == "VALID_TIME":
+                    self.defaults.valid_range = (lo, hi)
+                else:
+                    self.defaults.system_range = (lo, hi)
+            else:
+                raise ValueError("malformed SETTING DEFAULT time spec")
+            cap_skip_ws()
+            if self._peek() == ("punct", ","):
+                cap_take()
+                continue
+            break
+        self._cap = None  # discard the captured prefix
+
+    def _apply_defaults(self, b: TemporalBounds) -> TemporalBounds:
+        d = getattr(self, "defaults", None)
+        if d is None:
+            return b
+        if b.valid_asof is None and b.valid_range is None \
+                and not b.all_valid:
+            b.valid_asof, b.valid_range, b.all_valid = \
+                d.valid_asof, d.valid_range, d.all_valid
+        if b.system_asof is None and b.system_range is None \
+                and not b.all_system:
+            b.system_asof, b.system_range, b.all_system = \
+                d.system_asof, d.system_range, d.all_system
+        return b
 
     def _table_ref_list(self, single: bool):
         while True:
@@ -283,6 +377,7 @@ class _Rewriter:
             return True
 
         bounds, _ = self._for_clauses(cap_take, cap_skip_ws)
+        bounds = self._apply_defaults(bounds)
         alias = self._alias(cap_take, cap_skip_ws)
 
         if not self._store_table_exists(table):
