@@ -276,3 +276,63 @@ def test_kmeans_cluster_recovers_blobs(spark):
     # each true blob maps to exactly one k-means cluster, all distinct
     assert all(len(v) == 1 for v in by_true.values())
     assert len({next(iter(v)) for v in by_true.values()}) == 3
+
+
+def test_sniff_bytes_real_headers():
+    """Header parsing against REAL byte layouts (no codec libs):
+    hand-assembled but spec-faithful PNG/JPEG/GIF/BMP/WAV headers."""
+    from xtdb_spark.pipeline.multimodal import sniff_bytes
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    assert sniff_bytes(png) == ("png", 640, 480, None, None)
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    assert sniff_bytes(jpeg) == ("jpeg", 1920, 1080, None, None)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert sniff_bytes(gif) == ("gif", 320, 200, None, None)
+
+    bmp = (b"BM" + b"\x00" * 16
+           + (800).to_bytes(4, "little") + (-600).to_bytes(4, "little",
+                                                           signed=True))
+    assert sniff_bytes(bmp) == ("bmp", 800, 600, None, None)
+
+    wav = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    assert sniff_bytes(wav) == ("wav", None, None, 44100, 2)
+
+    assert sniff_bytes(b"")[0] == "empty"
+    assert sniff_bytes(None)[0] == "empty"
+    assert sniff_bytes(b"\x89PNG\r\n\x1a\n\x00")[0] == "unknown"  # truncated
+    assert sniff_bytes(b"random garbage")[0] == "unknown"
+
+
+def test_sniff_media_distributed(spark):
+    """sniff_media end-to-end through mapInPandas: mixed real headers
+    in a binary column, nullable metadata round-trips arrow."""
+    from xtdb_spark.pipeline.multimodal import sniff_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (32).to_bytes(4, "big") + (16).to_bytes(4, "big") + b"\x00" * 5)
+    wav = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (16000).to_bytes(4, "little") + b"\x00" * 8)
+    df = spark.createDataFrame(
+        [(1, png), (2, wav), (3, b"junk")],
+        "media_id long, content binary")
+    out = {r["media_id"]: r for r in sniff_media(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 32 \
+        and out[1]["height"] == 16
+    assert out[2]["format"] == "wav" and out[2]["sample_rate"] == 16000 \
+        and out[2]["channels"] == 1 and out[2]["width"] is None
+    assert out[3]["format"] == "unknown" and out[3]["n_bytes"] == 4

@@ -2,12 +2,18 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested; the actual codec work (image decode, resampling,
-frame extraction) is STUBBED — the container has no image/audio
-libraries — behind `_decode_image_bytes`, which produces a
-deterministic fake so the pipeline shape is exercisable end-to-end.
-Swap the stub for PIL/torchaudio/pyav in production; the mapInPandas
-contract (arrow-batched bytes in → struct rows out) is unchanged.
+is real and tested. Two tiers of "decode":
+
+- **Header/metadata sniffing is REAL** (`sniff_bytes`/`sniff_media`):
+  PNG/JPEG/GIF/BMP/WAV container headers are plain byte layouts, so
+  format, dimensions, sample rate, and channel count come from
+  actual parsing with no codec library.
+- **Pixel/sample decode is STUBBED** (resample, frame extraction) —
+  the container has no image/audio libraries — behind
+  `_decode_image_bytes`, which produces a deterministic fake so the
+  pipeline shape is exercisable end-to-end. Swap the stub for
+  PIL/torchaudio/pyav in production; the mapInPandas contract
+  (arrow-batched bytes in → struct rows out) is unchanged.
 
 Design for 100 TB of media:
 - media rides in parquet binary columns next to its metadata → one
@@ -187,3 +193,96 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                                 "ts_ms": tss, "frame": frames})
 
     return videos.mapInPandas(do_sample, FRAME_SCHEMA)
+
+
+# ---- real header sniffing (no codec libraries needed) -----------------------
+
+SNIFF_SCHEMA = ("media_id long, format string, width int, height int, "
+                "sample_rate int, channels int, n_bytes long")
+
+
+def sniff_bytes(b: bytes | None):
+    """REAL media metadata extraction — container headers are plain
+    byte layouts, so unlike pixel decode this needs no codec library.
+    Returns (format, width, height, sample_rate, channels); fields
+    that don't apply are None. Formats: PNG (IHDR, big-endian dims at
+    offset 16), JPEG (marker walk to SOFn), GIF (LE uint16 logical
+    screen), BMP (BITMAPINFOHEADER LE int32), WAV (RIFF fmt chunk).
+    Truncated/unknown bytes → ('unknown', None, …) rather than an
+    exception, so one corrupt blob can't kill a 100 TB scan."""
+    if not b:
+        return ("empty", None, None, None, None)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return ("png", w, h, None, None)
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = int.from_bytes(b[i + 2:i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(b[i + 5:i + 7], "big")
+                    w = int.from_bytes(b[i + 7:i + 9], "big")
+                    return ("jpeg", w, h, None, None)
+                i += 2 + seglen
+            return ("jpeg", None, None, None, None)
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            return ("gif", w, h, None, None)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return ("bmp", w, abs(h), None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i:i + 4]
+                clen = int.from_bytes(b[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 16 <= len(b):
+                    ch = int.from_bytes(b[i + 10:i + 12], "little")
+                    sr = int.from_bytes(b[i + 12:i + 16], "little")
+                    return ("wav", None, None, sr, ch)
+                i += 8 + clen + (clen % 2)
+            return ("wav", None, None, None, None)
+    except Exception:
+        pass
+    return ("unknown", None, None, None, None)
+
+
+def sniff_media(media: DataFrame, batch_size: int | None = 256) -> DataFrame:
+    """Typed metadata for a binary media column via header sniffing —
+    the ingest-side step that tags blobs with (format, geometry,
+    sample rate) BEFORE any expensive decode, so downstream filters
+    (`WHERE format = 'png' AND width >= 512`) prune at the metadata
+    level and only qualifying bytes ever reach a codec. Arrow-batched
+    mapInPandas; unlike extract_features this path is fully real —
+    no stub, no library."""
+    spark = media.sparkSession
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
+
+    def do_sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [sniff_bytes(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "format": [r[0] for r in rows],
+                "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                "sample_rate": pd.array([r[3] for r in rows], dtype="Int32"),
+                "channels": pd.array([r[4] for r in rows], dtype="Int32"),
+                "n_bytes": [len(b) if b is not None else 0
+                            for b in pdf["content"]],
+            })
+
+    return media.mapInPandas(do_sniff, SNIFF_SCHEMA)
