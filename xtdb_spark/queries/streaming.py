@@ -57,3 +57,57 @@ def stream_windowed_counts(spark, sf_dir):
          .trigger(availableNow=True).start().awaitTermination())
     return spark.table(name).select(
         "win_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "stream_dedup_exactly_once",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_exactly_once(spark, sf_dir):
+    """Streaming dedup: the events stream is fed TWICE (two symlinks
+    to the same parquet — the at-least-once delivery a real log
+    replay produces), and `dropDuplicatesWithinWatermark` on the
+    event key restores exactly-once before a rollup. The batch oracle
+    is the single-copy aggregate: if dedup state dropped or kept the
+    wrong rows, counts and sums diverge. State is bounded by the
+    watermark horizon (reference ingest dedups on tx-id at the log
+    offset level — streaming/ingest.py's checkpoint+tx-id model; this
+    is the query-side analogue for keyed event streams at 100 TB:
+    state ∝ keys inside the watermark window, not the stream
+    length)."""
+    import os
+
+    from pyspark.sql import functions as F2
+    from xtdb_spark.queries.registry import NANOS_CONF
+
+    spark.conf.set(NANOS_CONF, "true")
+    src_dir = tempfile.mkdtemp(prefix="xt_stream_dup_src_")
+    for copy in ("a", "b"):  # duplicate delivery
+        link = os.path.join(src_dir, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F2.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F2.col("ts").cast("timestamp"))
+    deduped = (stream
+               .withWatermark("ts", "30 days")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+        .alias("sum_value"))
+    name = "xt_stream_dedup"
+    with tempfile.TemporaryDirectory() as ckpt:
+        (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+    return spark.table(name).select("event_type", "n", "sum_value")
