@@ -336,3 +336,31 @@ def test_sniff_media_distributed(spark):
     assert out[2]["format"] == "wav" and out[2]["sample_rate"] == 16000 \
         and out[2]["channels"] == 1 and out[2]["width"] is None
     assert out[3]["format"] == "unknown" and out[3]["n_bytes"] == 4
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ unit semantics: argmin encoding against a known codebook,
+    and ADC distance = sum of subspace centroid distances."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.pipeline import similarity
+
+    # dim=4, m=2, two centroids per subspace
+    books = [[[0.0, 0.0], [10.0, 10.0]],
+             [[5.0, 5.0], [-5.0, -5.0]]]
+    corpus = spark.createDataFrame(
+        [(1, [0.1, -0.2, 4.0, 6.0]),     # sub0→code0, sub1→code0
+         (2, [9.0, 11.0, -4.0, -6.0])],  # sub0→code1, sub1→code1
+        "nn_id long, v array<double>")
+    enc = {r["nn_id"]: list(r["codes"])
+           for r in similarity.pq_encode(corpus, books, dim=4).collect()}
+    assert enc == {1: [0, 0], 2: [1, 1]}
+
+    qs = spark.createDataFrame([(0, [0.0, 0.0, 5.0, 5.0])],
+                               "q_id long, qv array<double>")
+    encoded = similarity.pq_encode(corpus, books, dim=4) \
+        .select("nn_id", "codes")
+    top = similarity.pq_adc_topk(encoded, qs, books, dim=4, k=2).collect()
+    # vec 1 reconstructs to (0,0),(5,5) → d2=0; vec 2 → (10,10),(-5,-5)
+    assert [(r["nn_id"], r["approx_d2"]) for r in top] == \
+        [(1, 0.0), (2, 400.0)]

@@ -803,3 +803,90 @@ def source_mixture(spark, sf_dir):
                  F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
                  F.round(F.max("target_frac"), 6).alias("target_frac"))
             .orderBy("source"))
+
+
+@register(
+    "pipe_ann_pq",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 10),
+         ranked AS (
+           SELECT q_id, nn_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q_id
+                    ORDER BY ROUND(list_distance(qv, v), 6), nn_id) AS rnk
+           FROM q CROSS JOIN c)
+    SELECT q_id,
+           CAST(MAX(CASE WHEN rnk = 1 THEN nn_id END) AS BIGINT)
+             AS exact_top1,
+           TRUE AS top1_in_pq10,
+           TRUE AS recall10_ok
+    FROM ranked WHERE rnk <= 10
+    GROUP BY q_id
+    ORDER BY q_id
+    """,
+)
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN — the RAM-budget scale path beyond
+    IVF: 8 subspaces × 16 centroids (4-bit codes) turn each 64-dim
+    float64 vector into 8 bytes; search scans codes with asymmetric
+    distances against inlined codebook literals (similarity.pq_*).
+    Corpus is touched once to encode (no join), codebooks train on a
+    bounded sample, the ADC scan broadcasts queries — at 100 TB the
+    code table is ~64× smaller than the raw vectors, which is what
+    makes exhaustive re-scan feasible.
+
+    Oracle contract (same pattern as op_agg_approx): the entry
+    returns the EXACT L2 top-1 neighbor per query (computable by
+    DuckDB's list_distance) plus booleans asserting PQ quality —
+    exact top-1 retrieved in PQ's top-10, and recall@10 ≥ 0.5 — and
+    DuckDB returns the exact top-1 with TRUE literals, so both the
+    exactness anchor AND the accuracy claims are value-hash-verified."""
+    e = ld(spark, sf_dir, "embeddings")
+    dim = 64
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        similarity.as_double_array(F.col("embedding")).alias("qv"))
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("nn_id"),
+        similarity.as_double_array(F.col("embedding")).alias("v"))
+    books = similarity.pq_codebooks(c, dim=dim, m=8, k=16)
+    encoded = similarity.pq_encode(c, books, dim=dim).select("nn_id", "codes")
+    # production PQ shape: ADC is the CANDIDATE GENERATOR (top-64 of
+    # the compressed scan), then the few candidates re-rank exactly
+    # against their raw vectors — the 100 TB win is that the full
+    # scan touches 8-byte codes and only ~k·
+    # (candidate factor) raw vectors are ever fetched
+    cand = (similarity.pq_adc_topk(encoded, q, books, dim=dim, k=64)
+            .select("q_id", "nn_id"))
+    rer = (cand.join(c, "nn_id").join(F.broadcast(q), "q_id")
+           .select("q_id", "nn_id",
+                   F.round(similarity.l2sq(F.col("qv"), F.col("v")), 6)
+                   .alias("rd2")))
+    wr = Window.partitionBy("q_id").orderBy("rd2", "nn_id")
+    pq10 = (rer.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= 10).select("q_id", "nn_id"))
+
+    exact = (F.broadcast(q).crossJoin(c)
+             .select("q_id", "nn_id",
+                     F.round(similarity.l2sq(F.col("qv"), F.col("v")), 6)
+                     .alias("d2")))
+    w = Window.partitionBy("q_id").orderBy("d2", "nn_id")
+    exact10 = (exact.withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") <= 10))
+
+    hits = (pq10.select("q_id", "nn_id")
+            .join(exact10.select("q_id", "nn_id", "rnk"), ["q_id", "nn_id"]))
+    per_q = (exact10.filter(F.col("rnk") == 1)
+             .select("q_id", F.col("nn_id").alias("exact_top1"))
+             .join(hits.groupBy("q_id").agg(
+                 F.count("*").alias("n_hits"),
+                 F.max(F.when(F.col("rnk") == 1, 1).otherwise(0))
+                 .alias("top1_hit")), "q_id", "left"))
+    return (per_q.select(
+        "q_id", "exact_top1",
+        (F.coalesce(F.col("top1_hit"), F.lit(0)) == 1).alias("top1_in_pq10"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 5).alias("recall10_ok"))
+        .orderBy("q_id"))
