@@ -120,3 +120,58 @@ def test_nest_many_grouped(spark, tmp_path):
     """).collect()
     got = sorted((o["cat"], o["n"]) for o in rows[0]["by_cat"])
     assert got == [("a", 2), ("b", 1)]
+
+
+def test_period_predicates_sql(spark, tmp_path):
+    """SQL-surface period constructors + infix predicates (reference
+    Sql.g4:227-243,370-371; semantics = functions/periods.py, [from,
+    to) with NULL = ∞)."""
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, """
+        INSERT INTO res RECORDS
+          {_id: 1, vf: TIMESTAMP '2024-01-01', vt: TIMESTAMP '2024-01-10'},
+          {_id: 2, vf: TIMESTAMP '2024-01-08', vt: TIMESTAMP '2024-01-20'},
+          {_id: 3, vf: TIMESTAMP '2024-02-01', vt: NULL}
+    """)
+
+    # OVERLAPS against a literal period; id 3 is open-ended → overlaps
+    rows = rewrite_and_run(xt, """
+        SELECT _id FROM res
+        WHERE PERIOD(vf, vt) OVERLAPS
+              PERIOD(TIMESTAMP '2024-01-09', TIMESTAMP '2024-03-01')
+        ORDER BY _id
+    """).collect()
+    assert [r["_id"] for r in rows] == [1, 2, 3]
+
+    # CONTAINS point form
+    rows = rewrite_and_run(xt, """
+        SELECT _id FROM res
+        WHERE PERIOD(vf, vt) CONTAINS TIMESTAMP '2024-01-09'
+        ORDER BY _id
+    """).collect()
+    assert [r["_id"] for r in rows] == [1, 2]
+
+    # PRECEDES / IMMEDIATELY PRECEDES between row periods (self join)
+    rows = rewrite_and_run(xt, """
+        SELECT a._id AS ia, b._id AS ib FROM res a, res b
+        WHERE PERIOD(a.vf, a.vt) STRICTLY PRECEDES PERIOD(b.vf, b.vt)
+        ORDER BY ia, ib
+    """).collect()
+    assert [(r["ia"], r["ib"]) for r in rows] == [(1, 3), (2, 3)]
+
+    # n-ary prefix OVERLAPS: common instant across three periods
+    row = rewrite_and_run(xt, """
+        SELECT OVERLAPS(PERIOD(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10'),
+                        PERIOD(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-20'),
+                        PERIOD(TIMESTAMP '2024-01-08', NULL)) AS common
+    """).collect()[0]
+    assert row["common"] is True
+
+    # EQUALS and accessor-style field read of a constructed period
+    row = rewrite_and_run(xt, """
+        SELECT PERIOD(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02')
+                 EQUALS
+               PERIOD(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02') AS eq,
+               (PERIOD(TIMESTAMP '2024-01-01', NULL))._to IS NULL AS open_end
+    """).collect()[0]
+    assert row["eq"] is True and row["open_end"] is True

@@ -35,8 +35,67 @@ from xtdb_spark.sql.rewriter import _TOKEN_RE, _unquote
 
 _TRIGGER_RE = re.compile(
     r"[{\[]|\bNEST_ONE\b|\bNEST_MANY\b|\bRECORDS\b"
-    r"|\bOBJECT\s*\(|\bRECORD\s*\(",
+    r"|\bOBJECT\s*\(|\bRECORD\s*\(|\bPERIOD\s*\(|\bTSTZRANGE\s*\("
+    r"|\bOVERLAPS\b|\bEQUALS\b|\bCONTAINS\b|\bPRECEDES\b|\bSUCCEEDS\b"
+    r"|\bLEADS\b|\bLAGS\b",
     re.IGNORECASE)
+
+# infix period predicates (reference Sql.g4:227-243 + periods.py
+# semantics — [from, to) with NULL bounds = ±∞)
+_PERIOD_PREDS = {"OVERLAPS", "EQUALS", "CONTAINS", "PRECEDES",
+                 "SUCCEEDS", "LEADS", "LAGS"}
+
+
+def _S(x: str) -> str:
+    return f"coalesce(({x})._from, timestamp '0001-01-01 00:00:00')"
+
+
+def _E(x: str) -> str:
+    return f"coalesce(({x})._to, timestamp '9999-12-31 23:59:59')"
+
+
+def _is_point(expr: str) -> bool:
+    """Right operand of CONTAINS: a timestamp point rather than a
+    period (reference `contains?` accepts both)."""
+    e = expr.strip().upper()
+    return (e.startswith("TIMESTAMP") or e.startswith("DATE")
+            or e.startswith("'"))
+
+
+def _period_pred_sql(base: str, mod: str | None, a: str, b: str) -> str:
+    S, E = _S, _E
+    if base == "CONTAINS" and _is_point(b):
+        t = f"CAST({b} AS TIMESTAMP)"
+        lo = "<" if mod == "STRICTLY" else "<="
+        return f"({S(a)} {lo} {t} AND {t} < {E(a)})"
+    table = {
+        (None, "OVERLAPS"): f"({S(a)} < {E(b)} AND {S(b)} < {E(a)})",
+        ("STRICTLY", "OVERLAPS"): f"({S(b)} < {S(a)} AND {E(a)} < {E(b)})",
+        (None, "EQUALS"): f"({S(a)} = {S(b)} AND {E(a)} = {E(b)})",
+        (None, "CONTAINS"): f"({S(a)} <= {S(b)} AND {E(b)} <= {E(a)})",
+        ("STRICTLY", "CONTAINS"): f"({S(a)} < {S(b)} AND {E(b)} < {E(a)})",
+        (None, "PRECEDES"): f"({E(a)} <= {S(b)})",
+        ("STRICTLY", "PRECEDES"): f"({E(a)} < {S(b)})",
+        ("IMMEDIATELY", "PRECEDES"): f"({E(a)} = {S(b)})",
+        (None, "SUCCEEDS"): f"({S(a)} >= {E(b)})",
+        ("STRICTLY", "SUCCEEDS"): f"({S(a)} > {E(b)})",
+        ("IMMEDIATELY", "SUCCEEDS"): f"({S(a)} = {E(b)})",
+        (None, "LEADS"):
+            f"({S(a)} < {S(b)} AND {E(a)} <= {E(b)} AND {S(b)} < {E(a)})",
+        ("STRICTLY", "LEADS"):
+            f"({S(a)} < {S(b)} AND {E(a)} < {E(b)} AND {S(b)} < {E(a)})",
+        ("IMMEDIATELY", "LEADS"): f"({S(a)} < {S(b)} AND {E(a)} = {E(b)})",
+        (None, "LAGS"):
+            f"({S(a)} >= {S(b)} AND {E(a)} >= {E(b)} AND {S(a)} < {E(b)})",
+        ("STRICTLY", "LAGS"):
+            f"({S(a)} > {S(b)} AND {E(a)} > {E(b)} AND {S(a)} < {E(b)})",
+        ("IMMEDIATELY", "LAGS"): f"({S(a)} = {S(b)} AND {E(a)} > {E(b)})",
+    }
+    try:
+        return table[(mod, base)]
+    except KeyError:
+        raise ValueError(f"unsupported period predicate "
+                         f"{(mod + ' ') if mod else ''}{base}") from None
 
 # keywords that cannot END an expression — a `[` after one of these
 # starts an array literal, not a subscript
@@ -85,6 +144,8 @@ class _Translator:
         self.i = 0
         self.postfix = False  # does the last significant output token
         #                       end an expression? (subscript context)
+        self._after_dot = False  # last significant token was a field
+        #                          dot (identifier-chain continuation)
 
     # -- plumbing
 
@@ -118,8 +179,14 @@ class _Translator:
     def _walk(self, closers: tuple, stop_words: tuple = ()) -> str:
         """Translate until (exclusive) a top-level closer punct, a
         top-level stop word, or EOF. Consumes nested () [] {} wholly
-        via the construct branches."""
+        via the construct branches. Tracks the output span of the
+        current PRIMARY expression (identifier chains, literals,
+        constructors, parenthesized groups + their call/subscript/
+        field continuations) so the infix period predicates can
+        capture their already-emitted left operand — composite left
+        operands (`x + y OVERLAPS …`) need explicit parens."""
         parts: list[str] = []
+        expr_start: int | None = None
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind in ("ws", "comment"):
@@ -130,11 +197,13 @@ class _Translator:
             if kind == "word" and stop_words and text.upper() in stop_words:
                 break
             if kind == "punct" and text == "{":
+                if not self.postfix:
+                    expr_start = len(parts)
                 parts.append(self._object_literal())
                 self.postfix = True
                 continue
             if kind == "punct" and text == "[":
-                if self.postfix:  # subscript expr[i]
+                if self.postfix:  # subscript expr[i] — continuation
                     parts.append(self._next()[1])
                     self.postfix = False
                     parts.append(self._walk(closers=("]",)))
@@ -142,10 +211,13 @@ class _Translator:
                         parts.append(self._next()[1])
                     self.postfix = True
                 else:             # array literal [e1, e2]
+                    expr_start = len(parts)
                     parts.append(self._array_literal())
                     self.postfix = True
                 continue
             if kind == "punct" and text == "(":
+                if not self.postfix:  # group start, not a call
+                    expr_start = len(parts)
                 parts.append(self._next()[1])
                 self.postfix = False  # fresh expression context
                 parts.append(self._walk(closers=(")",)))
@@ -155,21 +227,83 @@ class _Translator:
                 continue
             if kind == "word":
                 up = text.upper()
+                # infix period predicates: `p1 [STRICTLY|IMMEDIATELY]
+                # OVERLAPS/EQUALS/CONTAINS/… p2`
+                mod, base = None, up
+                if up in ("STRICTLY", "IMMEDIATELY"):
+                    nk, nt = self._peek(1)
+                    if nk == "word" and nt.upper() in _PERIOD_PREDS:
+                        mod, base = up, nt.upper()
+                if base in _PERIOD_PREDS and (mod or up in _PERIOD_PREDS) \
+                        and self.postfix and expr_start is not None:
+                    left = "".join(parts[expr_start:]).strip()
+                    del parts[expr_start:]
+                    self._next()          # mod or predicate word
+                    if mod:
+                        self._skip_ws()
+                        self._next()      # the predicate word
+                    right = self._parse_primary()
+                    parts.append(_period_pred_sql(base, mod, left, right))
+                    self.postfix = True
+                    expr_start = len(parts) - 1
+                    continue
+                if up == "OVERLAPS" and not self.postfix and \
+                        self._peek(1) == ("punct", "("):
+                    # n-ary prefix form (Sql.g4:370): TRUE iff all
+                    # periods share a common instant
+                    self._next()
+                    self._skip_ws()
+                    self._next()  # (
+                    args = []
+                    while True:
+                        self.postfix = False
+                        args.append(self._walk(closers=(",", ")")).strip())
+                        if self._peek() == ("punct", ","):
+                            self._next()
+                            continue
+                        break
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    starts = ", ".join(_S(a) for a in args)
+                    ends = ", ".join(_E(a) for a in args)
+                    expr_start = len(parts)
+                    parts.append(f"(greatest({starts}) < least({ends}))")
+                    self.postfix = True
+                    continue
+                if up in ("PERIOD", "TSTZRANGE") and \
+                        self._peek(1) == ("punct", "(") and not self.postfix:
+                    expr_start = len(parts)
+                    parts.append(self._period_call())
+                    self.postfix = True
+                    continue
                 if up in ("OBJECT", "RECORD") and self._object_call_ahead():
+                    if not self.postfix:
+                        expr_start = len(parts)
                     parts.append(self._object_call())
                     self.postfix = True
                     continue
                 if up in ("NEST_ONE", "NEST_MANY") and \
                         self._peek(1) == ("punct", "("):
+                    if not self.postfix:
+                        expr_start = len(parts)
                     parts.append(self._nest(up))
                     self.postfix = True
                     continue
                 if up == "RECORDS" and self._records_ahead(1):
                     parts.append(self._records())
                     self.postfix = True
+                    expr_start = None
                     continue
             tok = self._next()
+            if tok[0] in ("word", "qident", "num", "str") \
+                    and not self.postfix and not self._after_dot \
+                    and not (tok[0] == "word"
+                             and tok[1].upper() in _NON_POSTFIX_WORDS):
+                expr_start = len(parts)
+            elif tok[0] == "punct" and tok[1] != ".":
+                expr_start = None
             parts.append(tok[1])
+            self._after_dot = tok == ("punct", ".")
             if tok[0] == "word":
                 self.postfix = tok[1].upper() not in _NON_POSTFIX_WORDS
             elif tok[0] in ("qident", "num", "str"):
@@ -177,6 +311,83 @@ class _Translator:
             else:
                 self.postfix = False
         return "".join(parts)
+
+    def _period_call(self) -> str:
+        """PERIOD(a, b) / TSTZRANGE(a, b) constructor (reference
+        Sql.g4:371) → the periods.py struct<_from,_to> encoding; one
+        argument (or NULL second) = unbounded end."""
+        self._next()  # PERIOD | TSTZRANGE
+        self._skip_ws()
+        self._next()  # (
+        self.postfix = False
+        a = self._walk(closers=(",", ")")).strip()
+        b = "NULL"
+        if self._peek() == ("punct", ","):
+            self._next()
+            self.postfix = False
+            b = self._walk(closers=(")",)).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        return (f"named_struct('_from', CAST({a} AS TIMESTAMP), "
+                f"'_to', CAST({b} AS TIMESTAMP))")
+
+    def _parse_primary(self) -> str:
+        """One primary expression (right operand of an infix period
+        predicate): literal / identifier chain / constructor /
+        parenthesized group, plus call/subscript/field continuations."""
+        self._skip_ws()
+        k, t = self._peek()
+        if k == "punct" and t == "{":
+            base = self._object_literal()
+        elif k == "punct" and t == "[":
+            base = self._array_literal()
+        elif k == "punct" and t == "(":
+            self._next()
+            self.postfix = False
+            inner = self._walk(closers=(")",))
+            if self._peek() == ("punct", ")"):
+                self._next()
+            base = "(" + inner + ")"
+        elif k == "word" and t.upper() in ("OBJECT", "RECORD") \
+                and self._object_call_ahead():
+            base = self._object_call()
+        elif k == "word" and t.upper() in ("PERIOD", "TSTZRANGE") \
+                and self._peek(1) == ("punct", "("):
+            base = self._period_call()
+        elif k == "word" and t.upper() in ("TIMESTAMP", "DATE") \
+                and self._peek(1)[0] == "str":
+            w = self._next()[1]
+            self._skip_ws()
+            base = f"{w} {self._next()[1]}"
+        elif k in ("word", "qident", "num", "str"):
+            base = self._next()[1]
+        else:
+            raise ValueError(
+                f"expected expression after period predicate, got {t!r}")
+        while True:
+            nk, nt = self._peek()
+            if nk == "punct" and nt == ".":
+                self._skip_ws()
+                self._next()  # the dot
+                self._skip_ws()
+                fk, _ = self._peek()
+                if fk not in ("word", "qident"):
+                    raise ValueError("malformed field access")
+                base += "." + self._next()[1]
+                continue
+            if nk == "punct" and nt in ("(", "["):
+                close = ")" if nt == "(" else "]"
+                self._skip_ws()
+                self._next()  # the opener
+                self.postfix = False
+                inner = self._walk(closers=(close,))
+                if self._peek() == ("punct", close):
+                    self._next()
+                base += nt + inner + close
+                continue
+            break
+        self.postfix = True
+        return base
 
     # -- object constructors
 
