@@ -175,3 +175,23 @@ def test_period_predicates_sql(spark, tmp_path):
                (PERIOD(TIMESTAMP '2024-01-01', NULL))._to IS NULL AS open_end
     """).collect()[0]
     assert row["eq"] is True and row["open_end"] is True
+
+
+def test_xtql_embedded_in_sql(spark, tmp_path):
+    """`XTQL '…'` query form over the SQL surface (reference
+    Sql.g4:685 XtqlQuery) — routed to the edn pipeline."""
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO items RECORDS "
+                        "{_id: 1, price: 5.0}, {_id: 2, price: 9.0}, "
+                        "{_id: 3, price: 2.0}")
+    rows = rewrite_and_run(xt, """
+        XTQL '(-> (from :items [_id price])
+                  (where (> price 3.0))
+                  (order-by _id))'
+    """).collect()
+    assert [(r["_id"], r["price"]) for r in rows] == [(1, 5.0), (2, 9.0)]
+    # parenthesized spelling
+    rows = rewrite_and_run(
+        xt, "XTQL('(-> (from :items [_id]) (order-by _id) (limit 1))')"
+    ).collect()
+    assert [r["_id"] for r in rows] == [1]

@@ -592,6 +592,11 @@ def rewrite_with_args(xt, query: str, args: list | None):
 
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
 
+_XTQL_RE = re.compile(
+    r"^\s*XTQL\s*(?:\(\s*)?'(?P<q>(?:[^']|'')*)'\s*\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def rewrite_and_run(xt, query: str, args: list | None = None):
     from xtdb_spark.sql import dml
@@ -605,6 +610,15 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         inner = rewrite_and_run(xt, query[m.end():], args)
         text = explain_analyze(inner) if m.group(1) else formatted_plan(inner)
         return xt.spark.createDataFrame([(text,)], "plan string")
+    xm = _XTQL_RE.match(query)
+    if xm:
+        # XTQL embedded in SQL (reference Sql.g4:685 XtqlQuery:
+        # `XTQL '(-> (from :t …) …)'` or the parenthesized form) —
+        # routed to the edn pipeline parser/planner (xtql_edn.run),
+        # which produces the same DataFrames the SQL path would.
+        from xtdb_spark import xtql_edn
+
+        return xtql_edn.run(xt, xm.group("q").replace("''", "'"))
     if dml.is_dml(query):
         return dml.execute_dml(xt, query)
     sql, remaining = rewrite_with_args(xt, query, args)
