@@ -16,15 +16,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def duck(spark):
-    from slt_random import TABLES
-
-    from xtdb_spark.queries.registry import ld
+    from slt_random import register_views
 
     con = duckdb.connect()
-    for t in TABLES:
-        ld(spark, SF_DIR, t).createOrReplaceTempView(t)
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    register_views(spark, con, SF_DIR)
     return con
 
 

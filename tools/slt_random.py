@@ -39,6 +39,21 @@ TABLES = {
     "nation": (["n_nationkey", "n_regionkey"], ["n_name"]),
 }
 
+# tables used by generated queries but not drawn from TABLES'
+# column pools (period-predicate pairs synthesize intervals on
+# events.ts)
+EXTRA_TABLES = ["events"]
+
+
+def register_views(spark, con, sf_dir: str) -> None:
+    from xtdb_spark.queries.registry import ld
+
+    for t in list(TABLES) + EXTRA_TABLES:
+        ld(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+
 JOINS = [  # (left, right, condition)
     ("customer", "nation", "c_nationkey = n_nationkey"),
     ("orders", "customer", "o_custkey = c_custkey"),
@@ -78,7 +93,7 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
         tail = f"AS fa, {{}}.b AS fb FROM {t} ORDER BY fa, fb LIMIT 40"
         return (f"SELECT DISTINCT {sel_x}.a " + tail.format(sel_x),
                 f"SELECT DISTINCT {sel_d}.a " + tail.format(sel_d))
-    if kind < 0.66:
+    if kind < 0.55:
         # array literal + element extraction (element_at and DuckDB
         # [] are both 1-based)
         i = rng.randint(1, 3)
@@ -87,6 +102,34 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
                 f"AS BIGINT) AS s FROM {t}",
                 f"SELECT COUNT(*) AS n, CAST(SUM({arr}[{i}]) "
                 f"AS BIGINT) AS s FROM {t}")
+    if kind < 0.75:
+        # period predicates over synthesized [d1, d2) intervals on
+        # events.ts: XTDB infix spelling vs DuckDB's raw comparison
+        # derivation of the same [from, to) semantics
+        d1, d2 = sorted(rng.sample([1, 2, 3, 5, 8], 2))
+        day = rng.randint(5, 25)
+        point = f"TIMESTAMP '2024-01-{day:02d}'"
+        a_from, a_to = f"ts + INTERVAL {d1} DAY", f"ts + INTERVAL {d2} DAY"
+        op = rng.choice(["OVERLAPS", "CONTAINS", "PRECEDES", "SUCCEEDS"])
+        qfrom = f"TIMESTAMP '2024-01-{day:02d}'"
+        qto = f"TIMESTAMP '2024-01-{min(day + 3, 28):02d}'"
+        if op == "CONTAINS":
+            xt_pred = f"PERIOD({a_from}, {a_to}) CONTAINS {point}"
+            du_pred = f"({a_from} <= {point} AND {point} < {a_to})"
+        elif op == "OVERLAPS":
+            xt_pred = (f"PERIOD({a_from}, {a_to}) OVERLAPS "
+                       f"PERIOD({qfrom}, {qto})")
+            du_pred = f"({a_from} < {qto} AND {qfrom} < {a_to})"
+        elif op == "PRECEDES":
+            xt_pred = (f"PERIOD({a_from}, {a_to}) STRICTLY PRECEDES "
+                       f"PERIOD({qfrom}, {qto})")
+            du_pred = f"({a_to} < {qfrom})"
+        else:
+            xt_pred = (f"PERIOD({a_from}, {a_to}) SUCCEEDS "
+                       f"PERIOD({qfrom}, {qto})")
+            du_pred = f"({a_from} >= {qto})"
+        return (f"SELECT COUNT(*) AS n FROM events WHERE {xt_pred}",
+                f"SELECT COUNT(*) AS n FROM events WHERE {du_pred}")
     # NEST_MANY cardinality vs correlated COUNT
     th = rng.randint(100, 5000)
     lim = rng.randint(50, 300)
@@ -300,16 +343,12 @@ def main():
 
     import duckdb
 
-    from xtdb_spark.queries.registry import ld
     from xtdb_spark.session import build_spark
 
     spark = build_spark("slt-random")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
-        ld(spark, sf_dir, t).createOrReplaceTempView(t)
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    register_views(spark, con, sf_dir)
 
     failures = run_battery(spark, con, n, seed)
     print(f"\n{n - len(failures)}/{n} matched (seed={seed})")
