@@ -516,3 +516,51 @@ def test_tx_assert_aborts_whole_batch(xt, client):
     with pytest.raises(RuntimeError):
         client.query("COMMIT")
     assert "txq" not in xt.store.tables()
+
+
+def test_copy_in_json_over_wire(xt, client):
+    """COPY <t> FROM STDIN (reference pgwire.clj:1298-1317):
+    CopyInResponse → CopyData → CopyDone → documents ingested."""
+    client.send(b"Q", client.cstr(
+        "COPY cp_docs FROM STDIN WITH (FORMAT 'json')"))
+    t, b = client.read_msg()
+    assert t == b"G"  # CopyInResponse
+    payload = b'{"_id": 1, "name": "a"}\n{"_id": 2, "name": "b", "x": 5}\n'
+    client.send(b"d", payload[:10])
+    client.send(b"d", payload[10:])
+    client.send(b"c", b"")
+    results, tags = client.collect_results()
+    assert tags == ["COPY 2"]
+    res, _ = client.query("SELECT _id, name, x FROM cp_docs ORDER BY _id")
+    assert res[0][1] == [["1", "a", None], ["2", "b", "5"]]
+
+
+def test_copy_in_arrow_stream_over_wire(xt, client):
+    import io
+
+    import pyarrow as pa
+
+    tbl = pa.table({"_id": [10, 11], "v": [1.5, 2.5]})
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    client.send(b"Q", client.cstr(
+        "COPY cp_arrow FROM STDIN WITH (FORMAT 'arrow-stream')"))
+    t, _ = client.read_msg()
+    assert t == b"G"
+    client.send(b"d", sink.getvalue())
+    client.send(b"c", b"")
+    _, tags = client.collect_results()
+    assert tags == ["COPY 2"]
+    res, _ = client.query("SELECT _id, v FROM cp_arrow ORDER BY _id")
+    assert res[0][1] == [["10", "1.5"], ["11", "2.5"]]
+
+
+def test_copy_in_bad_format_refused(xt, client):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="valid format"):
+        client.query("COPY cp_x FROM STDIN WITH (FORMAT 'csv')")
+    # connection still usable
+    res, _ = client.query("SELECT 1 AS one")
+    assert res[0][1] == [["1"]]

@@ -476,6 +476,11 @@ class _Conn:
                            + struct.pack(">i", len(b)) + b)
                 self._send(b"C", self._cstr("SHOW"))
             return
+        m_copy = self._COPY_RE.match(sql)
+        if m_copy:
+            self._copy_in(m_copy.group("table"),
+                          m_copy.group("opts") or "")
+            return
         sql = self._compat_sql(sql)
         m = _TAG_RE.match(sql)
         kw = m.group(1).upper() if m else None
@@ -533,6 +538,72 @@ class _Conn:
             return
         n = self._send_rows(df)
         self._send(b"C", self._cstr(f"SELECT {n}"))
+
+    _COPY_RE = re.compile(
+        r"^\s*COPY\s+(?P<table>[\w.]+|\"(?:[^\"]|\"\")*\")\s+FROM\s+STDIN"
+        r"(?:\s+WITH\s*\((?P<opts>.*?)\))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)
+    _COPY_FMT_RE = re.compile(r"FORMAT\s*=?\s*'([^']*)'", re.IGNORECASE)
+
+    def _copy_in(self, table: str, opts: str) -> None:
+        """COPY <table> FROM STDIN (reference pgwire.clj:1298-1317,
+        CopyInStmt Sql.g4:40): CopyInResponse → CopyData* →
+        CopyDone/CopyFail → bulk document ingest. Formats:
+        'arrow-stream' / 'arrow-file' (exactly the reference's main
+        formats — parsed with pyarrow IPC) and 'json' (JSON-lines of
+        documents; the reference's transit-json slot — transit itself
+        needs a transit codec, so we accept plain JSON and say so)."""
+        fm = self._COPY_FMT_RE.search(opts or "")
+        fmt = fm.group(1).lower() if fm else None
+        if fmt in ("transit-json", "transit-msgpack"):
+            raise ValueError(
+                f"COPY format {fmt!r} needs a transit codec; use "
+                "'json' (JSON-lines) or 'arrow-stream'/'arrow-file'")
+        if fmt not in ("arrow-stream", "arrow-file", "json"):
+            raise ValueError(
+                "COPY IN requires a valid format: 'arrow-file', "
+                "'arrow-stream', 'json'")
+        table = table.strip('"')
+        # CopyInResponse: overall binary format, 0 column formats
+        self._send(b"G", struct.pack(">bh", 1, 0))
+        chunks: list[bytes] = []
+        failed: str | None = None
+        while True:
+            t = self._recv(1)
+            (ln,) = struct.unpack(">i", self._recv(4))
+            body = self._recv(ln - 4)
+            if t == b"d":                    # CopyData
+                chunks.append(body)
+            elif t == b"c":                  # CopyDone
+                break
+            elif t == b"f":                  # CopyFail
+                failed = body.rstrip(b"\x00").decode() or "COPY aborted"
+                break
+            elif t in (b"H", b"S"):          # Flush/Sync mid-copy
+                continue
+            else:
+                failed = f"unexpected message {t!r} during COPY"
+                break
+        if failed is not None:
+            raise ValueError(f"COPY failed: {failed}")
+        data = b"".join(chunks)
+        if fmt == "json":
+            import json as _json
+
+            rows = [_json.loads(ln) for ln in data.decode().splitlines()
+                    if ln.strip()]
+        else:
+            import pyarrow as pa
+
+            rdr = (pa.ipc.open_stream(pa.BufferReader(data))
+                   if fmt == "arrow-stream"
+                   else pa.ipc.open_file(pa.BufferReader(data)))
+            rows = rdr.read_all().to_pylist()
+        if not rows:
+            self._send(b"C", self._cstr("COPY 0"))
+            return
+        self.xt.store.put(table, rows)
+        self._send(b"C", self._cstr(f"COPY {len(rows)}"))
 
     # ---- message loop
 
