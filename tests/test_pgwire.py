@@ -564,3 +564,23 @@ def test_copy_in_bad_format_refused(xt, client):
     # connection still usable
     res, _ = client.query("SELECT 1 AS one")
     assert res[0][1] == [["1"]]
+
+
+def test_set_show_current_setting(xt, client):
+    """Session settings: SET is remembered per connection, SHOW and
+    current_setting() (Sql.g4:364) reflect it."""
+    _, tags = client.query("SET application_name = 'my_app'")
+    assert tags == ["SET"]
+    res, _ = client.query("SHOW application_name")
+    assert res[0][1] == [["my_app"]]
+    res, _ = client.query(
+        "SELECT current_setting('application_name') AS app, "
+        "current_setting('timezone') AS tz")
+    assert res[0][1] == [["my_app", "UTC"]]
+    # TO spelling + quoted value with escape
+    client.query("SET search_path TO 'a''b'")
+    res, _ = client.query("SHOW search_path")
+    assert res[0][1] == [["a'b"]]
+    # unknown setting → NULL from current_setting
+    res, _ = client.query("SELECT current_setting('no_such') AS x")
+    assert res[0][1] == [[None]]

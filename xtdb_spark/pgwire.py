@@ -203,6 +203,12 @@ class _Conn:
         # BEGIN…COMMIT accumulates and commits as ONE atomic tx)
         self.tx: list | None = None
         self.tx_failed = False
+        # session settings: SET name = value / SET name TO value is
+        # remembered per connection so SHOW and current_setting()
+        # reflect it (reference pgwire session parameters; the
+        # planner-relevant ones like timezone stay pinned — we
+        # report, we don't re-plan by them)
+        self.settings: dict[str, str] = {}
 
     # ---- low-level frames
 
@@ -449,6 +455,10 @@ class _Conn:
         return "".join(out)
 
     _SHOW_RE = re.compile(r"^\s*SHOW\s+([A-Za-z_.]+)\s*$", re.IGNORECASE)
+    _SET_RE = re.compile(
+        r"^\s*SET\s+(?:SESSION\s+)?(?P<name>[A-Za-z_.]+)\s*"
+        r"(?:=|TO)\s*(?P<val>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)
 
     _SHOW_VALUES = {
         "server_version": "16.0", "server_encoding": "UTF8",
@@ -463,10 +473,19 @@ class _Conn:
         if not sql.strip():
             self._send(b"I")  # EmptyQueryResponse
             return
+        m_set = self._SET_RE.match(sql)
+        if m_set:
+            name = m_set.group("name").lower()
+            val = m_set.group("val").strip()
+            if val and val[0] == "'" and val[-1] == "'":
+                val = val[1:-1].replace("''", "'")
+            self.settings[name] = val
+            self._send(b"C", self._cstr("SET"))
+            return
         m_show = self._SHOW_RE.match(sql)
         if m_show:
             name = m_show.group(1).lower()
-            val = self._SHOW_VALUES.get(name, "on")
+            val = self.settings.get(name, self._SHOW_VALUES.get(name, "on"))
             payload = (struct.pack(">h", 1) + self._cstr(name)
                        + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
             self._send(b"T", payload)
@@ -481,7 +500,7 @@ class _Conn:
             self._copy_in(m_copy.group("table"),
                           m_copy.group("opts") or "")
             return
-        sql = self._compat_sql(sql)
+        sql = self._apply_setting_fns(self._compat_sql(sql))
         m = _TAG_RE.match(sql)
         kw = m.group(1).upper() if m else None
         if self.tx_failed and kw not in ("COMMIT", "ROLLBACK"):
@@ -538,6 +557,22 @@ class _Conn:
             return
         n = self._send_rows(df)
         self._send(b"C", self._cstr(f"SELECT {n}"))
+
+    _CURSET_RE = re.compile(r"current_setting\s*\(\s*'([^']*)'\s*\)",
+                            re.IGNORECASE)
+
+    def _apply_setting_fns(self, sql: str) -> str:
+        """current_setting('name') (reference Sql.g4:364
+        CurrentSettingFunction) → the session's value as a literal —
+        SET-set values first, then the static defaults, else NULL."""
+        def repl(m):
+            name = m.group(1).lower()
+            val = self.settings.get(name, self._SHOW_VALUES.get(name))
+            if val is None:
+                return "CAST(NULL AS STRING)"
+            return "'" + val.replace("'", "''") + "'"
+
+        return self._CURSET_RE.sub(repl, sql)
 
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(?P<table>[\w.]+|\"(?:[^\"]|\"\")*\")\s+FROM\s+STDIN"
