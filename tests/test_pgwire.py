@@ -584,3 +584,7 @@ def test_set_show_current_setting(xt, client):
     # unknown setting → NULL from current_setting
     res, _ = client.query("SELECT current_setting('no_such') AS x")
     assert res[0][1] == [[None]]
+    # SET TIME ZONE special form maps to the timezone setting
+    client.query("SET TIME ZONE 'America/New_York'")
+    res, _ = client.query("SHOW timezone")
+    assert res[0][1] == [["America/New_York"]]

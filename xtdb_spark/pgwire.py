@@ -456,8 +456,8 @@ class _Conn:
 
     _SHOW_RE = re.compile(r"^\s*SHOW\s+([A-Za-z_.]+)\s*$", re.IGNORECASE)
     _SET_RE = re.compile(
-        r"^\s*SET\s+(?:SESSION\s+)?(?P<name>[A-Za-z_.]+)\s*"
-        r"(?:=|TO)\s*(?P<val>.+?)\s*;?\s*$",
+        r"^\s*SET\s+(?:SESSION\s+)?(?:(?P<tz>TIME\s+ZONE)|"
+        r"(?P<name>[A-Za-z_.]+)\s*(?:=|TO))\s*(?P<val>.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL)
 
     _SHOW_VALUES = {
@@ -475,7 +475,8 @@ class _Conn:
             return
         m_set = self._SET_RE.match(sql)
         if m_set:
-            name = m_set.group("name").lower()
+            name = ("timezone" if m_set.group("tz")
+                    else m_set.group("name").lower())
             val = m_set.group("val").strip()
             if val and val[0] == "'" and val[-1] == "'":
                 val = val[1:-1].replace("''", "'")
