@@ -588,3 +588,15 @@ def test_set_show_current_setting(xt, client):
     client.query("SET TIME ZONE 'America/New_York'")
     res, _ = client.query("SHOW timezone")
     assert res[0][1] == [["America/New_York"]]
+
+
+def test_reset_and_discard(xt, client):
+    client.query("SET a.one = '1'")
+    client.query("SET a.two = '2'")
+    client.query("RESET a.one")
+    res, _ = client.query("SELECT current_setting('a.one') AS x, "
+                          "current_setting('a.two') AS y")
+    assert res[0][1] == [[None, "2"]]
+    client.query("DISCARD ALL")
+    res, _ = client.query("SELECT current_setting('a.two') AS y")
+    assert res[0][1] == [[None]]

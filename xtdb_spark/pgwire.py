@@ -528,6 +528,19 @@ class _Conn:
             self._send(b"C", self._cstr("COMMIT"))
             return
         if kw in _NOOP:
+            if kw == "RESET":
+                # RESET ALL | RESET <name>
+                arg = sql.strip().rstrip(";").split(None, 1)
+                name = arg[1].strip().lower() if len(arg) > 1 else "all"
+                if name == "all":
+                    self.settings.clear()
+                else:
+                    self.settings.pop(name, None)
+            elif kw == "DISCARD":
+                # DISCARD ALL drops all session state
+                self.settings.clear()
+                self.statements.clear()
+                self.portals.clear()
             self._send(b"C", self._cstr(kw))
             return
         if self.tx is not None and kw is not None:
