@@ -320,3 +320,113 @@ def cb_minute_histogram(spark, sf_dir):
             .groupBy(F.date_trunc("minute", "ts").alias("minute"))
             .agg(F.count("*").alias("n"))
             .orderBy("minute").limit(100))
+
+
+@register(
+    "cb_distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_users DESC, event_type
+    """,
+)
+def cb_distinct_users_per_type(spark, sf_dir):
+    """ClickBench Q8 shape: distinct counts per group, ordered by
+    the distinct count."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n"))
+            .orderBy(F.desc("n_users"), "event_type"))
+
+
+@register(
+    "cb_wide_row_page",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE props LIKE '%"k": 1%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+)
+def cb_wide_row_page(spark, sf_dir):
+    """ClickBench Q23 shape: SELECT * row fetch under a string
+    filter with ordered paging — reads every column, so column
+    pruning does nothing and the limit must bound the sort."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter(F.col("props").like('%"k": 1%'))
+            .select("event_id", "ts", "user_id", "event_type",
+                    "value", "props")
+            .orderBy("ts", "event_id").limit(10))
+
+
+@register(
+    "cb_two_level_grouping",
+    """
+    SELECT n_types, COUNT(*) AS n_users
+    FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+          FROM events GROUP BY user_id)
+    GROUP BY n_types
+    ORDER BY n_types
+    """,
+)
+def cb_two_level_grouping(spark, sf_dir):
+    """ClickBench Q33 shape: aggregate of an aggregate (histogram of
+    per-user type diversity) — two grouping levels, the second over
+    the first's output."""
+    e = ld(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.countDistinct("event_type").alias("n_types")))
+    return (per_user.groupBy("n_types").agg(F.count("*").alias("n_users"))
+            .orderBy("n_types"))
+
+
+@register(
+    "cb_string_minmax",
+    """
+    SELECT event_type, MIN(props) AS min_props, MAX(props) AS max_props,
+           COUNT(*) AS n
+    FROM events
+    WHERE props LIKE '%"k": 2%'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def cb_string_minmax(spark, sf_dir):
+    """ClickBench Q21-Q22 shape: string MIN/MAX per group under a
+    LIKE filter (binary collation identical on both engines)."""
+    e = ld(spark, sf_dir, "events").filter(F.col("props").like('%"k": 2%'))
+    return (e.groupBy("event_type")
+            .agg(F.min("props").alias("min_props"),
+                 F.max("props").alias("max_props"),
+                 F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
+@register(
+    "cb_avg_json_per_type",
+    """
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS BIGINT))
+                      AS DOUBLE) / COUNT(props->>'$.k'), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY avg_k DESC, event_type
+    """,
+)
+def cb_avg_json_per_type(spark, sf_dir):
+    """ClickBench Q3 shape crossed with JSON extraction: integer-
+    exact average of a JSON field per group (sum of ints / count —
+    hash-stable without a decimal detour)."""
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.round(F.sum(F.col("k").cast("long")).cast("double")
+                         / F.count("k"), 6).alias("avg_k"),
+                 F.count("*").alias("n"))
+            .orderBy(F.desc("avg_k"), "event_type"))

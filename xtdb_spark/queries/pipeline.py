@@ -890,3 +890,43 @@ def ann_pq(spark, sf_dir):
         (F.coalesce(F.col("top1_hit"), F.lit(0)) == 1).alias("top1_in_pq10"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) >= 5).alias("recall10_ok"))
         .orderBy("q_id"))
+
+
+@register(
+    "pipe_dedup_keep_best",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x != '')) AS DOUBLE) AS n_tokens
+      FROM documents)
+    SELECT fp, doc_id AS keep_id, CAST(n_dups AS BIGINT) AS n_dups
+    FROM (SELECT fp, doc_id, n_tokens,
+                 COUNT(*) OVER (PARTITION BY fp) AS n_dups,
+                 ROW_NUMBER() OVER (PARTITION BY fp
+                                    ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical selection: within each duplicate group keep the BEST
+    representative (here: most tokens, deterministic doc_id
+    tiebreak), not an arbitrary one — the production dedup step
+    where quality signals decide which copy survives (dedup keeps
+    `min(doc_id)`; this keeps argmax(quality)). One window over the
+    fingerprint groups — same single shuffle as exact dedup, so the
+    scale shape is unchanged; any scoring column (quality_score,
+    source priority, recency) slots into the ORDER BY."""
+    d = ld(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                r"\s+", " "))
+    n_tok = text.token_count(F.col("text")).cast("double")
+    w = Window.partitionBy("fp")
+    wr = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), "doc_id")
+    return (d.select("doc_id", fp.alias("fp"), n_tok.alias("n_tokens"))
+            .withColumn("n_dups", F.count("*").over(w))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("fp", F.col("doc_id").alias("keep_id"), "n_dups"))
