@@ -1,0 +1,106 @@
+"""Property test for the dialect-construct translator: random nested
+object/array literal trees rendered in XTDB syntax (through
+`constructs.translate` + Spark) and in DuckDB's native struct/list
+syntax must evaluate to the same value. Complements the example
+tests (test_sql_constructs) and the seeded SLT pairs with
+deep random nesting, quote escaping, and mixed composition."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xtdb_spark.sql.constructs import translate
+
+_keys = st.from_regex(r"[a-z][a-z0-9_]{0,5}", fullmatch=True)
+_strings = st.text(alphabet="abc XY'z_", min_size=0, max_size=8)
+_scalars = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.booleans(),
+    _strings,
+)
+
+# arrays are HOMOGENEOUS: Spark arrays are typed (the engine's
+# documented widest-type mapping of XTDB's dynamic lists, SURVEY
+# §1.3 strategy (c)); mixed-type lists go through the legs-struct
+# encoding (dyntypes.py), not plain array literals
+_homog_arrays = st.one_of(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=0, max_size=3),
+    st.lists(_strings, min_size=0, max_size=3),
+    st.lists(st.booleans(), min_size=0, max_size=3),
+)
+
+_values = st.recursive(
+    st.one_of(_scalars, _homog_arrays),
+    lambda children: st.dictionaries(_keys, children,
+                                     min_size=1, max_size=3),
+    max_leaves=8,
+)
+
+
+def _render(v, dialect: str) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        if not v:
+            # empty array needs a type anchor on both engines
+            return ("array()" if dialect == "xt" else "[]")
+        return "[" + ", ".join(_render(x, dialect) for x in v) + "]"
+    if isinstance(v, dict):
+        if dialect == "xt":
+            body = ", ".join(f"{k}: {_render(x, dialect)}"
+                             for k, x in v.items())
+            return "{" + body + "}"
+        body = ", ".join(f"'{k}': {_render(x, dialect)}"
+                         for k, x in v.items())
+        return "{" + body + "}"
+    raise AssertionError(v)
+
+
+def _norm(v):
+    """Engine results → plain python (Spark Row → dict, tuples →
+    lists, bools/ints preserved)."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _norm(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    return v
+
+
+def _has_empty_array(v) -> bool:
+    if isinstance(v, list):
+        return not v or any(_has_empty_array(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_empty_array(x) for x in v.values())
+    return False
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(v=_values)
+def test_literal_trees_match_duckdb(spark, duck, v):
+    if _has_empty_array(v):
+        # empty arrays carry engine-specific element types (void vs
+        # unknown); value comparison is meaningless — skip shape
+        return
+    xt_sql = f"SELECT {_render(v, 'xt')} AS r"
+    du_sql = f"SELECT {_render(v, 'duck')} AS r"
+    s_val = _norm(spark.sql(translate(xt_sql)).collect()[0]["r"])
+    d_val = _norm(duck.execute(du_sql).fetchone()[0])
+    assert s_val == d_val, (xt_sql, s_val, d_val)

@@ -454,7 +454,9 @@ class _Conn:
             i += 1
         return "".join(out)
 
-    _SHOW_RE = re.compile(r"^\s*SHOW\s+([A-Za-z_.]+)\s*$", re.IGNORECASE)
+    _SHOW_RE = re.compile(
+        r"^\s*SHOW\s+([A-Za-z_.]+(?:\s+[A-Za-z_]+)*)\s*;?\s*$",
+        re.IGNORECASE)
     _SET_RE = re.compile(
         r"^\s*SET\s+(?:SESSION\s+)?(?:(?P<tz>TIME\s+ZONE)|"
         r"(?P<name>[A-Za-z_.]+)\s*(?:=|TO))\s*(?P<val>.+?)\s*;?\s*$",
@@ -485,7 +487,11 @@ class _Conn:
             return
         m_show = self._SHOW_RE.match(sql)
         if m_show:
-            name = m_show.group(1).lower()
+            # multi-word spellings (psql sends `SHOW TRANSACTION
+            # ISOLATION LEVEL`) normalize to the setting name
+            name = "_".join(m_show.group(1).lower().split())
+            name = {"transaction_isolation_level":
+                    "transaction_isolation"}.get(name, name)
             val = self.settings.get(name, self._SHOW_VALUES.get(name, "on"))
             payload = (struct.pack(">h", 1) + self._cstr(name)
                        + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
