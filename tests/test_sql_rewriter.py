@@ -303,6 +303,9 @@ def test_pg_catalog_depth_and_xt_views(spark, tmp_path):
     assert rewrite_sql(xt, "SELECT * FROM pg_views").count() == 0
     roles = rewrite_sql(xt, "SELECT rolname FROM pg_roles").collect()
     assert roles[0]["rolname"] == "xtdb"
+    tz = rewrite_sql(xt, "SELECT setting FROM pg_catalog.pg_settings "
+                         "WHERE name = 'TimeZone'").collect()
+    assert tz[0]["setting"] == "UTC"
 
     trie = rewrite_sql(
         xt, "SELECT * FROM xt.trie_stats WHERE table_name = 'mt'").collect()

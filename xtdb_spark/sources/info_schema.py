@@ -220,6 +220,27 @@ def pg_roles(spark: SparkSession, store=None) -> DataFrame:
         "oid int, rolname string, rolsuper boolean, rolcanlogin boolean")
 
 
+def pg_settings(spark: SparkSession, store=None) -> DataFrame:
+    """`pg_settings` (BI tools probe it; reference pg_catalog via
+    information_schema.clj): the session-reportable parameters with
+    their pinned values — the same set pgwire's SHOW reports."""
+    rows = [
+        ("server_version", "16.0", "Version and Platform Compatibility"),
+        ("server_encoding", "UTF8", "Client Connection Defaults"),
+        ("client_encoding", "UTF8", "Client Connection Defaults"),
+        ("DateStyle", "ISO", "Client Connection Defaults"),
+        ("TimeZone", "UTC", "Client Connection Defaults"),
+        ("integer_datetimes", "on", "Preset Options"),
+        ("standard_conforming_strings", "on",
+         "Version and Platform Compatibility"),
+        ("search_path", "public", "Client Connection Defaults"),
+        ("max_connections", "100", "Connections and Authentication"),
+    ]
+    return spark.createDataFrame(
+        [(n, v, c, "user") for n, v, c in rows],
+        "name string, setting string, category string, context string")
+
+
 def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
     """`xt.trie_stats` analogue (reference trie_catalog.clj +
     information_schema.clj trie-stats): one row per storage file with
@@ -316,6 +337,7 @@ def register_all(spark: SparkSession, store) -> None:
     pg_description(spark).createOrReplaceTempView("pg_catalog_pg_description")
     pg_views(spark).createOrReplaceTempView("pg_catalog_pg_views")
     pg_roles(spark).createOrReplaceTempView("pg_catalog_pg_roles")
+    pg_settings(spark).createOrReplaceTempView("pg_catalog_pg_settings")
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
     xt_trie_stats(spark, store).createOrReplaceTempView("xt_trie_stats")
     xt_metrics(spark, store).createOrReplaceTempView("xt_metrics")

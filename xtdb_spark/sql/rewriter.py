@@ -130,7 +130,8 @@ _NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
 # bare pg_* spellings mirror postgres' pg_catalog search path)
 _PG_CATALOG_TABLES = ("pg_tables", "pg_type", "pg_namespace", "pg_class",
                       "pg_attribute", "pg_proc", "pg_index",
-                      "pg_description", "pg_views", "pg_roles")
+                      "pg_description", "pg_views", "pg_roles",
+                      "pg_settings")
 
 _SYSTEM_VIEWS = {
     "information_schema.tables": "information_schema_tables",
