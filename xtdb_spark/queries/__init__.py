@@ -20,6 +20,7 @@ from xtdb_spark.queries import bitemporal  # noqa: F401
 from xtdb_spark.queries import timeseries  # noqa: F401
 from xtdb_spark.queries import analytics  # noqa: F401
 from xtdb_spark.queries import clickbench  # noqa: F401
+from xtdb_spark.queries import dialect  # noqa: F401
 from xtdb_spark.queries import pipeline  # noqa: F401
 from xtdb_spark.queries import streaming  # noqa: F401
 from xtdb_spark.queries import meta  # noqa: F401
