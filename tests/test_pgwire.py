@@ -556,6 +556,31 @@ def test_copy_in_arrow_stream_over_wire(xt, client):
     assert res[0][1] == [["10", "1.5"], ["11", "2.5"]]
 
 
+def test_copy_inside_tx_block_rejected(xt, client):
+    """COPY executes immediately and non-atomically, so inside
+    BEGIN…COMMIT it must be rejected (regression: the COPY match ran
+    before the tx checks and executed mid-block)."""
+    client.query("BEGIN")
+    client.query("INSERT INTO cp_tx (_id) VALUES (1)")
+    with pytest.raises(RuntimeError, match="transaction block"):
+        client.query("COPY cp_tx FROM STDIN WITH (FORMAT 'json')")
+    # the error aborts the block (postgres semantics)
+    with pytest.raises(RuntimeError, match="25P02"):
+        client.query("COPY cp_tx FROM STDIN WITH (FORMAT 'json')")
+    _, tags = client.query("COMMIT")
+    assert tags == ["ROLLBACK"]
+    assert "cp_tx" not in xt.store.tables()
+    # connection usable again; COPY works outside a block
+    client.send(b"Q", client.cstr(
+        "COPY cp_tx FROM STDIN WITH (FORMAT 'json')"))
+    t, _ = client.read_msg()
+    assert t == b"G"
+    client.send(b"d", b'{"_id": 9}\n')
+    client.send(b"c", b"")
+    _, tags = client.collect_results()
+    assert tags == ["COPY 1"]
+
+
 def test_copy_in_bad_format_refused(xt, client):
     import pytest
 

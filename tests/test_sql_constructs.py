@@ -122,6 +122,65 @@ def test_nest_many_grouped(spark, tmp_path):
     assert got == [("a", 2), ("b", 1)]
 
 
+def test_nest_one_distinct_preserved(spark, tmp_path):
+    """NEST_ONE must keep the subquery's DISTINCT: multiple rows with
+    one distinct value is single-row under the reference's semantics,
+    not a scalar-subquery cardinality error (regression)."""
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO emp RECORDS "
+                        "{_id: 1, dept: 'eng'}, {_id: 2, dept: 'eng'}")
+    rows = rewrite_and_run(
+        xt, "SELECT NEST_ONE (SELECT DISTINCT dept FROM emp) AS d"
+    ).collect()
+    assert rows[0]["d"]["dept"] == "eng"
+    # grouped NEST_MANY honors DISTINCT over the grouped output too
+    rewrite_and_run(xt, "INSERT INTO emp2 RECORDS "
+                        "{_id: 1, dept: 'eng', n: 1}, "
+                        "{_id: 2, dept: 'eng', n: 1}")
+    rows = rewrite_and_run(
+        xt, "SELECT NEST_MANY (SELECT DISTINCT dept FROM emp2 "
+            "GROUP BY dept, n) AS ds").collect()
+    assert [o["dept"] for o in rows[0]["ds"]] == ["eng"]
+
+
+def test_records_param_order_across_key_orders(spark, tmp_path):
+    """Positional '?' params inside RECORDS bind in TEXTUAL order even
+    when records spell their keys in different orders (regression:
+    values were emitted in union-key order, swapping ?-slots)."""
+    xt = make_xt(spark, tmp_path)
+    rows = rewrite_and_run(
+        xt, "RECORDS {a: 1, b: ?}, {b: ?, a: ?}",
+        args=[10, 20, 30]).collect()
+    got = sorted((r["a"], r["b"]) for r in rows)
+    assert got == [(1, 10), (30, 20)]
+
+
+def test_contains_point_spellings(spark, tmp_path):
+    """CONTAINS point detection beyond bare literals: CAST(... AS
+    TIMESTAMP/DATE) and point-producing functions are points, so a
+    timestamp-typed column can be used via an explicit CAST."""
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, """
+        INSERT INTO res2 RECORDS
+          {_id: 1, vf: TIMESTAMP '2024-01-01', vt: TIMESTAMP '2024-01-10',
+           at: TIMESTAMP '2024-01-05'},
+          {_id: 2, vf: TIMESTAMP '2024-01-01', vt: TIMESTAMP '2024-01-10',
+           at: TIMESTAMP '2024-03-01'}
+    """)
+    rows = rewrite_and_run(xt, """
+        SELECT _id FROM res2
+        WHERE PERIOD(vf, vt) CONTAINS CAST(at AS TIMESTAMP)
+        ORDER BY _id
+    """).collect()
+    assert [r["_id"] for r in rows] == [1]
+    rows = rewrite_and_run(xt, """
+        SELECT _id FROM res2
+        WHERE PERIOD(vf, vt) CONTAINS to_timestamp('2024-01-05')
+        ORDER BY _id
+    """).collect()
+    assert [r["_id"] for r in rows] == [1, 2]
+
+
 def test_period_predicates_sql(spark, tmp_path):
     """SQL-surface period constructors + infix predicates (reference
     Sql.g4:227-243,370-371; semantics = functions/periods.py, [from,

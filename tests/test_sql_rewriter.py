@@ -359,3 +359,11 @@ def test_setting_default_system_time(spark, tmp_path):
             "DEFAULT SYSTEM_TIME ALL "
             "SELECT COUNT(*) AS n FROM st_users").collect()
     assert both[0]["n"] == 2
+
+    # leading whitespace/newline before SETTING must not disable the
+    # prefix (regression: the first capture consumed the ws token
+    # instead of SETTING and the raw prefix leaked through to Spark)
+    ws = rewrite_and_run(
+        xt, "\n  SETTING DEFAULT SYSTEM_TIME TO AS OF '2024-01-15' "
+            "SELECT name FROM st_users").collect()
+    assert [r["name"] for r in ws] == ["v1"]

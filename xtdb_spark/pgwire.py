@@ -504,6 +504,20 @@ class _Conn:
             return
         m_copy = self._COPY_RE.match(sql)
         if m_copy:
+            # tx checks must come FIRST: COPY executes immediately and
+            # non-atomically, so inside BEGIN...COMMIT (or an aborted
+            # block) it must be rejected, not run (postgres 25P02 /
+            # reference pgwire.clj COPY-outside-tx rule)
+            if self.tx_failed:
+                self._error("25P02", "current transaction is aborted, "
+                            "commands ignored until end of transaction "
+                            "block")
+                return
+            if self.tx is not None:
+                self.tx_failed = True
+                self._error("25001", "COPY is not allowed inside a "
+                            "transaction block")
+                return
             self._copy_in(m_copy.group("table"),
                           m_copy.group("opts") or "")
             return
@@ -553,9 +567,6 @@ class _Conn:
             # DML inside an explicit block: record, don't execute
             from xtdb_spark.sql.dml import record_dml_ops
 
-            if kw == "COPY":
-                raise ValueError("COPY is not allowed inside a "
-                                 "transaction block")
             self.tx.extend(record_dml_ops(self.xt, sql))
             tag = {"INSERT": "INSERT 0 0"}.get(kw, kw + " 0")
             if not describe_only:

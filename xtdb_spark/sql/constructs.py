@@ -54,12 +54,28 @@ def _E(x: str) -> str:
     return f"coalesce(({x})._to, timestamp '9999-12-31 23:59:59')"
 
 
+_POINT_PREFIX_RE = re.compile(
+    r"TIMESTAMPTZ\b|TIMESTAMP\b|DATE\b|'"
+    r"|CAST\s*\(.*\bAS\s+(TIMESTAMP|DATE)\s*\)\s*$"
+    r"|CURRENT_TIMESTAMP\b|CURRENT_DATE\b|NOW\s*\("
+    r"|TO_TIMESTAMP\s*\(|TO_DATE\s*\(|TIMESTAMP_(MICROS|MILLIS|SECONDS)"
+    r"\s*\(|DATE_TRUNC\s*\(|MAKE_TIMESTAMP\s*\(|MAKE_DATE\s*\(",
+    re.IGNORECASE | re.DOTALL)
+
+
 def _is_point(expr: str) -> bool:
     """Right operand of CONTAINS: a timestamp point rather than a
-    period (reference `contains?` accepts both)."""
-    e = expr.strip().upper()
-    return (e.startswith("TIMESTAMP") or e.startswith("DATE")
-            or e.startswith("'"))
+    period. The reference's `contains?` dispatches on RUNTIME type;
+    Spark is statically typed and this pass is text-only, so
+    point-ness is decided syntactically: temporal literals, casts to
+    TIMESTAMP/DATE, and the common point-producing functions are
+    points; everything else (incl. bare columns) is treated as a
+    period struct. LIMITATION: a bare timestamp-typed COLUMN on the
+    right must be written `CAST(col AS TIMESTAMP)` (or compared via
+    `PERIOD(col, col)`) — a bare name is assumed to be a period
+    column and fails Spark analysis otherwise (documented, not
+    silent: the analysis error names the missing `_from` field)."""
+    return bool(_POINT_PREFIX_RE.match(expr.strip()))
 
 
 def _period_pred_sql(base: str, mod: str | None, a: str, b: str) -> str:
@@ -478,11 +494,17 @@ class _Translator:
         if self._peek() == ("punct", ")"):
             self._next()
         if kind == "NEST_ONE":
-            return f"(SELECT struct({sel}) {rest})".rstrip() + ""
+            # DISTINCT must survive the struct-wrap: NEST_ONE(SELECT
+            # DISTINCT dept …) is single-row iff the DISTINCT rows are
+            # single — dropping it would trip Spark's scalar-subquery
+            # cardinality check on multi-row-but-single-value inputs
+            d = "DISTINCT " if distinct else ""
+            return f"(SELECT {d}struct({sel}) {rest})".rstrip() + ""
         if _has_toplevel_word(rest, "GROUP"):
             # grouped subquery: one record per GROUP — collect over a
             # derived table so the aggregate sees the grouped rows
-            inner = f"SELECT {sel} {rest}"
+            d = "DISTINCT " if distinct else ""
+            inner = f"SELECT {d}{sel} {rest}"
             return (f"(SELECT collect_list(struct(*)) "
                     f"FROM ({inner}) __nest_rows)")
         agg = f"collect_list(struct({sel}))"
@@ -523,17 +545,27 @@ class _Translator:
                 self._next()  # the comma
                 continue
             break
-        # union of keys, first-seen order (dynamic-document model)
+        # union of keys, first-seen order (dynamic-document model).
+        # Each record's VALUES are emitted in the record's own textual
+        # order inside a derived table, then reordered by NAME in the
+        # outer select — so positional '?' params keep their textual
+        # binding order even when records spell keys in different
+        # orders (RECORDS {a: 1, b: ?}, {b: ?, a: ?}).
         keys: list[str] = []
         for rec in records:
             for key, _ in rec:
                 if key not in keys:
                     keys.append(key)
         selects = []
-        for rec in records:
-            vals = dict(rec)
-            cols = ", ".join(
-                f"{vals.get(key, 'NULL')} AS {_ident_sql(key)}"
-                for key in keys)
-            selects.append(f"SELECT {cols}")
+        for n, rec in enumerate(records):
+            present = {key for key, _ in rec}
+            inner_cols = ", ".join(
+                f"{val} AS {_ident_sql(key)}" for key, val in rec) \
+                or "1 AS __dummy"
+            outer_cols = ", ".join(
+                (f"{_ident_sql(key)}" if key in present
+                 else f"NULL AS {_ident_sql(key)}")
+                for key in keys) or "NULL AS __empty"
+            selects.append(
+                f"SELECT {outer_cols} FROM (SELECT {inner_cols}) __r{n}")
         return " UNION ALL ".join(selects)

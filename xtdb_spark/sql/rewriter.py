@@ -228,6 +228,7 @@ class _Rewriter:
                     self.toks[self.i][0] in ("ws", "comment"):
                 cap_take()
 
+        cap_skip_ws()  # leading ws/comments before SETTING
         cap_take()  # SETTING
         while True:
             cap_skip_ws()
