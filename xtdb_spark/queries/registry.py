@@ -55,6 +55,49 @@ def oracle_map() -> dict[str, str]:
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+# --- plan cache --------------------------------------------------------------
+# The reference caches compiled query plans (query.clj:304-328,
+# Caffeine max 4096; emission memoized per type-signature,
+# query.clj:185-208). Spark analogue: build the DataFrame (the
+# expensive part is Python-side Py4J plan construction, measured
+# 80-160 ms/query) ONCE per (entry, sf_dir) and park its ANALYZED
+# logical plan in a temp view. Each `cached_plan` call returns a
+# fresh Dataset over that plan, so every execution still runs the
+# optimizer, physical planner, and ALL stages with fresh shuffle IDs
+# — only plan construction is reused, never results or shuffle
+# output (measured same-JVM: fresh 1.67 s → cached-plan 1.13 s over
+# 6 heads at sf0.1, while same-DataFrame re-collect — which DOES
+# reuse shuffle output — is 0.18 s; we deliberately don't do that).
+
+_PLAN_CACHE_MAX = 4096  # parity with the reference's Caffeine bound
+_PLAN_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def cached_plan(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Return `QUERIES[name].fn(spark, sf_dir)` through the plan
+    cache: first call builds and registers the plan, later calls skip
+    straight to a fresh Dataset over the cached analyzed plan."""
+    key = (name, sf_dir)
+    view = _PLAN_VIEWS.get(key)
+    if view is None:
+        if len(_PLAN_VIEWS) >= _PLAN_CACHE_MAX:  # simple full-flush
+            for v in _PLAN_VIEWS.values():       # (hit only by runaway
+                spark.catalog.dropTempView(v)    # catalogs)
+            _PLAN_VIEWS.clear()
+        import re as _re
+
+        view = "xt_plan_" + _re.sub(r"\W", "_", f"{name}_{sf_dir}")
+        QUERIES[name].fn(spark, sf_dir).createOrReplaceTempView(view)
+        _PLAN_VIEWS[key] = view
+    return spark.table(view)
+
+
+def clear_plan_cache(spark: SparkSession) -> None:
+    for v in _PLAN_VIEWS.values():
+        spark.catalog.dropTempView(v)
+    _PLAN_VIEWS.clear()
+
+
 def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     """Opt-in buffer pool: pin tables in executor memory as cached
     temp views; subsequent `ld()` calls hit the cache. The Spark
@@ -85,6 +128,19 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true" if big else "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled",
                    "true" if big else "false")
+    # Broadcast only true DIMENSIONS at MB scale: with the session's
+    # 64 MB threshold, Catalyst broadcasts the 10 MB sf0.1 lineitem —
+    # rebuilding a 600k-row hashed relation on every run — when the
+    # cache's hash-partitioning already gives a ZERO-exchange
+    # shuffled-hash join on orderkey (measured: q5 0.39 s → 0.21 s).
+    # preferSortMergeJoin=false picks the hash join over sorting for
+    # the co-partitioned fact-fact joins. Both are the session
+    # defaults again at GB+ working sets, where broadcast thresholds
+    # and SMJ spill-safety are the right call.
+    if not big:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(1 << 20))
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     for t in tables:
         _CACHED_VIEWS.add(_cache_view_name(sf_dir, t))
     for t in tables:
@@ -108,6 +164,17 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
         size = os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
         npart = 1 if size < 65536 else \
             max(4, min(cpus, -(-size // 1572864)))
+        # co-partitioned tables must agree on COUNT, not just key:
+        # HashPartitioning(orderkey, 4) vs (orderkey, 7) still forces
+        # an exchange — align the orderkey pair to the larger count
+        # (the local analogue of giving both bucketed tables the same
+        # bucket count)
+        if t in ("orders", "lineitem"):
+            lsz = max(os.path.getsize(os.path.join(sf_dir, f"{x}.parquet"))
+                      for x in ("orders", "lineitem")
+                      if os.path.exists(os.path.join(sf_dir, f"{x}.parquet")))
+            npart = 1 if lsz < 65536 else \
+                max(4, min(cpus, -(-lsz // 1572864)))
         # Hash-partition fact tables by their PRIMARY join key while
         # pinning — the local analogue of bucketing: the cached
         # InMemoryRelation reports HashPartitioning(key, n), so joins
