@@ -96,11 +96,9 @@ def xt_table_stats(spark: SparkSession, store) -> DataFrame:
     rows = []
     for s, t in _tables(store):
         full = f"{s}.{t}" if s != "public" else t
-        d = store._path(full)
-        files = [f for f in os.listdir(d) if f.endswith(".parquet")] \
-            if os.path.isdir(d) else []
-        n_bytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
-        n_events = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        files = store.table_files(full)  # live manifest: L0 + levels
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_events = sum(pq.ParquetFile(f).metadata.num_rows
                        for f in files)
         rows.append((s, t, len(files), n_bytes, n_events))
     return spark.createDataFrame(
@@ -255,13 +253,16 @@ def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
     import pyarrow.parquet as pq
 
     rows = []
+    import re as _re
+
     for s, t in _tables(store):
         full = f"{s}.{t}" if s != "public" else t
-        d = store._path(full)
-        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet")) \
-            if os.path.isdir(d) else []
-        for fname in files:
-            p = os.path.join(d, fname)
+        for p in store.table_files(full):
+            fname = os.path.basename(p)
+            # leveled compaction outputs encode their trie position in
+            # the name (compactor.py): l<level>-p<part>-<cur|hist>-…
+            lm = _re.match(r"l(\d+)-p", fname)
+            level = int(lm.group(1)) if lm else 0
             meta = pq.ParquetFile(p).metadata
             sys_min = sys_max = None
             try:
@@ -275,7 +276,7 @@ def xt_trie_stats(spark: SparkSession, store) -> DataFrame:
                     sys_min, sys_max = str(min(mins)), str(max(maxs))
             except KeyError:
                 pass
-            rows.append((s, t, fname, 0, meta.num_rows,
+            rows.append((s, t, fname, level, meta.num_rows,
                          os.path.getsize(p), sys_min, sys_max))
     return spark.createDataFrame(
         rows or [("", "", "", 0, 0, 0, None, None)],
@@ -304,12 +305,9 @@ def xt_metrics(spark: SparkSession, store) -> DataFrame:
     tables = _tables(store)
     n_files = n_bytes = 0
     for s, t in tables:
-        d = store._path(f"{s}.{t}" if s != "public" else t)
-        if os.path.isdir(d):
-            for f in os.listdir(d):
-                if f.endswith(".parquet"):
-                    n_files += 1
-                    n_bytes += os.path.getsize(os.path.join(d, f))
+        for f in store.table_files(f"{s}.{t}" if s != "public" else t):
+            n_files += 1
+            n_bytes += os.path.getsize(f)
     rows = [("txs_total", float(n_txs)),
             ("txs_committed", float(n_committed)),
             ("txs_aborted", float(n_txs - n_committed)),

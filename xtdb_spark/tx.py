@@ -36,7 +36,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xtdb_spark import bitemporal
+from xtdb_spark import bitemporal, compactor
 
 FORBIDDEN_SCHEMAS = ("xt", "information_schema", "pg_catalog")
 
@@ -436,10 +436,30 @@ class TableStore:
 
     # ---- maintenance ----
 
-    def optimize(self, table: str, n_files: int | None = None) -> int:
-        """Compaction: rewrite the table's event files clustered by
-        `_iid` and sorted by (`_iid`, `_system_from`) — AND physically
-        drop erased data.
+    def compact(self, table: str,
+                file_size_target: int = compactor.FILE_SIZE_TARGET,
+                l0_threshold: int = compactor.L0_THRESHOLD) -> int:
+        """LEVELED background compaction (reference compactor.clj +
+        compactor/job_calculator.clj + trie/Bucketer.kt): run the
+        available L0→L1 and tiering jobs to a fixpoint. Each job
+        reads only its own inputs — cost is bounded by
+        16 × file-size-target regardless of table size — and commits
+        by atomically swapping the per-table manifest. See
+        xtdb_spark/compactor.py for the full strategy. Returns the
+        number of jobs run."""
+        return compactor.compact(self, table, file_size_target,
+                                 l0_threshold)
+
+    def optimize(self, table: str, n_files: int | None = None,
+                 full: bool | None = None) -> int:
+        """Compaction entry point. Default (`full=None`, no
+        `n_files`): run LEVELED incremental compaction — see
+        `compact()`. With `n_files` (or `full=True`): FULL
+        compaction — rewrite the whole table's event files clustered
+        by `_iid` and sorted by (`_iid`, `_system_from`) — AND
+        physically drop erased data (markers included: a full rewrite
+        merges every marker with everything it suppresses, the only
+        point a marker may die — reference PolygonCalculator.kt:23-24).
 
         The reference runs LSM-style background compaction of trie
         levels bucketed by iid prefix (reference compactor.clj:11-21,
@@ -467,6 +487,8 @@ class TableStore:
         import glob
         import shutil
 
+        if n_files is None and not full:
+            return self.compact(table)
         path = self._path(table)
         # physical erase: keep only what an erase didn't wipe
         ev = bitemporal.drop_erased(self.events(table))
@@ -572,6 +594,15 @@ class TableStore:
                      if _norm(os.path.abspath(f)) not in live_files]
         for f in deletable:
             os.remove(f)
+        if deletable:
+            # drop deleted LEVEL files from the compaction manifest
+            path = self._path(table)
+            m = compactor.load_manifest(path)
+            if m is not None:
+                gone = {os.path.basename(f) for f in deletable}
+                m["files"] = [e for e in m["files"]
+                              if e["name"] not in gone]
+                compactor.save_manifest(path, m)
         return deletable
 
     # ---- reads ----
@@ -584,14 +615,70 @@ class TableStore:
         return sorted(d.replace("__", ".") for d in os.listdir(self.warehouse)
                       if os.path.isdir(os.path.join(self.warehouse, d)))
 
-    def table_files(self, table: str) -> list[str]:
-        """The table's manifest: its parquet files, listed NOW. The
-        basis-token analogue (reference api basis.clj; scan.clj:108-113
-        clamps every scan to the snapshot) — passing this list to
-        `events()` pins a whole multi-statement query to one state."""
-        import glob
+    def table_files(self, table: str, current_only: bool = False) -> list[str]:
+        """The table's manifest: its live parquet files, listed NOW —
+        raw L0 appends plus the leveled compaction outputs registered
+        in the per-table manifest (compactor.py; the trie-catalog
+        role). The basis-token analogue (reference api basis.clj;
+        scan.clj:108-113 clamps every scan to the snapshot) — passing
+        this list to `events()` pins a whole multi-statement query to
+        one state. `current_only` drops `hist` files — sound ONLY for
+        pure current-state reads (see compactor.py recency notes)."""
+        path = self._path(table)
+        l0, entries = compactor.live_files(path)
+        if current_only:
+            entries = [e for e in entries if not e["hist"]]
+        return sorted(l0 + [compactor.entry_path(path, e) for e in entries])
 
-        return sorted(glob.glob(os.path.join(self._path(table), "*.parquet")))
+    def iid_py(self, _id) -> bytes:
+        """Driver-side `_iid` (must match `_iid_expr` bit-for-bit:
+        same type tag, same Spark cast-to-string spelling)."""
+        import hashlib
+
+        if isinstance(_id, bool):
+            tag, s = "z", ("true" if _id else "false")
+        elif isinstance(_id, int):
+            tag, s = "i", str(_id)
+        elif isinstance(_id, str):
+            tag, s = "s", _id
+        else:
+            raise ValueError(
+                f"point lookup supports int/str/bool ids, got "
+                f"{type(_id).__name__} (float/timestamp string forms "
+                "differ between engines — query via scan instead)")
+        return hashlib.md5((tag + ":" + s).encode()).digest()
+
+    def point_files(self, table: str, _id,
+                    current_only: bool = False) -> list[str]:
+        """Manifest pruned to the files that can contain `_id`: all
+        live L0 files plus, per level, only the bucket whose
+        iid-prefix part matches — the trie-channel walk
+        (Bucketer.kt compareToPath / reference
+        operator/scan.clj:127-140 iid selection). At 100 TB a point
+        lookup opens one bucket chain instead of the table."""
+        path = self._path(table)
+        l0, entries = compactor.live_files(path)
+        h = self.iid_py(_id).hex()
+        keep = [e for e in entries if h.startswith(e["part"])
+                and not (current_only and e["hist"])]
+        return sorted(l0) + [compactor.entry_path(path, e) for e in keep]
+
+    def lookup(self, table: str, _id, valid_time=None,
+               system_time=None, all_valid_time=False,
+               all_system_time=False) -> DataFrame:
+        """Point lookup by `_id`: bucket-pruned manifest + an `_iid`
+        equality filter that reaches the parquet scan (files are
+        sorted by `_iid`, so row-group stats prune inside the kept
+        bucket too)."""
+        current_only = (valid_time is None and system_time is None
+                        and not all_valid_time and not all_system_time)
+        files = self.point_files(table, _id, current_only=current_only)
+        if not files:
+            return self.scan(table).filter(F.lit(False))
+        ev = (self.events(table, files=files)
+              .filter(F.col("_iid") == F.lit(self.iid_py(_id))))
+        return self._resolve(ev, valid_time, system_time,
+                             all_valid_time, all_system_time)
 
     def _file_footer_info(self, path: str):
         """(min `_system_from`, may-contain-erase) for a file, read
@@ -713,7 +800,20 @@ class TableStore:
                 return self.scan(table, valid_time=valid_time,
                                  all_valid_time=all_valid_time) \
                     .filter(F.lit(False))
+        elif (valid_time is None and system_time is None
+              and not all_valid_time and not all_system_time):
+            # pure current-state scan: skip `hist` compaction outputs
+            # — every event in them is shadowed at every valid point
+            # by a later covering event, or already valid-expired
+            # (compactor.py recency split; reference
+            # *recency-partition*, compactor.clj)
+            files = self.table_files(table, current_only=True) or None
         ev = self.events(table, files=files)
+        return self._resolve(ev, valid_time, system_time,
+                             all_valid_time, all_system_time)
+
+    def _resolve(self, ev: DataFrame, valid_time=None, system_time=None,
+                 all_valid_time=False, all_system_time=False) -> DataFrame:
         doc_cols = [c for c in ev.columns if c not in bitemporal.META_COLS]
         if all_valid_time and all_system_time:
             return bitemporal.polygon_history(ev, doc_cols)
