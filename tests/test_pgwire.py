@@ -130,6 +130,66 @@ class PgClient:
         self.send(b"Q", self.cstr(sql))
         return self.collect_results()
 
+    def prepared_fmt(self, sql, params, oids=None, pfmts=None, rfmts=None):
+        """Extended-protocol round trip with explicit Bind format
+        codes. `params` entries may be bytes (sent verbatim — binary
+        format) or str. Returns (cols, raw_rows) with UNDECODED value
+        bytes so binary results can be unpacked by the caller."""
+        oids = oids or [0] * len(params)
+        pfmts = pfmts or []
+        rfmts = rfmts or []
+        self.send(b"P", self.cstr("") + self.cstr(sql)
+                  + struct.pack(">h", len(oids))
+                  + b"".join(struct.pack(">i", o) for o in oids))
+        bind = self.cstr("") + self.cstr("")
+        bind += struct.pack(">h", len(pfmts))
+        bind += b"".join(struct.pack(">h", f) for f in pfmts)
+        bind += struct.pack(">h", len(params))
+        for p in params:
+            if p is None:
+                bind += struct.pack(">i", -1)
+            else:
+                e = p if isinstance(p, bytes) else str(p).encode()
+                bind += struct.pack(">i", len(e)) + e
+        bind += struct.pack(">h", len(rfmts))
+        bind += b"".join(struct.pack(">h", f) for f in rfmts)
+        self.send(b"B", bind)
+        self.send(b"D", b"P" + self.cstr(""))
+        self.send(b"E", self.cstr("") + struct.pack(">i", 0))
+        self.send(b"S", b"")
+        cols, rows, error = [], [], None
+        while True:
+            t, b = self.read_msg()
+            if t == b"Z":
+                if error is not None:
+                    raise RuntimeError(error)
+                return cols, rows
+            if t == b"E":
+                error = b.decode(errors="replace")
+            elif t == b"T":
+                cols = []  # Execute re-describes; keep the latest
+                (n,) = struct.unpack(">h", b[:2])
+                off = 0 + 2
+                for _ in range(n):
+                    end = b.index(b"\x00", off)
+                    name = b[off:end].decode()
+                    oid = struct.unpack(">i", b[end + 7:end + 11])[0]
+                    fmt = struct.unpack(">h", b[end + 17:end + 19])[0]
+                    cols.append((name, oid, fmt))
+                    off = end + 19
+            elif t == b"D":
+                (n,) = struct.unpack(">h", b[:2])
+                vals, off = [], 2
+                for _ in range(n):
+                    (ln,) = struct.unpack(">i", b[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(b[off:off + ln])
+                        off += ln
+                rows.append(vals)
+
     def prepared(self, sql, params, oids=None):
         oids = oids or [0] * len(params)
         self.send(b"P", self.cstr("") + self.cstr(sql)
@@ -554,6 +614,66 @@ def test_copy_in_arrow_stream_over_wire(xt, client):
     assert tags == ["COPY 2"]
     res, _ = client.query("SELECT _id, v FROM cp_arrow ORDER BY _id")
     assert res[0][1] == [["10", "1.5"], ["11", "2.5"]]
+
+
+def test_binary_result_format(xt, client):
+    """Bind result-format=binary (reference pgwire.clj:1164): int8,
+    float8, bool, text, timestamp, date come back in postgres binary
+    wire encodings with format code 1 in RowDescription."""
+    cols, rows = client.prepared_fmt(
+        "SELECT CAST(42 AS BIGINT) AS i, CAST(1.5 AS DOUBLE) AS d, "
+        "TRUE AS b, 'hey' AS s, "
+        "TIMESTAMP '2024-01-15 10:30:00.123456' AS ts, "
+        "DATE '2024-01-15' AS dt, CAST(NULL AS BIGINT) AS nl",
+        params=[], rfmts=[1])
+    assert [c[2] for c in cols] == [1] * 7  # all advertised binary
+    r = rows[0]
+    assert struct.unpack(">q", r[0])[0] == 42
+    assert struct.unpack(">d", r[1])[0] == 1.5
+    assert r[2] == b"\x01"
+    assert r[3] == b"hey"
+    epoch_us = struct.unpack(">q", r[4])[0]
+    from datetime import datetime, timedelta
+    assert datetime(2000, 1, 1) + timedelta(microseconds=epoch_us) == \
+        datetime(2024, 1, 15, 10, 30, 0, 123456)
+    days = struct.unpack(">i", r[5])[0]
+    assert days == (datetime(2024, 1, 15) - datetime(2000, 1, 1)).days
+    assert r[6] is None
+
+    # per-column mixed codes: first binary, second text
+    cols, rows = client.prepared_fmt(
+        "SELECT CAST(7 AS BIGINT) AS a, CAST(8 AS BIGINT) AS b",
+        params=[], rfmts=[1, 0])
+    assert struct.unpack(">q", rows[0][0])[0] == 7
+    assert rows[0][1] == b"8"
+
+
+def test_binary_parameter_format(xt, client):
+    """Bind arg-format=binary (reference pgwire.clj:887): int8 /
+    float8 / bool / timestamp params arrive as binary and bind
+    correctly."""
+    from datetime import datetime
+
+    ts = datetime(2024, 3, 1, 12, 0, 0)
+    us = int((ts - datetime(2000, 1, 1)).total_seconds() * 1_000_000)
+    cols, rows = client.prepared_fmt(
+        "SELECT $1 + 1 AS i, CAST($2 * 2.0 AS DOUBLE) AS d, $3 AS b, "
+        "CAST($4 AS TIMESTAMP) AS ts",
+        params=[struct.pack(">q", 41), struct.pack(">d", 1.25),
+                b"\x01", struct.pack(">q", us)],
+        oids=[20, 701, 16, 1114],
+        pfmts=[1, 1, 1, 1])
+    assert rows[0][0] == b"42"
+    assert rows[0][1] == b"2.5"
+    assert rows[0][2] == b"t"
+    assert rows[0][3] == b"2024-03-01 12:00:00"
+
+    # mixed: binary int8 + text string
+    _, rows = client.prepared_fmt(
+        "SELECT $1 AS n, $2 AS s",
+        params=[struct.pack(">q", 9), "hello"],
+        oids=[20, 25], pfmts=[1, 0])
+    assert rows[0][0] == b"9" and rows[0][1] == b"hello"
 
 
 def test_copy_inside_tx_block_rejected(xt, client):

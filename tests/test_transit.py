@@ -1,0 +1,105 @@
+"""transit-json reader (xtdb_spark/transit.py) — the reference's
+primary document wire codec (types.clj:284-294, pgwire.clj:1324),
+subset per the public transit-format spec."""
+
+from datetime import datetime
+
+import pytest
+
+from xtdb_spark.transit import loads, parse_lines
+
+
+@pytest.fixture()
+def xt(spark, tmp_path):
+    from xtdb_spark.session import XtdbSession
+    from xtdb_spark.tx import TableStore
+
+    s = XtdbSession.__new__(XtdbSession)
+    s.spark = spark
+    s.store = TableStore(spark, str(tmp_path / "wh"))
+    s.sql = XtdbSession.sql.__get__(s)
+    s.scan = XtdbSession.scan.__get__(s)
+    return s
+
+
+def test_scalars_and_keywords():
+    assert loads('{"~:name": "a", "~:age": 30}') == {"name": "a",
+                                                     "age": 30}
+    assert loads('"~i9007199254740993"') == 9007199254740993
+    assert loads('"~t2024-01-15T10:30:00.123Z"') == \
+        datetime(2024, 1, 15, 10, 30, 0, 123000)
+    assert loads('"~?t"') is True and loads('"~?f"') is False
+    assert loads('"~~tilde"') == "~tilde"
+    assert loads('"~^caret"') == "^caret"
+    assert loads('"`backtick"') == "backtick"
+    assert loads('"~u531a379e-31bb-4ce1-8690-158dceb64be6"') == \
+        "531a379e-31bb-4ce1-8690-158dceb64be6"
+    assert loads('"~baGV5"') == b"hey"
+    assert loads('"~zINF"') == float("inf")
+
+
+def test_map_as_array_and_nesting():
+    got = loads('["^ ", "~:_id", 1, "~:tags", ["a", "b"], '
+                '"~:addr", ["^ ", "~:city", "Oslo"]]')
+    assert got == {"_id": 1, "tags": ["a", "b"],
+                   "addr": {"city": "Oslo"}}
+
+
+def test_cache_codes():
+    # writer caches "~:name"(idx 0) and "~:category"(idx 1) from doc
+    # keys; later docs reference them as ^0 / ^1
+    line = ('[["^ ", "~:name", "a", "~:category", "x"], '
+            '["^ ", "^0", "b", "^1", "y"]]')
+    got = loads(line)
+    assert got == [{"name": "a", "category": "x"},
+                   {"name": "b", "category": "y"}]
+
+
+def test_tagged_forms():
+    assert loads('["~#\'", 5]') == 5
+    assert loads('["~#list", [1, 2]]') == [1, 2]
+    assert loads('["~#set", [1, 2]]') == [1, 2]
+    import pytest
+    with pytest.raises(ValueError, match="unsupported transit tag"):
+        loads('["~#point", [1, 2]]')
+
+
+def test_parse_lines():
+    data = (b'["^ ", "~:_id", 1, "~:name", "alice"]\n'
+            b'["^ ", "~:_id", 2, "~:name", "bob", "~:age", 30]\n')
+    rows = parse_lines(data)
+    assert rows == [{"_id": 1, "name": "alice"},
+                    {"_id": 2, "name": "bob", "age": 30}]
+
+
+def test_copy_transit_json_over_wire(xt):
+    """COPY <t> FROM STDIN WITH (FORMAT 'transit-json') e2e."""
+    import struct
+
+    from xtdb_spark.pgwire import PgWireServer
+    from tests.test_pgwire import PgClient
+
+    srv = PgWireServer(xt, port=0).start()
+    try:
+        c = PgClient(srv.port)
+        c.startup()
+        c.send(b"Q", c.cstr(
+            "COPY tj_docs FROM STDIN WITH (FORMAT 'transit-json')"))
+        t, _ = c.read_msg()
+        assert t == b"G"
+        payload = (b'["^ ", "~:_id", 1, "~:name", "alice", '
+                   b'"~:joined", "~t2024-01-15T00:00:00Z"]\n'
+                   b'["^ ", "~:_id", 2, "~:name", "bob"]\n')
+        c.send(b"d", payload)
+        c.send(b"c", b"")
+        _, tags = c.collect_results()
+        assert tags == ["COPY 2"]
+        res, _ = c.query(
+            "SELECT _id, name, joined FROM tj_docs ORDER BY _id")
+        rows = res[0][1]
+        assert rows[0][:2] == ["1", "alice"]
+        assert rows[0][2].startswith("2024-01-15")
+        assert rows[1] == ["2", "bob", None]
+        c.close()
+    finally:
+        srv.stop()

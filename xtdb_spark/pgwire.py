@@ -80,6 +80,81 @@ def _text(v: Any) -> str | None:
 
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
+# binary wire formats (reference pgwire.clj:887 arg-format /
+# :1164 result-format negotiation). Postgres epoch for binary
+# timestamp (µs since 2000-01-01) and date (days since 2000-01-01).
+import datetime as _dt
+
+_PG_EPOCH = _dt.datetime(2000, 1, 1)
+_PG_EPOCH_DATE = _dt.date(2000, 1, 1)
+
+
+def _binary_encode(v: Any, oid: int) -> bytes:
+    """One value in postgres BINARY result format. Covers the types a
+    driver actually requests binary for (int2/4/8, float4/8, bool,
+    bytea, timestamp, date); text-ish and exotic oids fall back to
+    their text bytes — the same bytes a text-format column carries,
+    which is what postgres itself does for type text."""
+    if oid == 16:
+        return b"\x01" if v else b"\x00"
+    if oid == 21:
+        return struct.pack(">h", int(v))
+    if oid == 23:
+        return struct.pack(">i", int(v))
+    if oid == 20:
+        return struct.pack(">q", int(v))
+    if oid == 700:
+        return struct.pack(">f", float(v))
+    if oid == 701:
+        return struct.pack(">d", float(v))
+    if oid == 17:
+        return bytes(v)
+    if oid == 1114 and isinstance(v, _dt.datetime):
+        d = v.replace(tzinfo=None) - _PG_EPOCH
+        return struct.pack(
+            ">q", (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds)
+    if oid == 1082 and isinstance(v, _dt.date):
+        return struct.pack(">i", (v - _PG_EPOCH_DATE).days)
+    return (_text(v) or "").encode()
+
+
+def _binary_param_text(b: bytes, oid: int) -> str:
+    """Binary-format Bind argument → its TEXT-format spelling, so the
+    downstream literal-substitution path is identical for both
+    formats (reference pgwire.clj reads arg-format per parameter)."""
+    if oid == 16:
+        return "t" if b and b[0] else "f"
+    if oid == 21:
+        return str(struct.unpack(">h", b)[0])
+    if oid == 23:
+        return str(struct.unpack(">i", b)[0])
+    if oid == 20:
+        return str(struct.unpack(">q", b)[0])
+    if oid == 700:
+        return repr(struct.unpack(">f", b)[0])
+    if oid == 701:
+        return repr(struct.unpack(">d", b)[0])
+    if oid == 17:
+        return "\\x" + b.hex()
+    if oid == 1114:
+        (us,) = struct.unpack(">q", b)
+        return (_PG_EPOCH + _dt.timedelta(microseconds=us)) \
+            .isoformat(sep=" ")
+    if oid == 1082:
+        (days,) = struct.unpack(">i", b)
+        return (_PG_EPOCH_DATE + _dt.timedelta(days=days)).isoformat()
+    return b.decode()  # text/varchar/unknown
+
+
+def _col_formats(nfields: int, result_formats: list[int] | None) -> list[int]:
+    """Resolve Bind's result-format codes to one per column (0 codes
+    = all text; 1 code = applies to every column)."""
+    if not result_formats:
+        return [0] * nfields
+    if len(result_formats) == 1:
+        return [result_formats[0]] * nfields
+    return (list(result_formats) + [0] * nfields)[:nfields]
+
 
 class AuthRules:
     """Authentication config (reference authn.clj:16-71): an ordered
@@ -388,27 +463,31 @@ class _Conn:
 
     # ---- result encoding
 
-    def _row_description(self, df) -> None:
+    def _row_description(self, df, result_formats=None) -> None:
         fields = df.schema.fields
+        fmts = _col_formats(len(fields), result_formats)
         payload = struct.pack(">h", len(fields))
-        for f in fields:
+        for f, fmt in zip(fields, fmts):
             oid = _oid_of(f.dataType.simpleString())
             payload += (self._cstr(f.name)
-                        + struct.pack(">ihihih", 0, 0, oid, -1, -1, 0))
+                        + struct.pack(">ihihih", 0, 0, oid, -1, -1, fmt))
         self._send(b"T", payload)
 
-    def _send_rows(self, df) -> int:
+    def _send_rows(self, df, result_formats=None) -> int:
+        oids = [_oid_of(f.dataType.simpleString())
+                for f in df.schema.fields]
+        fmts = _col_formats(len(oids), result_formats)
         n = 0
         batch = []
         for row in df.toLocalIterator():
-            vals = [_text(v) for v in row]
-            payload = struct.pack(">h", len(vals))
-            for v in vals:
+            payload = struct.pack(">h", len(oids))
+            for v, oid, fmt in zip(row, oids, fmts):
                 if v is None:
                     payload += struct.pack(">i", -1)
-                else:
-                    b = v.encode()
-                    payload += struct.pack(">i", len(b)) + b
+                    continue
+                b = _binary_encode(v, oid) if fmt == 1 \
+                    else (_text(v) or "").encode()
+                payload += struct.pack(">i", len(b)) + b
             batch.append(b"D" + struct.pack(">i", len(payload) + 4) + payload)
             n += 1
             if len(batch) >= self.BATCH:
@@ -470,8 +549,11 @@ class _Conn:
         "read committed", "search_path": "public",
     }
 
-    def _run(self, sql: str, describe_only: bool = False):
-        """Execute one statement; emit T/D*/C (or just T)."""
+    def _run(self, sql: str, describe_only: bool = False,
+             result_formats: list[int] | None = None):
+        """Execute one statement; emit T/D*/C (or just T).
+        `result_formats` = Bind's per-column format codes (extended
+        protocol only; the simple protocol is always text)."""
         if not sql.strip():
             self._send(b"I")  # EmptyQueryResponse
             return
@@ -583,10 +665,10 @@ class _Conn:
             else:
                 self._send(b"n")     # NoData
             return
-        self._row_description(df)
+        self._row_description(df, result_formats)
         if describe_only:
             return
-        n = self._send_rows(df)
+        n = self._send_rows(df, result_formats)
         self._send(b"C", self._cstr(f"SELECT {n}"))
 
     _CURSET_RE = re.compile(r"current_setting\s*\(\s*'([^']*)'\s*\)",
@@ -615,20 +697,21 @@ class _Conn:
         """COPY <table> FROM STDIN (reference pgwire.clj:1298-1317,
         CopyInStmt Sql.g4:40): CopyInResponse → CopyData* →
         CopyDone/CopyFail → bulk document ingest. Formats:
-        'arrow-stream' / 'arrow-file' (exactly the reference's main
-        formats — parsed with pyarrow IPC) and 'json' (JSON-lines of
-        documents; the reference's transit-json slot — transit itself
-        needs a transit codec, so we accept plain JSON and say so)."""
+        'arrow-stream' / 'arrow-file' (the reference's main formats —
+        parsed with pyarrow IPC), 'json' (JSON-lines of documents),
+        and 'transit-json' (the reference's primary document codec —
+        pure-Python reader, xtdb_spark/transit.py)."""
         fm = self._COPY_FMT_RE.search(opts or "")
         fmt = fm.group(1).lower() if fm else None
-        if fmt in ("transit-json", "transit-msgpack"):
+        if fmt == "transit-msgpack":
             raise ValueError(
-                f"COPY format {fmt!r} needs a transit codec; use "
-                "'json' (JSON-lines) or 'arrow-stream'/'arrow-file'")
-        if fmt not in ("arrow-stream", "arrow-file", "json"):
+                "COPY format 'transit-msgpack' is not supported; use "
+                "'transit-json', 'json' or 'arrow-stream'/'arrow-file'")
+        if fmt not in ("arrow-stream", "arrow-file", "json",
+                       "transit-json"):
             raise ValueError(
                 "COPY IN requires a valid format: 'arrow-file', "
-                "'arrow-stream', 'json'")
+                "'arrow-stream', 'json', 'transit-json'")
         table = table.strip('"')
         # CopyInResponse: overall binary format, 0 column formats
         self._send(b"G", struct.pack(">bh", 1, 0))
@@ -658,6 +741,13 @@ class _Conn:
 
             rows = [_json.loads(ln) for ln in data.decode().splitlines()
                     if ln.strip()]
+        elif fmt == "transit-json":
+            # the reference's primary document wire form
+            # (types.clj:284-294, pgwire.clj:1324) — one transit map
+            # per line; see xtdb_spark/transit.py for the subset
+            from xtdb_spark import transit
+
+            rows = transit.parse_lines(data)
         else:
             import pyarrow as pa
 
@@ -725,21 +815,39 @@ class _Conn:
         elif t == b"B":                      # Bind
             portal, rest = body.split(b"\x00", 1)
             stmt, rest = rest.split(b"\x00", 1)
+            # per-argument format codes (0=text, 1=binary) —
+            # reference pgwire.clj:887 arg-format
             (nfmt,) = struct.unpack(">h", rest[:2])
+            pfmts = list(struct.unpack(f">{nfmt}h", rest[2:2 + 2 * nfmt]))
             rest = rest[2 + 2 * nfmt:]
             (nvals,) = struct.unpack(">h", rest[:2])
             rest = rest[2:]
-            params: list[str | None] = []
+            raw: list[bytes | None] = []
             for _ in range(nvals):
                 (vlen,) = struct.unpack(">i", rest[:4])
                 rest = rest[4:]
                 if vlen == -1:
-                    params.append(None)
+                    raw.append(None)
                 else:
-                    params.append(rest[:vlen].decode())
+                    raw.append(rest[:vlen])
                     rest = rest[vlen:]
+            # result-format codes — reference pgwire.clj:1164
+            (nrf,) = struct.unpack(">h", rest[:2])
+            rfmts = list(struct.unpack(f">{nrf}h", rest[2:2 + 2 * nrf]))
             sql, oids = self.statements[stmt.decode()]
-            self.portals[portal.decode()] = self._bind(sql, params, oids)
+            params: list[str | None] = []
+            for i, b in enumerate(raw):
+                fmt = (pfmts[i] if len(pfmts) == nvals
+                       else (pfmts[0] if pfmts else 0))
+                if b is None:
+                    params.append(None)
+                elif fmt == 1:
+                    params.append(_binary_param_text(
+                        b, oids[i] if i < len(oids) else 0))
+                else:
+                    params.append(b.decode())
+            self.portals[portal.decode()] = \
+                (self._bind(sql, params, oids), rfmts)
             self._send(b"2")                 # BindComplete
         elif t == b"D":                      # Describe
             kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
@@ -749,10 +857,12 @@ class _Conn:
                            + b"".join(struct.pack(">i", o or 25) for o in oids))
                 self._describe_sql(sql)
             else:
-                self._describe_sql(self.portals[name])
+                psql, rfmts = self.portals[name]
+                self._describe_sql(psql, rfmts)
         elif t == b"E":                      # Execute
             name = body.split(b"\x00", 1)[0].decode()
-            self._run(self.portals[name])
+            psql, rfmts = self.portals[name]
+            self._run(psql, result_formats=rfmts)
         elif t == b"C":                      # Close
             self._send(b"3")
         elif t == b"H":                      # Flush
@@ -762,7 +872,8 @@ class _Conn:
         else:
             self._error("08P01", f"unhandled message type {t!r}")
 
-    def _describe_sql(self, sql: str) -> None:
+    def _describe_sql(self, sql: str,
+                      result_formats: list[int] | None = None) -> None:
         if self._SHOW_RE.match(sql):
             self._run(sql, describe_only=True)
             return
@@ -774,7 +885,7 @@ class _Conn:
         from xtdb_spark.sql.rewriter import rewrite
 
         df = self.xt.spark.sql(rewrite(self.xt, self._compat_sql(sql)))
-        self._row_description(df)
+        self._row_description(df, result_formats)
 
     @staticmethod
     def _bind(sql: str, params: list[str | None], oids: list[int]) -> str:

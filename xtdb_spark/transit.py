@@ -1,0 +1,163 @@
+"""Minimal transit-json READER for the COPY document path.
+
+The reference's primary document wire format is transit
+(types.clj:284-294 `:transit`, pgwire.clj:1324 COPY formats); its
+payloads for document ingest are maps of scalars/lists/maps with
+keyword keys and #inst timestamps. This is a pure-Python reader for
+that subset of the PUBLIC transit-json format
+(github.com/cognitect/transit-format):
+
+- maps: verbose JSON objects AND the array form ["^ ", k1, v1, ...]
+- keywords  "~:name"  → "name" (string keys — the document model)
+- symbols   "~$name"  → "name"
+- #inst     "~t2024-01-15T10:30:00.123Z" → datetime (UTC, naive)
+- int64     "~i123"   → int        (JSON numbers pass through)
+- uuid      "~u…"     → the canonical string form
+- bytes     "~b…"     → base64-decoded bytes
+- special   "~?t"/"~?f" → booleans, "~zNaN"/"~zINF"/"~z-INF" → floats
+- escapes   "~~x" → "~x",  "~^x" → "^x",  "`x" → "x"
+- cache codes "^0"…"^zz": the rolling key/keyword cache (spec §cache
+  codes, base-44 digits starting at codepoint 48; entries are map
+  keys and ~-tagged strings longer than 3 chars, in read order)
+- tagged values ["~#tag", v] / {"~#tag": v}: "~#'" unwraps to its
+  value, "~#list"/"~#set" to a Python list; others raise (out of the
+  document subset — better loud than wrong)
+
+Writing is not needed: COPY TO emits arrow/json (pgwire.py), matching
+the reference where transit is primarily an INGEST format for
+documents.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from datetime import datetime, timezone
+
+_BASE_CHAR = 48      # '0'
+_CACHE_BASE = 44
+_MIN_CACHEABLE = 4   # strings longer than 3 chars are cached
+
+
+class _Cache:
+    def __init__(self):
+        self.entries: list[str] = []
+
+    def maybe_add(self, s: str) -> None:
+        if len(s) >= _MIN_CACHEABLE:
+            self.entries.append(s)
+
+    def lookup(self, code: str) -> str:
+        # code excludes the leading '^'
+        if len(code) == 1:
+            idx = ord(code) - _BASE_CHAR
+        else:
+            idx = (ord(code[0]) - _BASE_CHAR) * _CACHE_BASE \
+                + ord(code[1]) - _BASE_CHAR
+        try:
+            return self.entries[idx]
+        except IndexError:
+            raise ValueError(f"transit cache miss for ^{code}") from None
+
+
+def _parse_inst(s: str) -> datetime:
+    t = s.replace("Z", "+00:00")
+    dt = datetime.fromisoformat(t)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _decode_scalar(s: str, cache: _Cache, key_pos: bool):
+    if s.startswith("^") and s != "^ ":
+        # the cache stores the ORIGINAL representation; decode it
+        # (against a throwaway cache — originals contain no refs)
+        return _decode_scalar(cache.lookup(s[1:]), _Cache(), False)
+    if key_pos or (s.startswith("~") and len(s) >= 2
+                   and s[1] in ":$#"):
+        cache.maybe_add(s)
+    if not s.startswith("~"):
+        if s.startswith("`"):
+            return s[1:]
+        return s
+    tag, rest = s[1], s[2:]
+    if tag == "~" or tag == "^":
+        return s[1:]
+    if tag == ":" or tag == "$":
+        return rest
+    if tag == "t":
+        return _parse_inst(rest)
+    if tag == "i" or tag == "n":
+        return int(rest)
+    if tag == "d" or tag == "f":
+        return float(rest)
+    if tag == "u":
+        return rest
+    if tag == "b":
+        return base64.b64decode(rest)
+    if tag == "?":
+        return rest == "t"
+    if tag == "z":
+        return {"NaN": float("nan"), "INF": float("inf"),
+                "-INF": float("-inf")}[rest]
+    if tag == "_":
+        return None
+    raise ValueError(f"unsupported transit scalar tag ~{tag}")
+
+
+def _decode(v, cache: _Cache, key_pos: bool = False):
+    if isinstance(v, str):
+        return _decode_scalar(v, cache, key_pos)
+    if isinstance(v, list):
+        if v and v[0] == "^ ":
+            out = {}
+            it = iter(v[1:])
+            for k in it:
+                out[_decode(k, cache, key_pos=True)] = \
+                    _decode(next(it), cache)
+            return out
+        if len(v) == 2 and isinstance(v[0], str):
+            head = (cache.lookup(v[0][1:])
+                    if v[0].startswith("^") and v[0] != "^ " else v[0])
+            if head.startswith("~#"):
+                cache.maybe_add(head)
+                tag = head[2:]
+                if tag == "'":
+                    return _decode(v[1], cache)
+                if tag in ("list", "set"):
+                    return [_decode(x, cache) for x in v[1]]
+                raise ValueError(f"unsupported transit tag ~#{tag}")
+        return [_decode(x, cache) for x in v]
+    if isinstance(v, dict):
+        if len(v) == 1:
+            (k, val), = v.items()
+            if isinstance(k, str) and k.startswith("~#"):
+                tag = k[2:]
+                if tag == "'":
+                    return _decode(val, cache)
+                if tag in ("list", "set"):
+                    return [_decode(x, cache) for x in val]
+                raise ValueError(f"unsupported transit tag ~#{tag}")
+        return {_decode(k, cache, key_pos=True): _decode(val, cache)
+                for k, val in v.items()}
+    return v
+
+
+def loads(s: str):
+    """One transit-json value (its own cache, per the spec's
+    per-message cache lifetime)."""
+    return _decode(json.loads(s), _Cache())
+
+
+def parse_lines(data: bytes) -> list[dict]:
+    """COPY payload: one transit-json document per line."""
+    rows = []
+    for ln in data.decode().splitlines():
+        if not ln.strip():
+            continue
+        doc = loads(ln)
+        if not isinstance(doc, dict):
+            raise ValueError("transit-json COPY expects one map "
+                             f"per line, got {type(doc).__name__}")
+        rows.append(doc)
+    return rows
