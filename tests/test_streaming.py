@@ -205,3 +205,63 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r["l_click_id"], r["r_amount"])
            for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == {(100, 5.0), (101, 7.0)}
+
+
+def test_kafka_path_contract_exactly_once(spark, store, tmp_path):
+    """Kafka log-tail contract test (reference modules/kafka +
+    LogProcessor.kt): drive `ingest_tx_log` — the exact code a real
+    broker feeds via `kafka_tx_log_stream` — with a FILE-BACKED
+    stream of Kafka-shaped records (same schema: key/value/topic/
+    partition/offset/timestamp) and assert offset→tx-id exactly-once
+    under redelivery."""
+    import json
+    import os
+
+    from xtdb_spark.streaming.ingest import (KAFKA_RECORD_SCHEMA,
+                                             ingest_tx_log)
+
+    src = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_records(name, recs):
+        spark.createDataFrame(
+            [(None, json.dumps(doc).encode(), "txs", 0, off,
+              datetime(2024, 1, 1))
+             for off, doc in recs],
+            KAFKA_RECORD_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    write_records("b1", [(0, {"_id": 1, "v": "a"}),
+                         (1, {"_id": 2, "v": "b"}),
+                         (2, {"_id": 3, "v": "c"})])
+    stream = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src)
+    ingest_tx_log(stream, store, "ktx", ckpt)
+    assert store.scan("ktx").count() == 3
+
+    # redelivery: offsets 1-2 appear AGAIN (at-least-once source)
+    # alongside new offsets 3-4 — only 3-4 may apply
+    write_records("b2", [(1, {"_id": 2, "v": "b"}),
+                         (2, {"_id": 3, "v": "c"}),
+                         (3, {"_id": 4, "v": "d"}),
+                         (4, {"_id": 5, "v": "e"})])
+    stream = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src)
+    ingest_tx_log(stream, store, "ktx", ckpt)
+    rows = store.scan("ktx").select("_id", "v").collect()
+    assert {(r["_id"], r["v"]) for r in rows} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
+    # each entity has exactly ONE event — redelivered offsets were
+    # never re-applied
+    ev = store.events("ktx")
+    assert ev.count() == 5
+    # offset → tx-id watermark is durable and mapped
+    wm = json.load(open(os.path.join(store.warehouse,
+                                     "_log_offsets__ktx.json")))
+    assert wm["txs"]["0"]["offset"] == 4
+    assert wm["txs"]["0"]["tx_id"] > 0
+
+    # a full checkpoint-loss replay of the WHOLE log is still a no-op
+    ingest_tx_log(
+        spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src),
+        store, "ktx", str(tmp_path / "ckpt2"))
+    assert store.events("ktx").count() == 5
