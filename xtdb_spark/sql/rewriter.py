@@ -599,6 +599,16 @@ _XTQL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# ATTACH DATABASE name [WITH 'yaml'] / DETACH DATABASE name
+# (reference Sql.g4:55-56 Attach/DetachDatabaseStatement)
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+DATABASE\s+(?P<name>\w+|\"(?:[^\"]|\"\")*\")"
+    r"(?:\s+WITH\s+'(?P<cfg>(?:[^']|'')*)')?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+DATABASE\s+(?P<name>\w+|\"(?:[^\"]|\"\")*\")\s*;?\s*$",
+    re.IGNORECASE)
+
 
 def rewrite_and_run(xt, query: str, args: list | None = None):
     from xtdb_spark.sql import dml
@@ -621,6 +631,16 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         from xtdb_spark import xtql_edn
 
         return xtql_edn.run(xt, xm.group("q").replace("''", "'"))
+    am = _ATTACH_RE.match(query)
+    if am:
+        cfg = am.group("cfg")
+        xt.store.attach_database(am.group("name").strip('"'),
+                                 cfg.replace("''", "'") if cfg else None)
+        return None
+    dm = _DETACH_RE.match(query)
+    if dm:
+        xt.store.detach_database(dm.group("name").strip('"'))
+        return None
     if dml.is_dml(query):
         return dml.execute_dml(xt, query)
     sql, remaining = rewrite_with_args(xt, query, args)

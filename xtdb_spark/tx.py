@@ -50,6 +50,17 @@ class TableStore:
         self._tx_counter = 0
         self._pins: dict[int, tuple[str, tuple[str, ...]]] = {}
         self._pin_counter = 0
+        # attached databases: name → warehouse root (reference
+        # db_catalog.clj DatabaseCatalog; ATTACH DATABASE Sql.g4:55).
+        # Persisted next to the primary warehouse so a reconnect sees
+        # the same catalog.
+        self.databases: dict[str, str] = {}
+        dbs_path = os.path.join(self.warehouse, "_databases.json")
+        if os.path.exists(dbs_path):
+            import json as _json
+
+            with open(dbs_path) as f:
+                self.databases = _json.load(f)
         # INT96 (Spark's legacy default) writes NO min/max stats, which
         # would blind both the file-level pruning below and parquet
         # row-group pruning on temporal predicates. MICROS matches the
@@ -63,11 +74,66 @@ class TableStore:
         self._footer_cache: dict[str, tuple[tuple[int, float], object]] = {}
 
     def _path(self, table: str) -> str:
-        schema = table.split(".")[0] if "." in table else None
+        parts = table.split(".")
+        root = self.warehouse
+        if len(parts) >= 2 and parts[0] in self.databases:
+            # db.schema.table / db.table → the attached database's
+            # warehouse (reference db_catalog.clj multi-db catalog)
+            root = self.databases[parts[0]]
+            parts = parts[1:]
+        schema = parts[0] if len(parts) > 1 else None
         if schema in FORBIDDEN_SCHEMAS:
             raise ValueError(f"cannot write to reserved schema {schema!r} "
                              "(reference log.clj:21-25)")
-        return os.path.join(self.warehouse, table.replace(".", "__"))
+        return os.path.join(root, ".".join(parts).replace(".", "__"))
+
+    # ---- attached databases (reference ATTACH DATABASE Sql.g4:55-56,
+    #      db_catalog.clj) ----
+
+    def _save_databases(self) -> None:
+        import json as _json
+        import uuid as _uuid
+
+        p = os.path.join(self.warehouse, "_databases.json")
+        tmp = p + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(self.databases, f)
+        os.replace(tmp, p)
+
+    def attach_database(self, name: str, config: str | None = None) -> str:
+        """ATTACH DATABASE <name> [WITH '<yaml>']: register a second
+        warehouse under `name`; its tables address as
+        `name.schema.table`. The yaml subset honored is
+        `storage.path` (reference DatabaseConfig localStorage path);
+        a bare path string also works. Default: a managed directory
+        under the primary warehouse. Note: attached-db writes share
+        the primary tx log (the reference keeps a log per database —
+        single-writer simplification, documented)."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(f"invalid database name {name!r}")
+        if name in FORBIDDEN_SCHEMAS or name == "xt":
+            raise ValueError(f"reserved database name {name!r}")
+        path = None
+        if config:
+            m = _re.search(r"path:\s*([^\s#]+)", config)
+            path = m.group(1).strip("'\"") if m else config.strip("'\" ")
+        if not path:
+            path = os.path.join(self.warehouse, "_dbs", name)
+        os.makedirs(path, exist_ok=True)
+        self.databases[name] = path
+        self._save_databases()
+        return path
+
+    def detach_database(self, name: str) -> None:
+        """DETACH DATABASE <name>: drop the catalog entry (files stay
+        on disk — detach is a catalog operation, like the
+        reference)."""
+        if name not in self.databases:
+            raise ValueError(f"database {name!r} is not attached")
+        del self.databases[name]
+        self._save_databases()
 
     def _record_tx(self, st: datetime, committed: bool = True,
                    error: str | None = None) -> None:
@@ -613,7 +679,8 @@ class TableStore:
         if not os.path.isdir(self.warehouse):
             return []
         return sorted(d.replace("__", ".") for d in os.listdir(self.warehouse)
-                      if os.path.isdir(os.path.join(self.warehouse, d)))
+                      if os.path.isdir(os.path.join(self.warehouse, d))
+                      and not d.startswith("_"))
 
     def table_files(self, table: str, current_only: bool = False) -> list[str]:
         """The table's manifest: its live parquet files, listed NOW —
