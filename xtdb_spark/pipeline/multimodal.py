@@ -8,12 +8,15 @@ is real and tested. Two tiers of "decode":
   PNG/JPEG/GIF/BMP/WAV container headers are plain byte layouts, so
   format, dimensions, sample rate, and channel count come from
   actual parsing with no codec library.
-- **Pixel/sample decode is STUBBED** (resample, frame extraction) —
-  the container has no image/audio libraries — behind
-  `_decode_image_bytes`, which produces a deterministic fake so the
-  pipeline shape is exercisable end-to-end. Swap the stub for
-  PIL/torchaudio/pyav in production; the mapInPandas contract
-  (arrow-batched bytes in → struct rows out) is unchanged.
+- **Pixel/sample decode is REAL for PNG / BMP / WAV** via the
+  pure-Python codecs in `pipeline/codecs.py` (zlib + struct + numpy
+  — full scanline unfilter, BGR swizzle, PCM frames): features and
+  resize operate on actual pixels/samples for those formats.
+  JPEG/GIF/video stay behind the `fake_decode` gate (entropy
+  decoding needs a codec library; the deterministic fake keeps the
+  pipeline shape exercisable, and accidental production use raises).
+  The mapInPandas contract (arrow-batched bytes in → struct rows
+  out) is identical either way.
 
 Design for 100 TB of media:
 - media rides in parquet binary columns next to its metadata → one
@@ -41,17 +44,36 @@ FEATURE_SCHEMA = ("media_id long, kind string, n_bytes long, "
 
 
 def _decode_image_bytes(content: bytes, fake_decode: bool = False) -> list[float]:
-    """STUB decoder. Real implementation: PIL.Image.open(BytesIO(b))
-    → resize → np.asarray. Here: a deterministic 4-dim fake feature
-    derived from the bytes so tests are stable.
+    """Media → 4-dim feature vector. REAL decode for PNG / BMP / WAV
+    (pure-Python codecs, pipeline/codecs.py): images yield
+    [width, height, mean_pixel, channels], audio yields
+    [n_frames, sample_rate, mean_abs_amplitude, channels] — all from
+    actual pixels/samples. Formats outside the codec subset
+    (JPEG/GIF/video need an entropy decoder) fall through to the
+    deterministic byte-stats stub when `fake_decode=True`, else raise
+    — accidental production use of the stub surfaces loudly."""
+    from xtdb_spark.pipeline import codecs
 
-    Raises NotImplementedError unless fake_decode is explicitly
-    requested, so accidental production use surfaces loudly.
-    """
+    if content:
+        decoded = codecs.decode_media(bytes(content))
+        if decoded is not None:
+            kind, payload = decoded
+            if kind == "image":
+                px = payload
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                return [float(px.shape[1]), float(px.shape[0]),
+                        float(px.mean()), float(ch)]
+            sr, ch, samples = payload
+            import numpy as np
+
+            return [float(samples.shape[0]), float(sr),
+                    float(np.abs(samples.astype("int32")).mean()
+                          if samples.size else 0.0), float(ch)]
     if not fake_decode:
         raise NotImplementedError(
-            "media decode needs an image/audio library; "
-            "pass fake_decode=True for the deterministic stub")
+            "bytes are outside the pure-Python codec subset "
+            "(PNG/BMP/WAV); pass fake_decode=True for the "
+            "deterministic stub or install an image/audio library")
     if not content:
         return [0.0, 0.0, 0.0, 0.0]
     n = len(content)
@@ -132,15 +154,25 @@ def resize_images(media: DataFrame, target_w: int = 224,
     images = media.filter(F.col("kind") == "image")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xtdb_spark.pipeline import codecs
+
         out_len = max(4, (target_w * target_h) // 64)
         for pdf in batches:
             contents = []
             for b in pdf["content"]:
+                b = b or b""
+                decoded = codecs.decode_media(bytes(b)) if b else None
+                if decoded is not None and decoded[0] == "image":
+                    # REAL resample: nearest-neighbor over actual
+                    # pixels, re-encoded as PNG
+                    px = codecs.resize_nearest(decoded[1],
+                                               target_w, target_h)
+                    contents.append(codecs.encode_png(px))
+                    continue
                 if not fake_decode:
                     raise NotImplementedError(
-                        "image resize needs an image library; "
-                        "pass fake_decode=True for the deterministic stub")
-                b = b or b""
+                        "bytes outside the PNG/BMP codec subset; pass "
+                        "fake_decode=True for the deterministic stub")
                 # deterministic fake "resample": tile the source bytes
                 # to the target byte budget
                 contents.append((b * (out_len // max(1, len(b)) + 1))[:out_len])
