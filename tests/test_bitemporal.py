@@ -138,3 +138,76 @@ def test_forbidden_schemas(store):
     for schema in ("xt", "information_schema", "pg_catalog"):
         with pytest.raises(ValueError):
             store.put(f"{schema}.t", [{"_id": 1}])
+
+
+def test_polygon_hot_iid_skew_bound(spark):
+    """Skew bound for the applyInPandas polygon sweep (the engine's
+    only per-key serial state): ONE hot `_iid` carrying 100k versions
+    among 200k events must complete without OOM — the hot group is a
+    single arrow-batched pandas frame of 100k rows (~10 MB), and the
+    full-cover update chain keeps the ceiling at O(1) segments so the
+    sweep is linear in versions. Documents the bound asserted in
+    bitemporal.polygon_history's docstring."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.bitemporal import polygon_history
+
+    hot_n, bg_n = 100_000, 100_000
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hot = (spark.range(hot_n)
+           .select(F.lit(b"\x01" * 16).alias("_iid"),
+                   F.col("id").alias("v"),
+                   base.alias("_valid_from"),
+                   F.lit(None).cast("timestamp").alias("_valid_to"),
+                   (base + F.make_interval(secs=F.col("id"))
+                    ).alias("_system_from"),
+                   F.lit("put").alias("op")))
+    # background: 100k events over 10k entities (10 versions each) —
+    # group COUNT is a Python-call cost, group SIZE is the skew bound
+    bg = (spark.range(bg_n)
+          .select(F.unhex(F.md5((F.col("id") % 10_000).cast("string")))
+                  .alias("_iid"),
+                  F.col("id").alias("v"),
+                  base.alias("_valid_from"),
+                  F.lit(None).cast("timestamp").alias("_valid_to"),
+                  (base + F.make_interval(secs=F.col("id"))
+                   ).alias("_system_from"),
+                  F.lit("put").alias("op")))
+    events = hot.unionAll(bg)
+    out = polygon_history(events, ["v"])
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy((F.col("_iid") == F.lit(b"\x01" * 16))
+                          .alias("k"))
+              .agg(F.count("*").alias("n")).collect()}
+    # hot chain: every version was current for one system slice
+    assert counts[True] == hot_n
+    # full-cover background chains: one rectangle per version
+    assert counts[False] == bg_n
+    # the latest hot version is open-ended on both axes
+    latest = out.filter((F.col("_iid") == F.lit(b"\x01" * 16))
+                        & F.col("_system_to").isNull()).collect()
+    assert len(latest) == 1 and latest[0]["v"] == hot_n - 1
+
+
+def test_polygon_staggered_rectangles_formula(spark):
+    """Staggered-valid chains grow the ceiling: k versions with
+    strictly increasing valid_from produce 2k-1 rectangles (each
+    superseded version keeps a residual valid slice). Guards the
+    O(V x S) sweep against silent quadratic blowup on the rectangle
+    COUNT side."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.bitemporal import polygon_history
+
+    k = 500
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ev = (spark.range(k)
+          .select(F.lit(b"\x02" * 16).alias("_iid"),
+                  F.col("id").alias("v"),
+                  (base + F.make_interval(secs=F.col("id"))
+                   ).alias("_valid_from"),
+                  F.lit(None).cast("timestamp").alias("_valid_to"),
+                  (base + F.make_interval(secs=F.col("id"))
+                   ).alias("_system_from"),
+                  F.lit("put").alias("op")))
+    assert polygon_history(ev, ["v"]).count() == 2 * k - 1

@@ -152,7 +152,18 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
     Runs as applyInPandas grouped by `_iid`: one shuffle on _iid, then
     embarrassingly parallel; per-group state is tiny (#versions of one
     entity), so this scales to any number of iids.
-    """
+
+    Skew bound (the only per-key serial state in the engine; measured
+    by tests/test_bitemporal.py::test_polygon_hot_iid_skew_bound): a
+    hot `_iid` with V versions holds one arrow-batched pandas group
+    of V rows — memory O(V × row width) (10⁵ versions ≈ tens of MB,
+    fine; 10⁸ versions of ONE entity would need valid-axis chunking)
+    — and sweep time O(V × S) where S = ceiling segments: S stays
+    O(1) for the common full-cover update chain (same valid range), and
+    grows only with DISTINCT staggered valid boundaries, worst case
+    O(V²) for V mutually-staggered versions. The reference's
+    Ceiling.kt carries the same per-entity serial dependency — system
+    order must be applied in sequence per iid."""
     ev = drop_erased(events)
     max_ts = pd.Timestamp("2262-04-10")  # pandas-representable "infinity"
 
