@@ -367,3 +367,35 @@ def test_setting_default_system_time(spark, tmp_path):
         xt, "\n  SETTING DEFAULT SYSTEM_TIME TO AS OF '2024-01-15' "
             "SELECT name FROM st_users").collect()
     assert [r["name"] for r in ws] == ["v1"]
+
+
+def test_create_table_and_roles(spark, tmp_path):
+    """CREATE [OR ALTER] TABLE (Sql.g4:61 — catalog metadata; types
+    arrive with the first INSERT) and GRANT/REVOKE role membership
+    (Sql.g4:58-59, surfaced via pg_roles/pg_auth_members)."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    assert rewrite_and_run(xt, "CREATE TABLE fresh (a, b)") is None
+    assert "fresh" in xt.store.tables()
+    # declared-but-empty table scans as an empty relation
+    rows = rewrite_and_run(xt, "SELECT * FROM fresh").collect()
+    assert rows == []
+    assert xt.store.declared_columns("fresh") == ["a", "b"]
+    # types spring from the first INSERT, as before
+    rewrite_and_run(xt, "INSERT INTO fresh (_id, a) VALUES (1, 'x')")
+    got = rewrite_and_run(xt, "SELECT a FROM fresh").collect()
+    assert got[0]["a"] == "x"
+    # CREATE OR ALTER re-registers without error
+    rewrite_and_run(xt, "CREATE OR ALTER TABLE fresh (a, b, c)")
+
+    rewrite_and_run(xt, "GRANT analyst TO erin")
+    rewrite_and_run(xt, "GRANT admin TO erin")
+    roles = {r["rolname"]: r["rolcanlogin"] for r in rewrite_and_run(
+        xt, "SELECT rolname, rolcanlogin FROM pg_roles").collect()}
+    assert roles["erin"] is True and roles["analyst"] is False
+    n = rewrite_and_run(
+        xt, "SELECT COUNT(*) AS n FROM pg_auth_members").collect()[0]["n"]
+    assert n == 2
+    rewrite_and_run(xt, "REVOKE admin FROM erin")
+    assert xt.store.user_roles()["erin"] == ["analyst"]

@@ -173,7 +173,8 @@ if _HAVE_FLIGHT:
                         body["table"], body["ids"])}
             elif action.type == "optimize":
                 with self._lock:
-                    n = self.session.store.optimize(body["table"])
+                    n = self.session.store.optimize(
+                        body["table"], full=bool(body.get("full")))
                     out = {"ok": True, "n_files": n}
             else:
                 raise flight.FlightServerError(
@@ -184,7 +185,9 @@ if _HAVE_FLIGHT:
             return [("status", "node status summary"),
                     ("delete", "delete ids: {table, ids}"),
                     ("erase", "erase ids: {table, ids}"),
-                    ("optimize", "compact store files (applies erases)"),
+                    ("optimize", "run leveled compaction (pass "
+                                 "{full: true} to rewrite whole table "
+                                 "and apply erases physically)"),
                     ("CreatePreparedStatement", "Flight SQL prepare"),
                     ("ClosePreparedStatement", "Flight SQL close")]
 

@@ -213,9 +213,38 @@ def pg_views(spark: SparkSession, store=None) -> DataFrame:
 
 
 def pg_roles(spark: SparkSession, store=None) -> DataFrame:
+    """Built-in superuser plus every user/role seen by GRANT/REVOKE
+    (reference GrantRoleStatement Sql.g4:58-59; membership in
+    pg_auth_members below). Deterministic oids from name hashes."""
+    rows = [(10, "xtdb", True, True)]
+    if store is not None:
+        roles = store.user_roles()
+        names = sorted(set(roles) | {r for rs in roles.values()
+                                     for r in rs})
+        rows += [(_name_oid(n), n, False, n in roles) for n in names]
     return spark.createDataFrame(
-        [(10, "xtdb", True, True)],
+        rows,
         "oid int, rolname string, rolsuper boolean, rolcanlogin boolean")
+
+
+def _name_oid(name: str) -> int:
+    import hashlib
+
+    return 16384 + int.from_bytes(
+        hashlib.md5(name.encode()).digest()[:3], "big")
+
+
+def pg_auth_members(spark: SparkSession, store=None) -> DataFrame:
+    """Role membership from GRANT role TO user."""
+    rows = []
+    if store is not None:
+        for user, rs in sorted(store.user_roles().items()):
+            for r in sorted(rs):
+                rows.append((_name_oid(r), _name_oid(user), 10, False))
+    return spark.createDataFrame(
+        rows or [(0, 0, 0, False)],
+        "roleid int, member int, grantor int, admin_option boolean"
+    ).filter("roleid != 0")
 
 
 def pg_settings(spark: SparkSession, store=None) -> DataFrame:
@@ -334,7 +363,9 @@ def register_all(spark: SparkSession, store) -> None:
     pg_index(spark).createOrReplaceTempView("pg_catalog_pg_index")
     pg_description(spark).createOrReplaceTempView("pg_catalog_pg_description")
     pg_views(spark).createOrReplaceTempView("pg_catalog_pg_views")
-    pg_roles(spark).createOrReplaceTempView("pg_catalog_pg_roles")
+    pg_roles(spark, store).createOrReplaceTempView("pg_catalog_pg_roles")
+    pg_auth_members(spark, store) \
+        .createOrReplaceTempView("pg_catalog_pg_auth_members")
     pg_settings(spark).createOrReplaceTempView("pg_catalog_pg_settings")
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
     xt_trie_stats(spark, store).createOrReplaceTempView("xt_trie_stats")

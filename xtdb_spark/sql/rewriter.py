@@ -131,7 +131,7 @@ _NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
 _PG_CATALOG_TABLES = ("pg_tables", "pg_type", "pg_namespace", "pg_class",
                       "pg_attribute", "pg_proc", "pg_index",
                       "pg_description", "pg_views", "pg_roles",
-                      "pg_settings")
+                      "pg_settings", "pg_auth_members")
 
 _SYSTEM_VIEWS = {
     "information_schema.tables": "information_schema_tables",
@@ -609,6 +609,20 @@ _DETACH_RE = re.compile(
     r"^\s*DETACH\s+DATABASE\s+(?P<name>\w+|\"(?:[^\"]|\"\")*\")\s*;?\s*$",
     re.IGNORECASE)
 
+# CREATE [OR ALTER] TABLE t [(c1, c2, …)] (Sql.g4:61 — tables spring
+# into existence on INSERT, so this is catalog metadata) and
+# GRANT/REVOKE role TO/FROM user (Sql.g4:58-59)
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+ALTER\s+)?TABLE\s+(?P<name>[\w.]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_GRANT_RE = re.compile(
+    r"^\s*GRANT\s+(?P<role>\w+)\s+TO\s+(?P<user>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_REVOKE_RE = re.compile(
+    r"^\s*REVOKE\s+(?P<role>\w+)\s+FROM\s+(?P<user>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
 
 def rewrite_and_run(xt, query: str, args: list | None = None):
     from xtdb_spark.sql import dml
@@ -640,6 +654,21 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
     dm = _DETACH_RE.match(query)
     if dm:
         xt.store.detach_database(dm.group("name").strip('"'))
+        return None
+    cm = _CREATE_TABLE_RE.match(query)
+    if cm:
+        cols = cm.group("cols")
+        cols = [c.strip().strip('"') for c in cols.split(",")
+                if c.strip()] if cols is not None else None
+        xt.store.create_table(cm.group("name"), cols)
+        return None
+    gm = _GRANT_RE.match(query)
+    if gm:
+        xt.store.grant_role(gm.group("role"), gm.group("user"))
+        return None
+    rm = _REVOKE_RE.match(query)
+    if rm:
+        xt.store.revoke_role(rm.group("role"), rm.group("user"))
         return None
     if dml.is_dml(query):
         return dml.execute_dml(xt, query)

@@ -135,6 +135,64 @@ class TableStore:
         del self.databases[name]
         self._save_databases()
 
+    # ---- declarative DDL + roles (reference Sql.g4:58-61 — tables
+    #      spring into existence on INSERT, so CREATE TABLE is
+    #      catalog metadata; GRANT/REVOKE are role-membership ops the
+    #      reference's indexer interprets, sql.clj:3583-3585) ----
+
+    def create_table(self, table: str, cols: list[str] | None = None) -> None:
+        """CREATE [OR ALTER] TABLE: register the table (it then lists
+        in information_schema/pg_catalog and scans as empty) and
+        record the declared column names. Types stay dynamic — they
+        come from the first INSERT, per the document model."""
+        import json as _json
+
+        path = self._path(table)
+        os.makedirs(path, exist_ok=True)
+        if cols is not None:
+            with open(os.path.join(path, "_schema.json"), "w") as f:
+                _json.dump({"columns": cols}, f)
+
+    def declared_columns(self, table: str) -> list[str] | None:
+        import json as _json
+
+        p = os.path.join(self._path(table), "_schema.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return _json.load(f).get("columns")
+
+    def _roles_path(self) -> str:
+        return os.path.join(self.warehouse, "_roles.json")
+
+    def user_roles(self) -> dict[str, list[str]]:
+        import json as _json
+
+        p = self._roles_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def grant_role(self, role: str, user: str) -> None:
+        import json as _json
+
+        roles = self.user_roles()
+        have = roles.setdefault(user, [])
+        if role not in have:
+            have.append(role)
+        with open(self._roles_path(), "w") as f:
+            _json.dump(roles, f)
+
+    def revoke_role(self, role: str, user: str) -> None:
+        import json as _json
+
+        roles = self.user_roles()
+        if role in roles.get(user, []):
+            roles[user].remove(role)
+            with open(self._roles_path(), "w") as f:
+                _json.dump(roles, f)
+
     def _record_tx(self, st: datetime, committed: bool = True,
                    error: str | None = None) -> None:
         """Append one line to the tx log manifest (reference `xt.txs`
@@ -857,6 +915,18 @@ class TableStore:
         Spark scan is built (`prune_manifest` — the trie-catalog
         walk); `FOR ALL SYSTEM_TIME` needs the full history, so it
         never prunes."""
+        if not self.table_files(table) and os.path.isdir(self._path(table)):
+            # declared (CREATE TABLE) but never written: empty
+            # relation with the declared columns (void-typed — types
+            # arrive with the first INSERT, per the document model)
+            from pyspark.sql.types import (BinaryType, NullType,
+                                           StructField, StructType)
+
+            cols = self.declared_columns(table) or []
+            schema = StructType(
+                [StructField("_iid", BinaryType())]
+                + [StructField(c, NullType()) for c in cols])
+            return self.spark.createDataFrame([], schema)
         files = None
         if system_time is not None and not all_system_time:
             files = self.prune_manifest(table, system_time)
