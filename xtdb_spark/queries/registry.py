@@ -133,13 +133,23 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     # rebuilding a 600k-row hashed relation on every run — when the
     # cache's hash-partitioning already gives a ZERO-exchange
     # shuffled-hash join on orderkey (measured: q5 0.39 s → 0.21 s).
+    # The dim/fact line must SCALE with the data (a fixed 1 MB cut
+    # would stop broadcasting sf1's 2.5 MB customer and force a
+    # custkey shuffle): just under the smaller FACT table — orders —
+    # keeps every dimension broadcast and both facts on their
+    # co-partitioned zero-exchange joins at any sub-GB size.
     # preferSortMergeJoin=false picks the hash join over sorting for
     # the co-partitioned fact-fact joins. Both are the session
     # defaults again at GB+ working sets, where broadcast thresholds
     # and SMJ spill-safety are the right call.
     if not big:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(1 << 20))
+        try:
+            orders_sz = os.path.getsize(
+                os.path.join(sf_dir, "orders.parquet"))
+        except OSError:
+            orders_sz = 2 << 20
+        thr = max(1 << 20, orders_sz // 2)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     for t in tables:
         _CACHED_VIEWS.add(_cache_view_name(sf_dir, t))
