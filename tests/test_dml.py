@@ -225,3 +225,62 @@ def test_to_arrow_channel(xt):
     assert isinstance(t, pa.Table)
     assert t.column_names == ["_id", "v", "s"]
     assert t.column("v").to_pylist() == [1.5, 2.5]
+
+
+def test_dml_returning(xt):
+    """DML … RETURNING <selectList> (reference Sql.g4:788
+    DmlReturningStatement): rows from the statement's affected
+    relation — inserted/updated docs, pre-delete rows, post-merge
+    PATCH state."""
+    rows = xt.sql("INSERT INTO r (_id, name, score) "
+                  "VALUES (1, 'ada', 10), (2, 'bob', 5) "
+                  "RETURNING _id, upper(name) AS uname").collect()
+    assert sorted((r["_id"], r["uname"]) for r in rows) == \
+        [(1, "ADA"), (2, "BOB")]
+
+    rows = xt.sql("UPDATE r SET score = score + 1 WHERE _id = 1 "
+                  "RETURNING _id, score").collect()
+    assert [(r["_id"], r["score"]) for r in rows] == [(1, 11)]
+    assert xt.scan("r").filter("_id = 1").collect()[0]["score"] == 11
+
+    # DELETE RETURNING yields the deleted (pre-delete) rows
+    rows = xt.sql("DELETE FROM r WHERE score > 6 "
+                  "RETURNING _id, name, score").collect()
+    assert [(r["_id"], r["name"], r["score"]) for r in rows] == \
+        [(1, "ada", 11)]
+    assert {r["_id"] for r in xt.scan("r").collect()} == {2}
+
+    # PATCH RETURNING yields the post-merge document
+    rows = xt.sql("PATCH INTO r (_id, team) VALUES (2, 'eng') "
+                  "RETURNING _id, name, team").collect()
+    assert [(r["_id"], r["name"], r["team"]) for r in rows] == \
+        [(2, "bob", "eng")]
+
+    # RETURNING * and string-literal immunity
+    rows = xt.sql("INSERT INTO r2 (_id, note) "
+                  "VALUES (1, 'not RETURNING data') RETURNING *").collect()
+    assert rows[0]["note"] == "not RETURNING data"
+
+    with pytest.raises(ValueError, match="RETURNING"):
+        xt.sql("ASSERT 1 = 1 RETURNING _id")
+
+
+def test_dml_returning_over_pgwire(xt):
+    """INSERT … RETURNING over the wire: rows + `INSERT 0 n` tag."""
+    from xtdb_spark.pgwire import PgWireServer
+    from tests.test_pgwire import PgClient
+
+    srv = PgWireServer(xt, port=0).start()
+    try:
+        c = PgClient(srv.port)
+        c.startup()
+        res, tags = c.query("INSERT INTO wr (_id, v) VALUES (1, 7) "
+                            "RETURNING _id, v * 2 AS d")
+        assert tags == ["INSERT 0 1"]
+        assert res[0][1] == [["1", "14"]]
+        res, tags = c.query("DELETE FROM wr WHERE _id = 1 RETURNING v")
+        assert tags == ["DELETE 1"]
+        assert res[0][1] == [["7"]]
+        c.close()
+    finally:
+        srv.stop()

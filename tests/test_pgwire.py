@@ -745,3 +745,33 @@ def test_reset_and_discard(xt, client):
     client.query("DISCARD ALL")
     res, _ = client.query("SELECT current_setting('a.two') AS y")
     assert res[0][1] == [[None]]
+
+
+def test_token_and_transaction_statements(xt, client):
+    """xtdb session token statements (Sql.g4:48,52-54) + SET
+    TRANSACTION characteristics (Sql.g4:42,45)."""
+    # snapshot token tracks the latest committed tx
+    client.query("INSERT INTO tok (_id) VALUES (1)")
+    res, _ = client.query("SHOW SNAPSHOT_TOKEN")
+    tok1 = int(res[0][1][0][0])
+    client.query("INSERT INTO tok (_id) VALUES (2)")
+    res, _ = client.query("SHOW SNAPSHOT_TOKEN")
+    assert int(res[0][1][0][0]) > tok1
+
+    # SET/SHOW AWAIT_TOKEN round-trips (appends are synchronous, so
+    # the await gate is satisfied immediately)
+    client.query(f"SET AWAIT_TOKEN = '{tok1}'")
+    res, _ = client.query("SHOW AWAIT_TOKEN")
+    assert res[0][1][0][0] == str(tok1)
+
+    # clock time is a live ISO timestamp
+    res, _ = client.query("SHOW CLOCK_TIME")
+    assert res[0][1][0][0].startswith("20")
+
+    # SET TRANSACTION / SESSION CHARACTERISTICS are reportable state
+    client.query("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+    res, _ = client.query("SHOW TRANSACTION ISOLATION LEVEL")
+    assert res[0][1][0][0] == "serializable"
+    client.query("SET SESSION CHARACTERISTICS AS TRANSACTION READ ONLY")
+    res, _ = client.query("SHOW transaction_read_only")
+    assert res[0][1][0][0] == "on"

@@ -536,6 +536,28 @@ class _Conn:
     _SHOW_RE = re.compile(
         r"^\s*SHOW\s+([A-Za-z_.]+(?:\s+[A-Za-z_]+)*)\s*;?\s*$",
         re.IGNORECASE)
+    _SET_TX_RE = re.compile(
+        r"^\s*SET\s+(?:SESSION\s+CHARACTERISTICS\s+AS\s+)?"
+        r"TRANSACTION\s+(?P<body>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _latest_tx_id(self):
+        """Latest committed tx id from the store's tx log manifest —
+        the snapshot/basis token (reference basis.clj tokens; our
+        tx id IS the system time in micros, tx.py _record_tx)."""
+        import json as _json
+        import os as _os
+
+        path = _os.path.join(self.xt.store.warehouse, "_txs.jsonl")
+        last = None
+        if _os.path.exists(path):
+            with open(path) as f:
+                for ln in f:
+                    if ln.strip():
+                        rec = _json.loads(ln)
+                        if rec.get("committed"):
+                            last = rec["tx_id"]
+        return last
     _SET_RE = re.compile(
         r"^\s*SET\s+(?:SESSION\s+)?(?:(?P<tz>TIME\s+ZONE)|"
         r"(?P<name>[A-Za-z_.]+)\s*(?:=|TO))\s*(?P<val>.+?)\s*;?\s*$",
@@ -567,6 +589,25 @@ class _Conn:
             self.settings[name] = val
             self._send(b"C", self._cstr("SET"))
             return
+        m_txc = self._SET_TX_RE.match(sql)
+        if m_txc:
+            # SET TRANSACTION / SET SESSION CHARACTERISTICS AS
+            # TRANSACTION (Sql.g4:42,45): record isolation/access
+            # mode as session settings (single-writer store executes
+            # read-committed; the characteristics are reportable
+            # state, like the reference's cmd-set-transaction)
+            body = m_txc.group("body")
+            iso = re.search(r"ISOLATION\s+LEVEL\s+([A-Za-z ]+?)\s*(?:,|$)",
+                            body, re.IGNORECASE)
+            if iso:
+                self.settings["transaction_isolation"] = \
+                    " ".join(iso.group(1).lower().split())
+            if re.search(r"READ\s+ONLY", body, re.IGNORECASE):
+                self.settings["transaction_read_only"] = "on"
+            elif re.search(r"READ\s+WRITE", body, re.IGNORECASE):
+                self.settings["transaction_read_only"] = "off"
+            self._send(b"C", self._cstr("SET"))
+            return
         m_show = self._SHOW_RE.match(sql)
         if m_show:
             # multi-word spellings (psql sends `SHOW TRANSACTION
@@ -574,7 +615,22 @@ class _Conn:
             name = "_".join(m_show.group(1).lower().split())
             name = {"transaction_isolation_level":
                     "transaction_isolation"}.get(name, name)
-            val = self.settings.get(name, self._SHOW_VALUES.get(name, "on"))
+            # xtdb token variables (Sql.g4:52-54): live values, not
+            # static settings — snapshot token = latest committed tx
+            # id (the basis the next read runs at; appends are
+            # synchronous so indexed == committed), clock time = the
+            # node's current wall clock
+            if name == "snapshot_token":
+                val = str(self._latest_tx_id() or "")
+            elif name == "clock_time":
+                import datetime as _dtm
+
+                val = _dtm.datetime.now(_dtm.timezone.utc).isoformat()
+            elif name == "await_token":
+                val = self.settings.get("await_token", "")
+            else:
+                val = self.settings.get(name,
+                                        self._SHOW_VALUES.get(name, "on"))
             payload = (struct.pack(">h", 1) + self._cstr(name)
                        + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
             self._send(b"T", payload)
@@ -657,6 +713,19 @@ class _Conn:
                 self._send(b"n")
             return
         df = self.xt.sql(sql)
+        from pyspark.sql import DataFrame as _DF
+
+        if m and isinstance(df, _DF):
+            # DML … RETURNING (Sql.g4:788): rows + the DML tag with
+            # the affected count, postgres-style
+            self._row_description(df, result_formats)
+            if describe_only:
+                return
+            n = self._send_rows(df, result_formats)
+            kw2 = m.group(1).upper()
+            tag = f"INSERT 0 {n}" if kw2 == "INSERT" else f"{kw2} {n}"
+            self._send(b"C", self._cstr(tag))
+            return
         if df is None or m:          # DML path: no result relation
             tag = (m.group(1).upper() if m else "OK")
             tag = {"INSERT": "INSERT 0 0"}.get(tag, tag + " 0")

@@ -104,6 +104,43 @@ def _current_view(xt, table: str) -> str:
     return view
 
 
+def split_returning(query: str) -> tuple[str, str | None]:
+    """Strip a trailing top-level `RETURNING <selectList>` (reference
+    Sql.g4:788 DmlReturningStatement). Token-aware: RETURNING inside
+    strings/comments/parens is data."""
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    toks = _tokenize(query)
+    depth, idx = 0, None
+    for i, (k, t) in enumerate(toks):
+        if k == "punct":
+            if t in "([{":
+                depth += 1
+            elif t in ")]}":
+                depth -= 1
+        elif k == "word" and depth == 0 and t.upper() == "RETURNING":
+            idx = i
+    if idx is None:
+        return query, None
+    body = "".join(t for _, t in toks[:idx])
+    sel = "".join(t for _, t in toks[idx + 1:]).strip().rstrip(";").strip()
+    if not sel:
+        raise ValueError("RETURNING requires a select list")
+    return body, sel
+
+
+def _returning(spark, affected, select_list: str | None, st):
+    """Evaluate the RETURNING list over the statement's affected-rows
+    relation (the inserted/updated docs, or the pre-delete rows —
+    both pinned to the statement-time snapshot, so evaluation order
+    vs the append doesn't matter). Without RETURNING, return the tx
+    system time as before."""
+    if select_list is None:
+        return st
+    affected.createOrReplaceTempView("xt_dml_returning")
+    return spark.sql(f"SELECT {select_list} FROM xt_dml_returning")
+
+
 _PATCH_SELECT_RE = re.compile(
     rf"^\s*PATCH\s+INTO\s+(?P<table>[\w.]+){_PORTION_RE}\s*"
     r"(?P<select>SELECT\s+.+)$",
@@ -119,13 +156,15 @@ def execute_dml(xt, query: str):
     from xtdb_spark.sql.constructs import translate
 
     query = translate(query)
+    query, ret = split_returning(query)
 
     m = _INSERT_VALUES_RE.match(query)
     if m:
         cols = [c.strip() for c in m.group("cols").split(",")]
         rel = spark.sql(
             f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
-        return xt.store.put(m.group("table"), rel)
+        st = xt.store.put(m.group("table"), rel)
+        return _returning(spark, rel, ret, st)
 
     m = _PATCH_RE.match(query)
     if m:
@@ -135,9 +174,15 @@ def execute_dml(xt, query: str):
         cols = [c.strip() for c in m.group("cols").split(",")]
         rel = spark.sql(
             f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
-        return xt.store.patch(m.group("table"), rel,
-                              valid_from=m.group("vf"),
-                              valid_to=m.group("vt"))
+        st = xt.store.patch(m.group("table"), rel,
+                            valid_from=m.group("vf"),
+                            valid_to=m.group("vt"))
+        if ret is None:
+            return st
+        # RETURNING after PATCH sees the post-merge current state of
+        # the patched ids (the doc the reader now observes)
+        merged = xt.store.scan(m.group("table"))             .join(rel.select("_id"), "_id", "semi")
+        return _returning(spark, merged, ret, st)
 
     m = _INSERT_SELECT_RE.match(query)
     if m:
@@ -146,7 +191,8 @@ def execute_dml(xt, query: str):
         rel = spark.sql(rewrite(xt, m.group("select")))
         if m.group("cols"):
             rel = rel.toDF(*[c.strip() for c in m.group("cols").split(",")])
-        return xt.store.put(m.group("table"), rel)
+        st = xt.store.put(m.group("table"), rel)
+        return _returning(spark, rel, ret, st)
 
     m = _PATCH_SELECT_RE.match(query)
     if m:
@@ -155,9 +201,13 @@ def execute_dml(xt, query: str):
         from xtdb_spark.sql.rewriter import rewrite
 
         rel = spark.sql(rewrite(xt, m.group("select")))
-        return xt.store.patch(m.group("table"), rel,
-                              valid_from=m.group("vf"),
-                              valid_to=m.group("vt"))
+        st = xt.store.patch(m.group("table"), rel,
+                            valid_from=m.group("vf"),
+                            valid_to=m.group("vt"))
+        if ret is None:
+            return st
+        merged = xt.store.scan(m.group("table"))             .join(rel.select("_id"), "_id", "semi")
+        return _returning(spark, merged, ret, st)
 
     m = _UPDATE_RE.match(query)
     if m:
@@ -176,8 +226,9 @@ def execute_dml(xt, query: str):
                          for c in cur_cols)
         rel = spark.sql(f"SELECT {proj} FROM {view}"
                         + (f" WHERE {where}" if where else ""))
-        return xt.store.put(table, rel, valid_from=m.group("vf"),
-                            valid_to=m.group("vt"))
+        st = xt.store.put(table, rel, valid_from=m.group("vf"),
+                          valid_to=m.group("vt"))
+        return _returning(spark, rel, ret, st)
 
     m = _DELETE_RE.match(query)
     if m:
@@ -185,21 +236,28 @@ def execute_dml(xt, query: str):
         # DELETE at 100 TB must not collect its id set to the driver
         table, where = m.group("table"), m.group("where")
         view = _current_view(xt, table)
-        ids = spark.sql(f"SELECT _id FROM {view}"
-                        + (f" WHERE {where}" if where else ""))
-        return xt.store.delete(table, ids, valid_from=m.group("vf"),
-                               valid_to=m.group("vt"))
+        rows = spark.sql(f"SELECT * FROM {view}"
+                         + (f" WHERE {where}" if where else ""))
+        ids = rows.select("_id")
+        st = xt.store.delete(table, ids, valid_from=m.group("vf"),
+                             valid_to=m.group("vt"))
+        # RETURNING sees the deleted (pre-delete) rows — `rows` is
+        # pinned to the statement-time manifest snapshot
+        return _returning(spark, rows, ret, st)
 
     m = _ERASE_RE.match(query)
     if m:
         table, where = m.group("table"), m.group("where")
         view = _current_view(xt, table)
-        ids = spark.sql(f"SELECT _id FROM {view}"
-                        + (f" WHERE {where}" if where else ""))
-        return xt.store.erase(table, ids)
+        rows = spark.sql(f"SELECT * FROM {view}"
+                         + (f" WHERE {where}" if where else ""))
+        st = xt.store.erase(table, rows.select("_id"))
+        return _returning(spark, rows, ret, st)
 
     m = _ASSERT_RE.match(query)
     if m:
+        if ret is not None:
+            raise ValueError("ASSERT does not take RETURNING")
         from xtdb_spark.sql.rewriter import rewrite
 
         cond = rewrite(xt, m.group("cond"))
