@@ -625,7 +625,10 @@ _REVOKE_RE = re.compile(
 
 
 def rewrite_and_run(xt, query: str, args: list | None = None):
+    from xtdb_spark.functions import sqlfns
     from xtdb_spark.sql import dml
+
+    sqlfns.ensure_registered(xt.spark)
 
     m = _EXPLAIN_RE.match(query)
     if m:
