@@ -308,13 +308,121 @@ class TableStore:
         events.write.mode("append").parquet(self._path(table))
         return events
 
+    @staticmethod
+    def _parse_ts(v, default):
+        if v is None:
+            return default
+        if isinstance(v, str):
+            return datetime.fromisoformat(v)
+        if getattr(v, "tzinfo", None) is not None:
+            return v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
+    def _append_local_fast(self, table: str, rows, op: str,
+                           valid_from, valid_to, st) -> bool:
+        """OLTP fast path: literal-row appends write their event
+        parquet DIRECTLY from the driver with pyarrow — no Spark job
+        (the reference's appends are likewise in-process,
+        LiveIndex.kt; Spark's per-job floor is ~300 ms, this is ~5).
+        Byte-compatible with the Spark write path: same widest-type
+        canonicalization (int64/float64), same typed-id `_iid`
+        hashing (iid_py == _iid_expr), timestamps as
+        TIMESTAMP(MICROS, adjusted-to-UTC) so mixed fast/Spark files
+        schema-merge (test_tx_fastpath asserts the mixed read).
+        Returns False — caller falls back to the Spark path — on
+        anything outside the simple-scalar envelope (nested values,
+        exotic id types, all-None columns, >int64)."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import date as _date
+
+        if not isinstance(rows, list) or not rows \
+                or not all(isinstance(r, dict) for r in rows):
+            return False
+        order: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in order:
+                    order.append(k)
+        if "_id" not in order:
+            raise ValueError("every document needs an `_id`")
+        arrays: dict[str, object] = {}
+        for k in order:
+            vals = [r.get(k) for r in rows]
+            nn = [v for v in vals if v is not None]
+            if not nn:
+                return False     # Spark path keeps its inference error
+            if all(isinstance(v, bool) for v in nn):
+                typ = pa.bool_()
+            elif all(isinstance(v, int) and not isinstance(v, bool)
+                     for v in nn):
+                if any(not (-(1 << 63) <= v < (1 << 63)) for v in nn):
+                    return False
+                typ = pa.int64()
+            elif all(isinstance(v, (int, float))
+                     and not isinstance(v, bool) for v in nn):
+                vals = [float(v) if v is not None else None for v in vals]
+                typ = pa.float64()
+            elif all(isinstance(v, str) for v in nn):
+                typ = pa.string()
+            elif all(isinstance(v, (bytes, bytearray)) for v in nn):
+                vals = [bytes(v) if v is not None else None for v in vals]
+                typ = pa.binary()
+            elif all(isinstance(v, datetime) for v in nn):
+                vals = [self._parse_ts(v, None) for v in vals]
+                typ = pa.timestamp("us", tz="UTC")
+            elif all(isinstance(v, _date) and not isinstance(v, datetime)
+                     for v in nn):
+                typ = pa.date32()
+            else:
+                return False
+            arrays[k] = pa.array(vals, type=typ)
+        try:
+            iids = [self.iid_py(r["_id"]) for r in rows]
+        except ValueError:
+            return False         # exotic id type → Spark hashing
+        n = len(rows)
+        st = self._parse_ts(st, None)
+        vf = self._parse_ts(valid_from, st)
+        vt = self._parse_ts(valid_to, None)
+        ts_t = pa.timestamp("us", tz="UTC")
+        cols = {k: arrays[k] for k in order}
+        cols["_iid"] = pa.array(iids, type=pa.binary())
+        cols["_valid_from"] = pa.array([vf] * n, type=ts_t)
+        cols["_valid_to"] = pa.array([vt] * n, type=ts_t)
+        cols["_system_from"] = pa.array([st] * n, type=ts_t)
+        cols["op"] = pa.array([op] * n, type=pa.string())
+        path = self._path(table)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table(cols),
+            os.path.join(path, f"part-xt-{_uuid.uuid4().hex}.parquet"),
+            compression="snappy")
+        return True
+
     # ---- tx ops (reference tx_ops.clj) ----
 
     def put(self, table, rows, valid_from=None, valid_to=None, system_from=None):
         st = system_from or self._next_system_time()
-        self._append(table, self._events_df(rows, "put", valid_from, valid_to, st))
+        if isinstance(rows, DataFrame) or not self._append_local_fast(
+                table, rows, "put", valid_from, valid_to, st):
+            self._append(table, self._events_df(rows, "put", valid_from,
+                                                valid_to, st))
         self._record_tx(st)
         return st
+
+    @staticmethod
+    def _check_literal_ids(rows) -> None:
+        """Stage-time validation for deferred literal payloads: the
+        `_id` requirement must abort the tx DURING op evaluation
+        (recorded as committed=false), matching the eager
+        DataFrame-build path."""
+        if isinstance(rows, list) and rows \
+                and all(isinstance(r, dict) for r in rows) \
+                and not any("_id" in r for r in rows):
+            raise ValueError("every document needs an `_id`")
 
     @staticmethod
     def _id_rows(ids):
@@ -328,15 +436,21 @@ class TableStore:
 
     def delete(self, table, ids, valid_from=None, valid_to=None, system_from=None):
         st = system_from or self._next_system_time()
-        self._append(table, self._events_df(self._id_rows(ids), "delete",
-                                            valid_from, valid_to, st))
+        id_rows = self._id_rows(ids)
+        if isinstance(id_rows, DataFrame) or not self._append_local_fast(
+                table, id_rows, "delete", valid_from, valid_to, st):
+            self._append(table, self._events_df(id_rows, "delete",
+                                                valid_from, valid_to, st))
         self._record_tx(st)
         return st
 
     def erase(self, table, ids, system_from=None):
         st = system_from or self._next_system_time()
-        self._append(table, self._events_df(self._id_rows(ids), "erase",
-                                            None, None, st))
+        id_rows = self._id_rows(ids)
+        if isinstance(id_rows, DataFrame) or not self._append_local_fast(
+                table, id_rows, "erase", None, None, st):
+            self._append(table, self._events_df(id_rows, "erase",
+                                                None, None, st))
         self._record_tx(st)
         return st
 
@@ -395,14 +509,24 @@ class TableStore:
                             error=f"{type(e).__name__}: {e}"[:500])
             raise
         # materialize against the pre-tx snapshot, then commit.
-        # `snap=False` frames derive from LITERAL driver-side rows
-        # only — they cannot observe the store, so re-evaluating them
-        # after earlier appends of this tx is provably identical and
-        # the checkpoint job (one Spark job per op) is skipped.
-        staged = [(table, ev.localCheckpoint(eager=True) if snap else ev)
+        # `snap=False` stages are LITERAL driver-side rows — they
+        # cannot observe the store, so they defer entirely to commit
+        # and go through the pyarrow fast path (no Spark job; falls
+        # back to the Spark writer outside the simple-scalar
+        # envelope). Store-derived frames checkpoint first so they
+        # pin the pre-tx snapshot.
+        staged = [(table, ev.localCheckpoint(eager=True)
+                   if snap and isinstance(ev, DataFrame) else ev)
                   for table, ev, snap in staged]
         for table, ev in staged:
-            self._append(table, ev)
+            if isinstance(ev, tuple) and ev[0] == "raw":
+                _, rows, opk, vf, vt = ev
+                if not self._append_local_fast(table, rows, opk,
+                                               vf, vt, st):
+                    self._append(table, self._events_df(rows, opk,
+                                                        vf, vt, st))
+            else:
+                self._append(table, ev)
         self._record_tx(st)
         return st
 
@@ -417,16 +541,29 @@ class TableStore:
             vf, vt = kw.get("valid_from"), kw.get("valid_to")
             lit = not isinstance(payload, DataFrame)
             if kind == "put":
-                stage(table, self._events_df(payload, "put", vf, vt, st),
-                      snap=not lit)
+                if lit:
+                    self._check_literal_ids(payload)
+                    stage(table, ("raw", payload, "put", vf, vt),
+                          snap=False)
+                else:
+                    stage(table, self._events_df(payload, "put", vf, vt,
+                                                 st), snap=True)
             elif kind == "delete":
-                stage(table, self._events_df(self._id_rows(payload),
-                                             "delete", vf, vt, st),
-                      snap=not lit)
+                if lit:
+                    stage(table, ("raw", self._id_rows(payload),
+                                  "delete", vf, vt), snap=False)
+                else:
+                    stage(table, self._events_df(self._id_rows(payload),
+                                                 "delete", vf, vt, st),
+                          snap=True)
             elif kind == "erase":
-                stage(table, self._events_df(self._id_rows(payload),
-                                             "erase", None, None, st),
-                      snap=not lit)
+                if lit:
+                    stage(table, ("raw", self._id_rows(payload),
+                                  "erase", None, None), snap=False)
+                else:
+                    stage(table, self._events_df(self._id_rows(payload),
+                                                 "erase", None, None, st),
+                          snap=True)
             elif kind == "patch":
                 if vf is not None or vt is not None:
                     stage(table, self._patch_portion_events(
