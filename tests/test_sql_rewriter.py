@@ -399,3 +399,38 @@ def test_create_table_and_roles(spark, tmp_path):
     assert n == 2
     rewrite_and_run(xt, "REVOKE admin FROM erin")
     assert xt.store.user_roles()["erin"] == ["analyst"]
+
+
+def test_prepare_execute(spark, tmp_path):
+    """PREPARE name AS <stmt> / EXECUTE name (args) (Sql.g4:37-38):
+    session prepared statements with literal args bound to the
+    ?-params in order — queries, temporal params, and DML."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("pe", [{"_id": 1, "v": 10}, {"_id": 2, "v": 20}],
+                 system_from="2024-01-01")
+    rewrite_and_run(xt, "PREPARE get_big AS "
+                        "SELECT _id, v FROM pe WHERE v > ? ORDER BY _id")
+    rows = rewrite_and_run(xt, "EXECUTE get_big (15)").collect()
+    assert [(r["_id"], r["v"]) for r in rows] == [(2, 20)]
+    rows = rewrite_and_run(xt, "EXECUTE get_big (5)").collect()
+    assert len(rows) == 2
+
+    # temporal param through EXECUTE
+    xt.store.put("pe", [{"_id": 1, "v": 99}], system_from="2024-02-01")
+    rewrite_and_run(xt, "PREPARE asof AS "
+                        "SELECT v FROM pe FOR SYSTEM_TIME AS OF ? "
+                        "WHERE _id = 1")
+    rows = rewrite_and_run(xt, "EXECUTE asof ('2024-01-15')").collect()
+    assert [r["v"] for r in rows] == [10]
+
+    # prepared DML executes
+    rewrite_and_run(xt, "PREPARE addrow AS "
+                        "INSERT INTO pe (_id, v) VALUES (9, 90)")
+    rewrite_and_run(xt, "EXECUTE addrow")
+    assert xt.store.scan("pe").filter("_id = 9").count() == 1
+
+    import pytest
+    with pytest.raises(ValueError, match="does not exist"):
+        rewrite_and_run(xt, "EXECUTE nope (1)")

@@ -609,6 +609,17 @@ _DETACH_RE = re.compile(
     r"^\s*DETACH\s+DATABASE\s+(?P<name>\w+|\"(?:[^\"]|\"\")*\")\s*;?\s*$",
     re.IGNORECASE)
 
+# PREPARE name AS <stmt> / EXECUTE name [(args…)] (Sql.g4:37-38,66;
+# reference parse.clj visitExecuteStatement) — session-level prepared
+# statements; EXECUTE args are literal expressions bound to the
+# statement's positional ?-params in order
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 # CREATE [OR ALTER] TABLE t [(c1, c2, …)] (Sql.g4:61 — tables spring
 # into existence on INSERT, so this is catalog metadata) and
 # GRANT/REVOKE role TO/FROM user (Sql.g4:58-59)
@@ -648,6 +659,26 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         from xtdb_spark import xtql_edn
 
         return xtql_edn.run(xt, xm.group("q").replace("''", "'"))
+    pm = _PREPARE_RE.match(query)
+    if pm:
+        if not hasattr(xt, "_prepared"):
+            xt._prepared = {}
+        xt._prepared[pm.group("name").lower()] = pm.group("stmt")
+        return None
+    em = _EXECUTE_RE.match(query)
+    if em and em.group("name").upper() not in ("IMMEDIATE",):
+        name = em.group("name").lower()
+        stmt = getattr(xt, "_prepared", {}).get(name)
+        if stmt is None:
+            raise ValueError(f"prepared statement {name!r} does not exist")
+        arg_src = em.group("args")
+        vals = list(args or [])
+        if arg_src and arg_src.strip():
+            # literal argument expressions evaluate as a one-row
+            # projection (constant-folded — no job)
+            vals = list(xt.spark.sql(f"SELECT {arg_src}").collect()[0]) \
+                + vals
+        return rewrite_and_run(xt, stmt, args=vals)
     am = _ATTACH_RE.match(query)
     if am:
         cfg = am.group("cfg")
