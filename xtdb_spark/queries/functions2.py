@@ -445,3 +445,49 @@ def null_safe_eq(spark, sf_dir):
                     F.array(F.col("b"), F.lit(1).cast("bigint")))
         .alias("list_eq"),
     ).orderBy("o_orderkey"))
+
+
+@register(
+    "fn_sql_surface_battery",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', age(TIMESTAMP '2000-01-01', o_orderdate))
+                AS INTEGER) AS age_y,
+           CAST(date_part('month', age(TIMESTAMP '2000-01-01', o_orderdate))
+                AS INTEGER) AS age_m,
+           CAST(to_timestamp(floor(epoch(o_orderdate) / 86400) * 86400)
+                AT TIME ZONE 'UTC' AS TIMESTAMP) AS bin_from,
+           CASE WHEN o_orderpriority SIMILAR TO '[a-z_][a-z0-9_]*'
+                THEN o_orderpriority
+                ELSE '"' || replace(o_orderpriority, '"', '""') || '"'
+           END AS qid,
+           'ns' AS kw_ns, 'val' AS kw_name
+    FROM orders
+    WHERE o_orderkey < 500 AND o_orderdate < TIMESTAMP '2000-01-01'
+    ORDER BY o_orderkey
+    """,
+)
+def sql_surface_battery(spark, sf_dir):
+    """The SQL-SURFACE spellings of the scalar-function family
+    (functions/sqlfns.py — age/range_bins/quote_ident/namespace/
+    local_name as CREATE TEMPORARY FUNCTION registrations), driven
+    through raw SQL text exactly as a reference user writes them,
+    value-checked against DuckDB reimplementations of the same
+    semantics."""
+    from xtdb_spark.functions import sqlfns
+
+    sqlfns.ensure_registered(spark)
+    ld(spark, sf_dir, "orders").createOrReplaceTempView("xt_sqlsurf_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               age(TIMESTAMP '2000-01-01', o_orderdate).years AS age_y,
+               age(TIMESTAMP '2000-01-01', o_orderdate).months AS age_m,
+               CAST(range_bins(o_orderdate, 86400)._from AS TIMESTAMP)
+                 AS bin_from,
+               quote_ident(o_orderpriority) AS qid,
+               namespace('ns/val') AS kw_ns,
+               local_name('ns/val') AS kw_name
+        FROM xt_sqlsurf_orders
+        WHERE o_orderkey < 500 AND o_orderdate < TIMESTAMP '2000-01-01'
+        ORDER BY o_orderkey
+    """)
