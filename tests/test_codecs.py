@@ -180,3 +180,16 @@ def test_real_decode_through_pipeline(spark):
     for r in resized:
         px = codecs.decode_png(bytes(r["content"]))  # real PNG out
         assert px.shape[:2] == (8, 16)
+
+def test_corrupt_bytes_never_crash_decode_media():
+    """Truncated/garbage containers (zlib/struct/numpy errors) fall
+    through to None instead of crashing the scan (review
+    regression)."""
+    png = encode_png(gradient(8, 8))
+    bmp = encode_bmp(gradient(8, 8))
+    wav = encode_wav(np.zeros(100, dtype=np.int16))
+    for blob in (png[:30], bmp[:20], wav[:14],
+                 png[:200] + b"\x00garbage",
+                 b"BM" + b"\x00" * 12,
+                 b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"):
+        assert decode_media(blob) is None, blob[:12]

@@ -35,7 +35,7 @@ def test_job_calculator_l0_threshold_and_absorb():
                 "hist": False, "size": 10},
                {"name": "l1-p0b-cur-y.parquet", "level": 1, "part": "0b",
                 "hist": False, "size": 10**9}]
-    jobs = compaction_jobs(l0, entries, {}, file_size_target=1000)
+    jobs = compaction_jobs(l0, entries, file_size_target=1000)
     assert len(jobs) == 1
     job = jobs[0]
     assert job["out_level"] == 1 and job["inputs_l0"] == l0
@@ -43,14 +43,14 @@ def test_job_calculator_l0_threshold_and_absorb():
     assert [e["name"] for e in job["inputs_lvl"]] == ["l1-p0a-cur-x.parquet"]
 
     # below threshold: no job
-    assert compaction_jobs(l0[:3], entries, {}, file_size_target=1000) == []
+    assert compaction_jobs(l0[:3], entries, file_size_target=1000) == []
 
 
 def test_job_calculator_tiering():
     entries = [{"name": f"l1-p07-cur-{i}.parquet", "level": 1, "part": "07",
                 "hist": False, "size": 1000}
                for i in range(BRANCH_FACTOR + 2)]
-    jobs = compaction_jobs([], entries, {}, file_size_target=1000)
+    jobs = compaction_jobs([], entries, file_size_target=1000)
     assert len(jobs) == 1
     job = jobs[0]
     assert job["out_level"] == 2 and job["part"] == "07"
@@ -58,7 +58,7 @@ def test_job_calculator_tiering():
     # L1 files under target are NOT tiering-eligible (they keep
     # absorbing L0 merges instead — job_calculator.clj's size filter)
     small = [dict(e, size=10) for e in entries]
-    assert compaction_jobs([], small, {}, file_size_target=1000) == []
+    assert compaction_jobs([], small, file_size_target=1000) == []
 
 
 # --- end-to-end --------------------------------------------------------------

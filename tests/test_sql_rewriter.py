@@ -434,3 +434,37 @@ def test_prepare_execute(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="does not exist"):
         rewrite_and_run(xt, "EXECUTE nope (1)")
+
+
+def test_create_table_typed_columns_and_prepared_dml_over_wire(spark, tmp_path):
+    """Review regressions: CREATE TABLE with TYPED column defs keeps
+    only the names; EXECUTE of a prepared DML over pgwire completes
+    with a tag instead of crashing on the returned tx time."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.sql = __import__("xtdb_spark.session",
+                        fromlist=["XtdbSession"]).XtdbSession.sql.__get__(xt)
+    rewrite_and_run(xt, 'CREATE TABLE typed (_id BIGINT, name TEXT, '
+                        '"odd name" DOUBLE PRECISION)')
+    assert xt.store.declared_columns("typed") == \
+        ["_id", "name", "odd name"]
+    rows = rewrite_and_run(xt, "SELECT _id, name FROM typed").collect()
+    assert rows == []
+
+    from xtdb_spark.pgwire import PgWireServer
+    from tests.test_pgwire import PgClient
+
+    srv = PgWireServer(xt, port=0).start()
+    try:
+        c = PgClient(srv.port)
+        c.startup()
+        c.query("PREPARE addone AS INSERT INTO typed (_id, name) "
+                "VALUES (1, 'x')")
+        _, tags = c.query("EXECUTE addone")
+        assert tags == ["OK 0"]
+        res, _ = c.query("SELECT name FROM typed")
+        assert res[0][1] == [["x"]]
+        c.close()
+    finally:
+        srv.stop()

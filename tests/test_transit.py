@@ -103,3 +103,21 @@ def test_copy_transit_json_over_wire(xt):
         c.close()
     finally:
         srv.stop()
+
+
+def test_cache_order_matches_writer():
+    """Writer cache order: a map's KEY caches before its value, and
+    ^N references never re-enter the cache (review regression: the
+    value expression evaluated first, misaligning every later
+    index)."""
+    # writer order: ^0 = ~:aaaa (key), ^1 = ~#list (tag in value),
+    # ^2 = ~:bbbb; the later ["^1", [2]] must resolve to ~#list
+    line = ('["^ ", "~:aaaa", ["~#list", [1]], '
+            '"~:bbbb", ["^1", [2]], "^0", ["^1", [3]]]')
+    got = loads(line)
+    assert got == {"aaaa": [3], "bbbb": [2]} or \
+        list(got.items()) == [("aaaa", [3]), ("bbbb", [2])]
+    # repeated tag refs keep resolving after many entries
+    line2 = ('[["^ ", "~:key1", ["~#set", [1]]], '
+             '["^ ", "^0", ["^1", [2]]]]')
+    assert loads(line2) == [{"key1": [1]}, {"key1": [2]}]

@@ -95,3 +95,17 @@ def test_fastpath_latency(store):
     per_tx = (time.perf_counter() - t0) / 5
     assert per_tx < 0.25, f"fast path regressed: {per_tx:.3f}s/tx"
     assert store.scan("fl").count() == 6
+
+
+def test_fastpath_partial_missing_id_falls_back(store):
+    """SOME rows missing _id → Spark path (NULL _iid rows), never a
+    KeyError mid-commit (review regression)."""
+    store.put("fm", [{"_id": 1, "x": 1}, {"x": 2}])
+    ev = store.events("fm")
+    assert ev.count() == 2
+    assert ev.filter("_iid IS NULL").count() == 1
+    # and inside submit_tx: earlier ops must not be left half-applied
+    store.submit_tx([("put", "fm2", [{"_id": 1, "x": 1}]),
+                     ("put", "fm3", [{"_id": 1}, {"y": 2}])])
+    assert store.events("fm2").count() == 1
+    assert store.events("fm3").count() == 2

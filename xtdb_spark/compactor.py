@@ -138,7 +138,6 @@ def entry_path(table_path: str, e: dict) -> str:
 
 
 def compaction_jobs(l0: list[str], entries: list[dict],
-                    l0_sizes: dict[str, int],
                     file_size_target: int = FILE_SIZE_TARGET,
                     l0_threshold: int = L0_THRESHOLD) -> list[dict]:
     """Available jobs for one round, as
@@ -313,8 +312,7 @@ def compact(store, table: str, file_size_target: int = FILE_SIZE_TARGET,
     n = 0
     for _ in range(max_rounds):
         l0, entries = live_files(path)
-        sizes = {f: os.path.getsize(f) for f in l0}
-        jobs = compaction_jobs(l0, entries, sizes, file_size_target,
+        jobs = compaction_jobs(l0, entries, file_size_target,
                                l0_threshold)
         if not jobs:
             break

@@ -726,7 +726,9 @@ class _Conn:
             tag = f"INSERT 0 {n}" if kw2 == "INSERT" else f"{kw2} {n}"
             self._send(b"C", self._cstr(tag))
             return
-        if df is None or m:          # DML path: no result relation
+        if df is None or m or not isinstance(df, _DF):
+            # DML (or a statement like EXECUTE-of-DML that returned a
+            # tx time, not a relation): no result rows, just the tag
             tag = (m.group(1).upper() if m else "OK")
             tag = {"INSERT": "INSERT 0 0"}.get(tag, tag + " 0")
             if not describe_only:

@@ -228,7 +228,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 def decode_media(b: bytes):
     """Decode known-format bytes: → ("image", ndarray) |
     ("audio", (sr, ch, samples)) | None when the format is outside
-    the pure-Python subset (caller decides stub vs error)."""
+    the pure-Python subset OR the bytes are corrupt/truncated
+    (zlib/struct/numpy errors included — one bad blob must fall
+    through to the caller's stub-or-error decision, never crash a
+    100 TB scan)."""
     if not b:
         return None
     try:
@@ -238,7 +241,7 @@ def decode_media(b: bytes):
             return ("image", decode_bmp(b))
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return ("audio", decode_wav(b))
-    except UnsupportedMedia:
+    except Exception:
         return None
     return None
 

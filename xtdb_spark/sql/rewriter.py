@@ -691,9 +691,20 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         return None
     cm = _CREATE_TABLE_RE.match(query)
     if cm:
-        cols = cm.group("cols")
-        cols = [c.strip().strip('"') for c in cols.split(",")
-                if c.strip()] if cols is not None else None
+        cols_src = cm.group("cols")
+        cols = None
+        if cols_src is not None:
+            # each entry is `name [TYPE ...]` (Sql.g4:61
+            # columnNameList; types are declarative — the document
+            # model types from data) — keep the NAME only
+            cols = []
+            for c in cols_src.split(","):
+                c = c.strip()
+                if not c:
+                    continue
+                qm = re.match(r'"((?:[^"]|"")*)"', c)
+                cols.append(qm.group(1).replace('""', '"') if qm
+                            else c.split()[0])
         xt.store.create_table(cm.group("name"), cols)
         return None
     gm = _GRANT_RE.match(query)

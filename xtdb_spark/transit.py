@@ -113,14 +113,18 @@ def _decode(v, cache: _Cache, key_pos: bool = False):
             out = {}
             it = iter(v[1:])
             for k in it:
-                out[_decode(k, cache, key_pos=True)] = \
-                    _decode(next(it), cache)
+                # KEY decodes (and caches) BEFORE its value — the
+                # writer emits and caches in that order, so the
+                # reader's cache indices must follow it
+                dk = _decode(k, cache, key_pos=True)
+                out[dk] = _decode(next(it), cache)
             return out
         if len(v) == 2 and isinstance(v[0], str):
-            head = (cache.lookup(v[0][1:])
-                    if v[0].startswith("^") and v[0] != "^ " else v[0])
+            from_ref = v[0].startswith("^") and v[0] != "^ "
+            head = cache.lookup(v[0][1:]) if from_ref else v[0]
             if head.startswith("~#"):
-                cache.maybe_add(head)
+                if not from_ref:     # refs must not re-enter the cache
+                    cache.maybe_add(head)
                 tag = head[2:]
                 if tag == "'":
                     return _decode(v[1], cache)
@@ -138,8 +142,11 @@ def _decode(v, cache: _Cache, key_pos: bool = False):
                 if tag in ("list", "set"):
                     return [_decode(x, cache) for x in val]
                 raise ValueError(f"unsupported transit tag ~#{tag}")
-        return {_decode(k, cache, key_pos=True): _decode(val, cache)
-                for k, val in v.items()}
+        out = {}
+        for k, val in v.items():     # key caches before its value
+            dk = _decode(k, cache, key_pos=True)
+            out[dk] = _decode(val, cache)
+        return out
     return v
 
 

@@ -174,24 +174,28 @@ class TableStore:
         with open(p) as f:
             return _json.load(f)
 
-    def grant_role(self, role: str, user: str) -> None:
+    def _save_roles(self, roles: dict) -> None:
         import json as _json
+        import uuid as _uuid
 
+        p = self._roles_path()
+        tmp = p + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(roles, f)
+        os.replace(tmp, p)       # crash-safe, like _save_databases
+
+    def grant_role(self, role: str, user: str) -> None:
         roles = self.user_roles()
         have = roles.setdefault(user, [])
         if role not in have:
             have.append(role)
-        with open(self._roles_path(), "w") as f:
-            _json.dump(roles, f)
+        self._save_roles(roles)
 
     def revoke_role(self, role: str, user: str) -> None:
-        import json as _json
-
         roles = self.user_roles()
         if role in roles.get(user, []):
             roles[user].remove(role)
-            with open(self._roles_path(), "w") as f:
-                _json.dump(roles, f)
+            self._save_roles(roles)
 
     def _record_tx(self, st: datetime, committed: bool = True,
                    error: str | None = None) -> None:
@@ -348,6 +352,10 @@ class TableStore:
                     order.append(k)
         if "_id" not in order:
             raise ValueError("every document needs an `_id`")
+        if any("_id" not in r for r in rows):
+            # SOME rows missing _id: the Spark path gives those rows
+            # a NULL _iid — fall back rather than KeyError mid-commit
+            return False
         arrays: dict[str, object] = {}
         for k in order:
             vals = [r.get(k) for r in rows]
@@ -762,6 +770,10 @@ class TableStore:
         (ev.repartitionByRange(int(n_files), "_iid")
          .sortWithinPartitions("_iid", "_system_from")
          .write.mode("overwrite").parquet(tmp))
+        # table METADATA survives the data rewrite (declared columns)
+        sj = os.path.join(path, "_schema.json")
+        if os.path.exists(sj):
+            shutil.copy(sj, os.path.join(tmp, "_schema.json"))
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
@@ -1052,7 +1064,9 @@ class TableStore:
         Spark scan is built (`prune_manifest` — the trie-catalog
         walk); `FOR ALL SYSTEM_TIME` needs the full history, so it
         never prunes."""
-        if not self.table_files(table) and os.path.isdir(self._path(table)):
+        path = self._path(table)
+        l0, entries = compactor.live_files(path)
+        if not l0 and not entries and os.path.isdir(path):
             # declared (CREATE TABLE) but never written: empty
             # relation with the declared columns (void-typed — types
             # arrive with the first INSERT, per the document model)
@@ -1080,8 +1094,11 @@ class TableStore:
             # — every event in them is shadowed at every valid point
             # by a later covering event, or already valid-expired
             # (compactor.py recency split; reference
-            # *recency-partition*, compactor.clj)
-            files = self.table_files(table, current_only=True) or None
+            # *recency-partition*, compactor.clj) — reusing the one
+            # listing above, no second glob/manifest read
+            files = sorted(
+                l0 + [compactor.entry_path(path, e)
+                      for e in entries if not e["hist"]]) or None
         ev = self.events(table, files=files)
         return self._resolve(ev, valid_time, system_time,
                              all_valid_time, all_system_time)
