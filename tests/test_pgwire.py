@@ -775,3 +775,25 @@ def test_token_and_transaction_statements(xt, client):
     client.query("SET SESSION CHARACTERISTICS AS TRANSACTION READ ONLY")
     res, _ = client.query("SHOW transaction_read_only")
     assert res[0][1][0][0] == "on"
+
+
+def test_set_role_and_start_transaction(xt, client):
+    """SET ROLE (Sql.g4:46), START TRANSACTION (Sql.g4:41), COMMIT
+    SYNC/ASYNC (Sql.g4:43 — ours is always durable-on-return, the
+    stronger end of the reference's options)."""
+    client.query("SET ROLE analyst")
+    res, _ = client.query("SHOW role")
+    assert res[0][1][0][0] == "analyst"
+    client.query("SET ROLE NONE")
+    res, _ = client.query("SHOW role")
+    assert res[0][1][0][0] == "none"
+
+    # START TRANSACTION … COMMIT SYNC is an atomic block like BEGIN
+    client.query("INSERT INTO st_t (_id, v) VALUES (0, 'z')")
+    client.query("START TRANSACTION")
+    client.query("INSERT INTO st_t (_id, v) VALUES (1, 'a')")
+    res, _ = client.query("SELECT count(*) AS n FROM st_t")
+    assert res[0][1][0][0] == "1"          # not visible pre-commit
+    client.query("COMMIT SYNC")
+    res, _ = client.query("SELECT count(*) AS n FROM st_t")
+    assert res[0][1][0][0] == "2"

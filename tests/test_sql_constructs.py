@@ -254,3 +254,70 @@ def test_xtql_embedded_in_sql(spark, tmp_path):
         xt, "XTQL('(-> (from :items [_id]) (order-by _id) (limit 1))')"
     ).collect()
     assert [r["_id"] for r in rows] == [1]
+
+
+def test_star_exclude_rename_translate():
+    """`* EXCLUDE` / `* RENAME` (Sql.g4:659-665, executed by
+    sql.clj:889-922) → Spark `* EXCEPT` + aliased re-adds."""
+    assert translate("SELECT * EXCLUDE b FROM t") == \
+        "SELECT * EXCEPT (b) FROM t"
+    assert translate("SELECT * EXCLUDE (b, c) FROM t") == \
+        "SELECT * EXCEPT (b, c) FROM t"
+    assert translate("SELECT t.* EXCLUDE a RENAME (b AS bb) FROM t") == \
+        "SELECT t.* EXCEPT (a, b), t.b AS bb FROM t"
+    assert translate("SELECT * RENAME a AS a2 FROM t") == \
+        "SELECT * EXCEPT (a), a AS a2 FROM t"
+    # multiplication by a *quoted* column named exclude is untouched
+    assert translate('SELECT price * "exclude" FROM t') == \
+        'SELECT price * "exclude" FROM t'
+
+
+def test_from_first_translate():
+    """FROM-first query terms (Sql.g4:681 `fromClause queryTail*`)
+    fold tails left-to-right like the reference (sql.clj:2795)."""
+    assert translate("FROM t") == "SELECT * FROM t"
+    assert translate("FROM t WHERE a = 1 SELECT a, b") == \
+        "SELECT a, b FROM t WHERE (a = 1)"
+    # a WHERE tail *after* a projection wraps it (sees the aliases)
+    assert translate("FROM t SELECT a*2 AS a2 WHERE a2 > 1") == \
+        "SELECT * FROM (SELECT a*2 AS a2 FROM t) __xt_ff1 WHERE a2 > 1"
+    # EXTRACT/SUBSTRING-style FROM inside calls is untouched
+    sql = "SELECT EXTRACT(YEAR FROM ts), substring(s FROM 2 FOR 3) FROM t"
+    assert translate(sql) == sql
+    # DML FROM is untouched
+    assert translate("DELETE FROM t WHERE a=1") == "DELETE FROM t WHERE a=1"
+    # WITH MATERIALIZED hint is dropped
+    assert translate("WITH MATERIALIZED x AS (SELECT 1 AS v) "
+                     "SELECT v FROM x") == \
+        "WITH x AS (SELECT 1 AS v) SELECT v FROM x"
+
+
+def test_star_exclude_and_from_first_run(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO ft RECORDS "
+                        "{_id: 1, a: 10, b: 'x'}, {_id: 2, a: 20, b: 'y'}")
+    rows = rewrite_and_run(
+        xt, "SELECT * EXCLUDE (_id, _iid) RENAME (a AS av) FROM ft "
+            "ORDER BY av").collect()
+    assert [set(r.asDict()) for r in rows] == [{"b", "av"}] * 2
+    assert [r["av"] for r in rows] == [10, 20]
+
+    rows = rewrite_and_run(
+        xt, "FROM ft WHERE a > 5 GROUP BY b "
+            "SELECT b, count(*) AS n ORDER BY b").collect()
+    assert [(r["b"], r["n"]) for r in rows] == [("x", 1), ("y", 1)]
+
+    # pipelined tails: project, then filter the projection
+    rows = rewrite_and_run(
+        xt, "FROM ft SELECT a * 2 AS a2 WHERE a2 > 25").collect()
+    assert [r["a2"] for r in rows] == [40]
+
+    # FROM-first inside EXISTS and as a UNION branch
+    rows = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM ft "
+            "WHERE EXISTS (FROM ft x WHERE x.a > 15)").collect()
+    assert rows[0]["n"] == 2
+    rows = rewrite_and_run(
+        xt, "FROM ft SELECT b UNION ALL FROM ft WHERE a > 15 SELECT b "
+            "ORDER BY b").collect()
+    assert [r["b"] for r in rows] == ["x", "y", "y"]

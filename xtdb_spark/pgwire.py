@@ -251,8 +251,8 @@ def _split_statements(sql: str) -> list[str]:
 
 
 _TAG_RE = re.compile(
-    r"^\s*(INSERT|UPDATE|DELETE|ERASE|PATCH|ASSERT|COPY|BEGIN|COMMIT|"
-    r"ROLLBACK|SET|RESET|DISCARD)\b",
+    r"^\s*(INSERT|UPDATE|DELETE|ERASE|PATCH|ASSERT|COPY|BEGIN|START|"
+    r"COMMIT|ROLLBACK|SET|RESET|DISCARD)\b",
     re.IGNORECASE)
 
 # statements accepted as connection-level no-ops (reference pgwire
@@ -564,6 +564,7 @@ class _Conn:
         re.IGNORECASE | re.DOTALL)
 
     _SHOW_VALUES = {
+        "role": "none",
         "server_version": "16.0", "server_encoding": "UTF8",
         "client_encoding": "UTF8", "datestyle": "ISO",
         "timezone": "UTC", "integer_datetimes": "on",
@@ -578,6 +579,18 @@ class _Conn:
         protocol only; the simple protocol is always text)."""
         if not sql.strip():
             self._send(b"I")  # EmptyQueryResponse
+            return
+        m_role = re.match(r"^\s*SET\s+ROLE\s+([A-Za-z_]\w*)\s*;?\s*$",
+                          sql, re.IGNORECASE)
+        if m_role:
+            # SET ROLE name | NONE (Sql.g4:46 SetRoleStatement) —
+            # recorded, reportable via SHOW role, like the reference
+            r = m_role.group(1)
+            if r.upper() == "NONE":
+                self.settings.pop("role", None)
+            else:
+                self.settings["role"] = r
+            self._send(b"C", self._cstr("SET"))
             return
         m_set = self._SET_RE.match(sql)
         if m_set:
@@ -666,7 +679,8 @@ class _Conn:
             self._error("25P02", "current transaction is aborted, "
                         "commands ignored until end of transaction block")
             return
-        if kw == "BEGIN":
+        if kw in ("BEGIN", "START"):
+            # BEGIN [TRANSACTION] | START TRANSACTION (Sql.g4:41)
             if self.tx is None:
                 self.tx, self.tx_failed = [], False
             self._send(b"C", self._cstr("BEGIN"))

@@ -54,3 +54,59 @@ def sql_dialect_battery(spark, sf_dir):
     FROM xt_dialect_events
     """
     return spark.sql(translate(q))
+
+
+@register(
+    "sql_star_exclude_rename",
+    """
+    SELECT n_nationkey, n_name AS nation_name
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def sql_star_exclude_rename(spark, sf_dir):
+    """Select-star modifiers ``* EXCLUDE``/``* RENAME`` (reference
+    Sql.g4:653-665 excludeClause/renameClause, executed by
+    sql.clj:889-922) through the translator: EXCLUDE drops from the
+    star expansion, RENAME re-labels — mapped to Spark's
+    ``* EXCEPT (…)`` plus aliased re-adds; the oracle spells the
+    surviving columns explicitly."""
+    from xtdb_spark.sql.constructs import translate
+
+    ld(spark, sf_dir, "nation").createOrReplaceTempView("xt_ser_nation")
+    q = """
+    SELECT n.* EXCLUDE (n_regionkey) RENAME (n_name AS nation_name)
+    FROM xt_ser_nation n ORDER BY n_nationkey
+    """
+    return spark.sql(translate(q))
+
+
+@register(
+    "sql_from_first_pipeline",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+    ) q WHERE n > 10 ORDER BY o_orderpriority
+    """,
+)
+def sql_from_first_pipeline(spark, sf_dir):
+    """FROM-first query term with pipelined tails (reference
+    Sql.g4:681-693 ``fromClause queryTail*``, folded left-to-right by
+    sql.clj:2795-2809): ``FROM … WHERE … GROUP BY … SELECT …`` then a
+    second WHERE over the projection — our fold keeps pre-projection
+    tails in the same query block (from-aliases stay in scope) and
+    wraps post-projection tails in derived tables."""
+    from xtdb_spark.sql.constructs import translate
+
+    ld(spark, sf_dir, "orders").createOrReplaceTempView("xt_ff_orders")
+    q = """
+    FROM xt_ff_orders o WHERE o.o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    WHERE n > 10
+    ORDER BY o_orderpriority
+    """
+    return spark.sql(translate(q))

@@ -37,8 +37,31 @@ _TRIGGER_RE = re.compile(
     r"[{\[]|\bNEST_ONE\b|\bNEST_MANY\b|\bRECORDS\b"
     r"|\bOBJECT\s*\(|\bRECORD\s*\(|\bPERIOD\s*\(|\bTSTZRANGE\s*\("
     r"|\bOVERLAPS\b|\bEQUALS\b|\bCONTAINS\b|\bPRECEDES\b|\bSUCCEEDS\b"
-    r"|\bLEADS\b|\bLAGS\b",
-    re.IGNORECASE)
+    r"|\bLEADS\b|\bLAGS\b"
+    # select-star modifiers (* EXCLUDE …, * RENAME …) and the
+    # FROM-first query form (`FROM t WHERE … SELECT …`); the \)\s*FROM
+    # alternative over-matches `SELECT f(x) FROM` — harmless, the walk
+    # is identity there, it only costs the token pass
+    r"|\*\s*(?:EXCLUDE|RENAME)\b|\bMATERIALIZED\b"
+    r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
+    r"|\(\s*FROM\b|\)\s*FROM\b"
+    r"|\b(?:UNION|INTERSECT|EXCEPT)\s+(?:ALL\s+|DISTINCT\s+)?FROM\b",
+    re.IGNORECASE | re.DOTALL)
+
+# top-level words that mean the current frame already has a governing
+# statement/select — a later FROM belongs to it, not to a FROM-first
+# query term (Sql.g4:681 `fromClause queryTail*`)
+_FROM_FIRST_SUPPRESS = {
+    "SELECT", "VALUES", "XTQL", "TABLE", "DELETE", "ERASE", "COPY",
+    "INSERT", "UPDATE", "PATCH", "ATTACH", "DETACH", "SHOW", "GRANT",
+    "REVOKE", "CREATE", "PREPARE", "EXECUTE", "ASSERT", "BEGIN",
+    "START", "COMMIT", "ROLLBACK", "RECORDS",
+}
+
+# words that END the from-clause / a query tail at top level
+_FF_STOPS = ("WHERE", "GROUP", "HAVING", "SELECT", "ORDER", "LIMIT",
+             "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT",
+             "WINDOW")
 
 # infix period predicates (reference Sql.g4:227-243 + periods.py
 # semantics — [from, to) with NULL bounds = ±∞)
@@ -162,6 +185,7 @@ class _Translator:
         #                       end an expression? (subscript context)
         self._after_dot = False  # last significant token was a field
         #                          dot (identifier-chain continuation)
+        self._ff_n = 0           # FROM-first derived-table alias counter
 
     # -- plumbing
 
@@ -190,9 +214,10 @@ class _Translator:
     # -- main walk
 
     def run(self) -> str:
-        return self._walk(closers=())
+        return self._walk(closers=(), allow_query=True)
 
-    def _walk(self, closers: tuple, stop_words: tuple = ()) -> str:
+    def _walk(self, closers: tuple, stop_words: tuple = (),
+              allow_query: bool = False) -> str:
         """Translate until (exclusive) a top-level closer punct, a
         top-level stop word, or EOF. Consumes nested () [] {} wholly
         via the construct branches. Tracks the output span of the
@@ -203,6 +228,9 @@ class _Translator:
         operands (`x + y OVERLAPS …`) need explicit parens."""
         parts: list[str] = []
         expr_start: int | None = None
+        suppress = False  # frame already has a governing SELECT/DML —
+        #                   a FROM here is its from-clause, not a
+        #                   FROM-first query term
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind in ("ws", "comment"):
@@ -212,6 +240,14 @@ class _Translator:
                 break
             if kind == "word" and stop_words and text.upper() in stop_words:
                 break
+            if kind == "punct" and text == "*" and \
+                    self._peek(1)[0] == "word" and \
+                    self._peek(1)[1].upper() in ("EXCLUDE", "RENAME"):
+                parts.append(self._star_modifiers(parts))
+                self.postfix = False
+                self._after_dot = False
+                expr_start = None
+                continue
             if kind == "punct" and text == "{":
                 if not self.postfix:
                     expr_start = len(parts)
@@ -232,17 +268,46 @@ class _Translator:
                     self.postfix = True
                 continue
             if kind == "punct" and text == "(":
+                was_call = self.postfix
                 if not self.postfix:  # group start, not a call
                     expr_start = len(parts)
                 parts.append(self._next()[1])
                 self.postfix = False  # fresh expression context
-                parts.append(self._walk(closers=(")",)))
+                # a group/subquery paren may open a FROM-first query
+                # term; a function-call paren never does (EXTRACT/
+                # SUBSTRING/TRIM use FROM *inside* calls)
+                parts.append(self._walk(closers=(")",),
+                                        allow_query=not was_call))
                 if self._peek() == ("punct", ")"):
                     parts.append(self._next()[1])
                 self.postfix = True
                 continue
             if kind == "word":
                 up = text.upper()
+                if up == "FROM" and allow_query and not suppress:
+                    # FROM-first query term (Sql.g4:681-693
+                    # `fromClause queryTail*`) — fold the tails into
+                    # nested derived tables, reference sql.clj:2795
+                    parts.append(self._from_first())
+                    if self.i < len(self.toks):
+                        parts.append(" ")  # tail walks strip the ws
+                        #                    before their stop word
+                    self.postfix = False
+                    expr_start = None
+                    suppress = True
+                    continue
+                if up == "MATERIALIZED" and \
+                        self._peek(1)[0] in ("word", "qident") and \
+                        self._peek(2)[1].upper() in ("AS", "("):
+                    # WITH [MATERIALIZED] cte AS (…) — Spark has no
+                    # materialization hint; drop the keyword
+                    self._next()
+                    self._skip_ws()
+                    continue
+                if up in _FROM_FIRST_SUPPRESS:
+                    suppress = True
+                elif up in ("UNION", "INTERSECT", "EXCEPT"):
+                    suppress = False  # next term may be FROM-first
                 # infix period predicates: `p1 [STRICTLY|IMMEDIATELY]
                 # OVERLAPS/EQUALS/CONTAINS/… p2`
                 mod, base = None, up
@@ -346,6 +411,182 @@ class _Translator:
             self._next()
         return (f"named_struct('_from', CAST({a} AS TIMESTAMP), "
                 f"'_to', CAST({b} AS TIMESTAMP))")
+
+    def _star_modifiers(self, parts: list[str]) -> str:
+        """``[q.]* EXCLUDE a | (a, b) [RENAME a AS b | (a AS b, …)]``
+        (reference Sql.g4:659-665 excludeClause/renameClause, executed
+        by sql.clj:889-922) → Spark ``[q.]* EXCEPT (…)`` with renamed
+        columns re-added as aliased projections.  A RENAME moves the
+        column to the end of the star expansion; the reference keeps
+        it in place — callers that care about position must list
+        columns explicitly (our driver compare is order-insensitive)."""
+        # recover an already-emitted qualifier chain (`t.` / `a.b.`)
+        # by scanning the output buffer backwards: ws* (. ws* ident)+
+        qual = ""
+        if self._after_dot:
+            ident_re = r'[A-Za-z_]\w*|"(?:[^"]|"")*"|`(?:[^`]|``)*`'
+            chain: list[str] = []
+            expect = "."
+            j = len(parts) - 1
+            chain_start = len(parts)
+            while j >= 0:
+                frag = parts[j]
+                if frag.strip() == "":
+                    j -= 1
+                    continue
+                if expect == "." and frag == ".":
+                    chain.append(frag)
+                    expect = "ident"
+                elif expect == "ident" and re.fullmatch(ident_re, frag):
+                    chain.append(frag)
+                    expect = "."
+                else:
+                    break
+                chain_start = j
+                j -= 1
+            if chain and expect == ".":  # ended on an ident — valid
+                del parts[chain_start:]
+                qual = "".join(reversed(chain))
+
+        def _ident_tok() -> str:
+            self._skip_ws()
+            out = [self._next()[1]]
+            while self._peek() == ("punct", ".") :
+                self._skip_ws()
+                out.append(self._next()[1])  # .
+                self._skip_ws()
+                out.append(self._next()[1])  # ident
+            return "".join(out)
+
+        self._next()  # the *
+        excludes: list[str] = []
+        renames: list[tuple[str, str]] = []
+        self._skip_ws()
+        if self._peek()[1].upper() == "EXCLUDE":
+            self._next()
+            self._skip_ws()
+            if self._peek() == ("punct", "("):
+                self._next()
+                while True:
+                    excludes.append(_ident_tok())
+                    self._skip_ws()
+                    if self._peek() == ("punct", ","):
+                        self._next()
+                        continue
+                    break
+                self._skip_ws()
+                if self._peek() == ("punct", ")"):
+                    self._next()
+            else:
+                excludes.append(_ident_tok())
+        if self._peek()[1].upper() == "RENAME":
+            self._skip_ws()
+            self._next()
+
+            def _pair() -> tuple[str, str]:
+                col = _ident_tok()
+                self._skip_ws()
+                if self._peek()[1].upper() == "AS":
+                    self._next()
+                alias = _ident_tok()
+                return col, alias
+
+            self._skip_ws()
+            if self._peek() == ("punct", "("):
+                self._next()
+                while True:
+                    renames.append(_pair())
+                    self._skip_ws()
+                    if self._peek() == ("punct", ","):
+                        self._next()
+                        continue
+                    break
+                self._skip_ws()
+                if self._peek() == ("punct", ")"):
+                    self._next()
+            else:
+                renames.append(_pair())
+        hidden = excludes + [c for c, _ in renames]
+        out = f"{qual}*"
+        if hidden:
+            out += " EXCEPT (" + ", ".join(hidden) + ")"
+        for col, alias in renames:
+            src = col if "." in col else qual + col
+            out += f", {src} AS {alias}"
+        return out
+
+    def _from_first(self) -> str:
+        """``FROM t [tail …]`` query term where tail = ``WHERE p`` |
+        ``[GROUP BY g [HAVING h]] SELECT list`` (Sql.g4:681-693
+        queryTail) — each tail wraps the previous relation, exactly
+        the reference's left fold (sql.clj:2795-2809).  Trailing
+        ORDER BY / LIMIT / set-ops stay in the outer token stream and
+        attach to the folded SELECT we emit."""
+        self._next()  # FROM
+        self.postfix = False
+        from_text = self._walk(closers=(")",), stop_words=_FF_STOPS).strip()
+        # tails BEFORE the first SELECT tail stay in the same query
+        # block (from-clause aliases like `FROM t x WHERE x.a…` must
+        # remain in scope — the reference fold is logical, not a
+        # textual derived table); tails AFTER a projection wrap it
+        conds: list[str] = []
+        rel: str | None = None  # closed subquery once projected
+
+        def _where_suffix() -> str:
+            return (" WHERE " + " AND ".join(f"({c})" for c in conds)
+                    if conds else "")
+
+        while True:
+            k, t = self._peek()
+            up = t.upper() if k == "word" else ""
+            if up == "WHERE":
+                self._next()
+                self.postfix = False
+                cond = self._walk(closers=(")",),
+                                  stop_words=_FF_STOPS).strip()
+                if rel is None:
+                    conds.append(cond)
+                else:
+                    self._ff_n += 1
+                    rel = (f"SELECT * FROM ({rel}) __xt_ff{self._ff_n} "
+                           f"WHERE {cond}")
+            elif up in ("GROUP", "HAVING", "SELECT"):
+                group = having = None
+                if up == "GROUP":
+                    self._next()          # GROUP
+                    self._skip_ws()
+                    self._next()          # BY
+                    self.postfix = False
+                    group = self._walk(closers=(")",),
+                                       stop_words=_FF_STOPS).strip()
+                if self._peek()[1].upper() == "HAVING":
+                    self._next()
+                    self.postfix = False
+                    having = self._walk(closers=(")",),
+                                        stop_words=_FF_STOPS).strip()
+                if self._peek()[1].upper() != "SELECT":
+                    raise ValueError(
+                        "FROM-first GROUP BY/HAVING tail must be "
+                        "followed by SELECT (Sql.g4 queryTail)")
+                self._next()              # SELECT
+                self.postfix = False
+                sel = self._walk(closers=(")",),
+                                 stop_words=_FF_STOPS).strip()
+                if rel is None:
+                    rel = f"SELECT {sel} FROM {from_text}" + _where_suffix()
+                    conds = []
+                else:
+                    self._ff_n += 1
+                    rel = f"SELECT {sel} FROM ({rel}) __xt_ff{self._ff_n}"
+                if group:
+                    rel += f" GROUP BY {group}"
+                if having:
+                    rel += f" HAVING {having}"
+            else:
+                break
+        if rel is None:
+            rel = f"SELECT * FROM {from_text}" + _where_suffix()
+        return rel
 
     def _parse_primary(self) -> str:
         """One primary expression (right operand of an infix period
