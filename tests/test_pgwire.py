@@ -797,3 +797,26 @@ def test_set_role_and_start_transaction(xt, client):
     client.query("COMMIT SYNC")
     res, _ = client.query("SELECT count(*) AS n FROM st_t")
     assert res[0][1][0][0] == "2"
+
+
+def test_copy_in_transit_msgpack_over_wire(xt, client):
+    """COPY … WITH (FORMAT 'transit-msgpack') — the reference's other
+    transit flavor (types.clj:284-294): stream of msgpack-framed
+    transit maps with keyword keys and per-message cache codes."""
+    from tests.test_transit import _mp
+
+    d1 = _mp({"~:_id": 1, "~:product_name": "alpha", "~:qty": 3})
+    d2 = _mp({"~:_id": 2, "~:product_name": "beta", "~:qty": -5})
+    client.send(b"Q", client.cstr(
+        "COPY cp_tmp FROM STDIN WITH (FORMAT 'transit-msgpack')"))
+    t, _ = client.read_msg()
+    assert t == b"G"
+    blob = d1 + d2
+    client.send(b"d", blob[:7])            # arbitrary chunk split
+    client.send(b"d", blob[7:])
+    client.send(b"c", b"")
+    _, tags = client.collect_results()
+    assert tags == ["COPY 2"]
+    res, _ = client.query(
+        "SELECT _id, product_name, qty FROM cp_tmp ORDER BY _id")
+    assert res[0][1] == [["1", "alpha", "3"], ["2", "beta", "-5"]]

@@ -121,3 +121,82 @@ def test_cache_order_matches_writer():
     line2 = ('[["^ ", "~:key1", ["~#set", [1]]], '
              '["^ ", "^0", ["^1", [2]]]]')
     assert loads(line2) == [{"key1": [1]}, {"key1": [2]}]
+
+
+# ---- transit-msgpack (same transit semantics, MessagePack framing)
+
+def _mp(v):
+    """Tiny MessagePack ENCODER for test payloads (the container has
+    no msgpack lib; the module under test only decodes)."""
+    import struct
+
+    if v is None:
+        return b"\xc0"
+    if v is True:
+        return b"\xc3"
+    if v is False:
+        return b"\xc2"
+    if isinstance(v, int):
+        if 0 <= v <= 0x7F:
+            return bytes([v])
+        if -32 <= v < 0:
+            return bytes([v & 0xFF])
+        return b"\xd3" + struct.pack(">q", v)
+    if isinstance(v, float):
+        return b"\xcb" + struct.pack(">d", v)
+    if isinstance(v, bytes):
+        return b"\xc4" + bytes([len(v)]) + v
+    if isinstance(v, str):
+        b = v.encode()
+        if len(b) <= 31:
+            return bytes([0xA0 | len(b)]) + b
+        return b"\xd9" + bytes([len(b)]) + b
+    if isinstance(v, list):
+        n = len(v)
+        head = (bytes([0x90 | n]) if n <= 15
+                else b"\xdc" + struct.pack(">H", n))
+        return head + b"".join(_mp(x) for x in v)
+    if isinstance(v, dict):
+        n = len(v)
+        head = (bytes([0x80 | n]) if n <= 15
+                else b"\xde" + struct.pack(">H", n))
+        return head + b"".join(_mp(k) + _mp(x) for k, x in v.items())
+    raise TypeError(type(v))
+
+
+def test_msgpack_scalars_and_maps():
+    from xtdb_spark.transit import loads_msgpack
+
+    doc = {"~:_id": 1, "~:name": "a", "~:big": "~i9007199254740993",
+           "~:when": "~t2024-01-15T10:30:00.123Z",
+           "~:blob": b"\x00\x01", "~:pi": 3.5, "~:neg": -7,
+           "~:tags": ["x", "y"], "~:addr": {"~:city": "Oslo"}}
+    got = loads_msgpack(_mp(doc))
+    assert got == {"_id": 1, "name": "a", "big": 9007199254740993,
+                   "when": datetime(2024, 1, 15, 10, 30, 0, 123000),
+                   "blob": b"\x00\x01", "pi": 3.5, "neg": -7,
+                   "tags": ["x", "y"], "addr": {"city": "Oslo"}}
+    # map-as-array form with cache refs across keys
+    m = ["^ ", "~:category", "books", "~:subcategory", "^0"]
+    assert loads_msgpack(_mp(m)) == {"category": "books",
+                                     "subcategory": "category"}
+
+
+def test_msgpack_stream_and_per_message_cache():
+    from xtdb_spark.transit import parse_msgpack
+
+    d1 = {"~:product_name": "a", "~:category_code": "c1"}
+    d2 = {"^0": "b", "^1": "c2"}           # refs into doc-1's cache?
+    # NO — cache lifetime is per message; each doc re-spells its keys
+    data = _mp(d1) + _mp(d1)
+    rows = parse_msgpack(data)
+    assert rows == [{"product_name": "a", "category_code": "c1"}] * 2
+    # within ONE message refs work (nested maps share the cache)
+    nested = {"~:product_name": "a",
+              "~:inner": {"^0": "ref-to-product_name"}}
+    rows = parse_msgpack(_mp(nested))
+    assert rows == [{"product_name": "a",
+                     "inner": {"product_name": "ref-to-product_name"}}]
+    # and a stale cross-message ref fails loudly
+    with pytest.raises(ValueError):
+        parse_msgpack(_mp(d1) + _mp(d2))

@@ -788,15 +788,12 @@ class _Conn:
         pure-Python reader, xtdb_spark/transit.py)."""
         fm = self._COPY_FMT_RE.search(opts or "")
         fmt = fm.group(1).lower() if fm else None
-        if fmt == "transit-msgpack":
-            raise ValueError(
-                "COPY format 'transit-msgpack' is not supported; use "
-                "'transit-json', 'json' or 'arrow-stream'/'arrow-file'")
         if fmt not in ("arrow-stream", "arrow-file", "json",
-                       "transit-json"):
+                       "transit-json", "transit-msgpack"):
             raise ValueError(
                 "COPY IN requires a valid format: 'arrow-file', "
-                "'arrow-stream', 'json', 'transit-json'")
+                "'arrow-stream', 'json', 'transit-json', "
+                "'transit-msgpack'")
         table = table.strip('"')
         # CopyInResponse: overall binary format, 0 column formats
         self._send(b"G", struct.pack(">bh", 1, 0))
@@ -833,6 +830,12 @@ class _Conn:
             from xtdb_spark import transit
 
             rows = transit.parse_lines(data)
+        elif fmt == "transit-msgpack":
+            # same transit semantics over MessagePack framing — a
+            # stream of concatenated msgpack maps
+            from xtdb_spark import transit
+
+            rows = transit.parse_msgpack(data)
         else:
             import pyarrow as pa
 

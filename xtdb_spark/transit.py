@@ -168,3 +168,105 @@ def parse_lines(data: bytes) -> list[dict]:
                              f"per line, got {type(doc).__name__}")
         rows.append(doc)
     return rows
+
+
+# ---- transit-msgpack (same transit semantics, MessagePack framing;
+# reference types.clj:284-294 `:transit` + pgwire.clj:1324 COPY
+# formats). Transit's msgpack encoding carries the SAME string-coded
+# tags/caching as transit-json ("~:kw", "^0", ["^ ", …]) — only the
+# container framing differs, so decoding is: msgpack → plain Python
+# structures → the shared `_decode`. Pure-Python decoder for the
+# format subset a transit writer emits (no ext types).
+
+import struct as _struct
+
+
+def _mp_decode(buf: bytes, i: int):
+    """One MessagePack value at offset i → (value, next_offset)."""
+    b = buf[i]
+    i += 1
+    if b <= 0x7F:                      # positive fixint
+        return b, i
+    if 0x80 <= b <= 0x8F:              # fixmap
+        return _mp_map(buf, i, b & 0x0F)
+    if 0x90 <= b <= 0x9F:              # fixarray
+        return _mp_array(buf, i, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:              # fixstr
+        n = b & 0x1F
+        return buf[i:i + n].decode("utf-8"), i + n
+    if b >= 0xE0:                      # negative fixint
+        return b - 0x100, i
+    if b == 0xC0:
+        return None, i
+    if b == 0xC2:
+        return False, i
+    if b == 0xC3:
+        return True, i
+    if b in (0xC4, 0xC5, 0xC6):        # bin 8/16/32
+        w = 1 << (b - 0xC4)
+        n = int.from_bytes(buf[i:i + w], "big")
+        i += w
+        return bytes(buf[i:i + n]), i + n
+    if b == 0xCA:
+        return _struct.unpack_from(">f", buf, i)[0], i + 4
+    if b == 0xCB:
+        return _struct.unpack_from(">d", buf, i)[0], i + 8
+    if 0xCC <= b <= 0xCF:              # uint 8/16/32/64
+        w = 1 << (b - 0xCC)
+        return int.from_bytes(buf[i:i + w], "big"), i + w
+    if 0xD0 <= b <= 0xD3:              # int 8/16/32/64
+        w = 1 << (b - 0xD0)
+        return int.from_bytes(buf[i:i + w], "big", signed=True), i + w
+    if b in (0xD9, 0xDA, 0xDB):        # str 8/16/32
+        w = 1 << (b - 0xD9)
+        n = int.from_bytes(buf[i:i + w], "big")
+        i += w
+        return buf[i:i + n].decode("utf-8"), i + n
+    if b in (0xDC, 0xDD):              # array 16/32
+        w = 2 << (b - 0xDC)
+        n = int.from_bytes(buf[i:i + w], "big")
+        return _mp_array(buf, i + w, n)
+    if b in (0xDE, 0xDF):              # map 16/32
+        w = 2 << (b - 0xDE)
+        n = int.from_bytes(buf[i:i + w], "big")
+        return _mp_map(buf, i + w, n)
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x} "
+                     "(ext types are outside the transit subset)")
+
+
+def _mp_array(buf: bytes, i: int, n: int):
+    out = []
+    for _ in range(n):
+        v, i = _mp_decode(buf, i)
+        out.append(v)
+    return out, i
+
+
+def _mp_map(buf: bytes, i: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, i = _mp_decode(buf, i)
+        v, i = _mp_decode(buf, i)
+        out[k] = v
+    return out, i
+
+
+def loads_msgpack(data: bytes):
+    """One transit-msgpack value (its own cache)."""
+    v, _ = _mp_decode(data, 0)
+    return _decode(v, _Cache())
+
+
+def parse_msgpack(data: bytes) -> list[dict]:
+    """COPY payload: a stream of concatenated transit-msgpack
+    documents; each top-level value is one message (fresh cache,
+    per the spec's cache lifetime)."""
+    rows, i = [], 0
+    while i < len(data):
+        raw, i = _mp_decode(data, i)
+        doc = _decode(raw, _Cache())
+        if not isinstance(doc, dict):
+            raise ValueError("transit-msgpack COPY expects a stream "
+                             f"of maps, got {type(doc).__name__}")
+        rows.append(doc)
+    return rows
