@@ -193,3 +193,239 @@ def test_corrupt_bytes_never_crash_decode_media():
                  b"BM" + b"\x00" * 12,
                  b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"):
         assert decode_media(blob) is None, blob[:12]
+
+
+# ---- GIF --------------------------------------------------------------------
+
+def encode_gif_test(px):
+    """Minimal GIF writer for tests: 256-entry palette, LZW with a
+    clear code before every pixel code (the classic 'uncompressed
+    GIF' trick — valid LZW, no string table growth)."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 3:
+        px = px[:, :, 0]
+    h, w = px.shape
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])          # GCT, 256 entries
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = 8
+    clear, end = 256, 257
+    bits = []
+    for v in px.flatten():
+        bits.append((clear, 9))
+        bits.append((int(v), 9))
+    bits.append((end, 9))
+    acc = nacc = 0
+    data = bytearray()
+    for code, width in bits:
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip():
+    px = gradient(13, 17, 1)[:, :, 0]
+    b = encode_gif_test(px)
+    got = codecs.decode_gif(b)
+    assert got.shape == (13, 17, 3)
+    assert np.array_equal(got[:, :, 0], px)    # grayscale palette
+    assert codecs.decode_media(b)[0] == "image"
+
+
+def test_gif_real_lzw_table_growth():
+    # constant image compresses through genuine table growth (no
+    # clear codes) when re-encoded by the canonical algorithm; here
+    # just assert repeated-pixel decode correctness via the writer
+    px = np.full((9, 9), 77, dtype=np.uint8)
+    got = codecs.decode_gif(encode_gif_test(px))
+    assert np.array_equal(got[:, :, 1], px)
+
+
+# ---- JPEG -------------------------------------------------------------------
+
+# standard luminance tables (JPEG Annex K) — used by the test ENCODER
+_STD_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32)
+_DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_VALS = bytes(range(12))
+_AC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_codes(bits_counts, symbols):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            codes[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, ln):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)      # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)                     # pad with 1s
+
+
+def encode_jpeg_gray_test(px):
+    """Minimal baseline GRAYSCALE JPEG encoder (quality = Annex K
+    tables) for round-trip testing the decoder."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    C = codecs._idct_matrix()                  # orthonormal DCT basis
+    zz = codecs._ZIGZAG
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.zeros((ph, pw), dtype=np.float32)
+    padded[:h, :w] = px
+    padded[h:, :w] = padded[h - 1:h, :w]
+    padded[:, w:] = padded[:, w - 1:w]
+
+    def cat_bits(v):
+        if v == 0:
+            return 0, 0
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1), t
+
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            blk = padded[y0:y0 + 8, x0:x0 + 8] - 128.0
+            coeffs = C @ blk @ C.T             # forward DCT
+            q = np.rint(coeffs.flatten()[zz] / _STD_Q).astype(int)
+            diff = int(q[0]) - pred
+            pred = int(q[0])
+            v, t = cat_bits(diff)
+            bw.put(*dc_codes[t])
+            if t:
+                bw.put(v, t)
+            run = 0
+            for k in range(1, 64):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])
+                    run -= 16
+                v, t = cat_bits(int(q[k]))
+                bw.put(*ac_codes[(run << 4) | t])
+                bw.put(v, t)
+                run = 0
+            if run:
+                bw.put(*ac_codes[0x00])        # EOB
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(x) for x in _STD_Q))
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w)
+              + b"\x01" + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS) \
+        + seg(0xC4, b"\x10" + _AC_BITS + _AC_VALS)
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos
+            + bytes(bw.out) + b"\xff\xd9")
+
+
+def test_jpeg_roundtrip_grayscale():
+    px = gradient(24, 31, 1)[:, :, 0]
+    b = encode_jpeg_gray_test(px)
+    got = codecs.decode_jpeg(b)
+    assert got.shape == (24, 31, 1)
+    err = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    # lossy codec: Annex-K quantization on a smooth gradient stays
+    # within a few levels
+    assert float(err.mean()) < 4.0 and int(err.max()) <= 32
+    assert codecs.decode_media(b)[0] == "image"
+
+
+def test_jpeg_flat_blocks_exact_dc():
+    # a flat image is pure DC — quantized DC of a constant 128-shift
+    px = np.full((16, 16), 200, dtype=np.uint8)
+    got = codecs.decode_jpeg(encode_jpeg_gray_test(px))
+    err = np.abs(got[:, :, 0].astype(int) - 200)
+    assert int(err.max()) <= 8
+    # progressive marker raises (outside baseline subset)
+    bad = encode_jpeg_gray_test(px).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(UnsupportedMedia):
+        codecs.decode_jpeg(bad)
+    # and decode_media falls through to None, never crashes
+    assert codecs.decode_media(bad) is None
+
+
+_SPARK_JPG = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+              "kittens/DP802813.jpg")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_SPARK_JPG),
+                    reason="sample image not present")
+def test_jpeg_real_world_color_420():
+    """A real camera JPEG (4:2:0 chroma, restart-marker-free) from the
+    Spark distribution decodes to its sniffed geometry with plausible
+    photo statistics."""
+    from xtdb_spark.pipeline.multimodal import sniff_bytes
+
+    b = open(_SPARK_JPG, "rb").read()
+    fmt, w, h, _, _ = sniff_bytes(b)
+    assert fmt == "jpeg"
+    px = codecs.decode_jpeg(b)
+    assert px.shape == (h, w, 3)
+    assert 30 < float(px.mean()) < 240      # not black/blank output
+    assert float(px.std()) > 10             # real image variance

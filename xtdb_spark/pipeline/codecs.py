@@ -1,6 +1,7 @@
-"""Pure-Python (stdlib + numpy) media codecs for the formats the
-sniffer already identifies — PNG, BMP, WAV — so the multimodal
-pipeline decodes REAL bytes without external image/audio libraries.
+"""Pure-Python (stdlib + numpy) media codecs for every format the
+sniffer identifies — PNG, BMP, GIF, baseline JPEG, WAV — so the
+multimodal pipeline decodes REAL bytes without external image/audio
+libraries.
 
 Scope (documented, loud on anything else):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -8,10 +9,15 @@ Scope (documented, loud on anything else):
   (None/Sub/Up/Average/Paeth). zlib is stdlib; CRCs verified.
 - BMP: BITMAPINFOHEADER, uncompressed 24/32-bit, bottom-up or
   top-down.
+- GIF: 87a/89a first frame — full LZW decode, local/global palettes,
+  interlace.
+- JPEG: baseline sequential (SOF0/1, 8-bit Huffman) — entropy
+  decode, numpy IDCT, chroma upsample, YCbCr→RGB, restart markers.
+  Progressive (SOF2) and arithmetic coding raise UnsupportedMedia.
 - WAV: PCM 8/16-bit, any channel count.
-JPEG/GIF/video stay behind the `fake_decode` gate in multimodal.py —
-entropy decoding needs a codec library and pretending otherwise
-would be worse than the documented stub.
+Video frame extraction stays behind the `fake_decode` gate in
+multimodal.py — container demux + inter-frame codecs genuinely need
+a media library.
 
 Decoded images are (height, width, channels) uint8 numpy arrays —
 the shape every downstream featurizer/resizer expects.
@@ -239,6 +245,10 @@ def decode_media(b: bytes):
             return ("image", decode_png(b))
         if b[:2] == b"BM":
             return ("image", decode_bmp(b))
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return ("image", decode_gif(b))
+        if b[:2] == b"\xff\xd8":
+            return ("image", decode_jpeg(b))
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return ("audio", decode_wav(b))
     except Exception:
@@ -253,3 +263,351 @@ def resize_nearest(px: np.ndarray, tw: int, th: int) -> np.ndarray:
     ys = (np.arange(th) * h // th).clip(0, h - 1)
     xs = (np.arange(tw) * w // tw).clip(0, w - 1)
     return px[ys][:, xs]
+
+
+# --- GIF ---------------------------------------------------------------------
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> bytearray:
+    """GIF-flavor LZW decode → palette indices (one byte each)."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedMedia("GIF LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= npix:
+                return out
+    return out
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (h, w, 3) uint8. Full LZW
+    decode, local/global palettes, interlace; animation frames beyond
+    the first are ignored (frame sampling is the video path)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMedia("not a GIF")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                            offset=i).reshape(-1, 3)
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:                       # extension: skip
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:                     # image descriptor
+            _, _, w, h = struct.unpack("<HHHH", b[i + 1:i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                                    offset=i).reshape(-1, 3)
+                i += 3 * n
+            if pal is None:
+                raise UnsupportedMedia("GIF frame without a palette")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                data += b[i + 1:i + 1 + b[i]]
+                i += 1 + b[i]
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise UnsupportedMedia("GIF pixel data truncated")
+            grid = np.frombuffer(bytes(idx[:w * h]),
+                                 dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:                # interlaced row order
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                un = np.empty_like(grid)
+                un[order] = grid[:len(order)]
+                grid = un
+            return pal[np.minimum(grid, len(pal) - 1)]
+        elif blk == 0x3B:                     # trailer
+            break
+        else:
+            raise UnsupportedMedia(f"GIF block 0x{blk:02x}")
+    raise UnsupportedMedia("GIF has no image descriptor")
+
+
+# --- JPEG (baseline) ---------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_IDCT_C = None
+
+
+def _idct_matrix() -> np.ndarray:
+    global _IDCT_C
+    if _IDCT_C is None:
+        x, u = np.meshgrid(np.arange(8), np.arange(8))
+        c = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+        c[0] /= np.sqrt(2)
+        _IDCT_C = c
+    return _IDCT_C
+
+
+class _BitReader:
+    """JPEG entropy-coded segment reader: byte-stuffing (FF 00) is
+    removed, restart markers terminate the current interval."""
+
+    def __init__(self, b: bytes, i: int):
+        self.b = b
+        self.i = i
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            byte = 0                           # zero-pad at EOS/marker
+            if self.i < len(self.b):
+                nb = self.b[self.i]
+                if nb == 0xFF:
+                    nxt = (self.b[self.i + 1]
+                           if self.i + 1 < len(self.b) else 0)
+                    if nxt == 0x00:            # stuffed FF
+                        self.i += 2
+                        byte = 0xFF
+                    # else: at RSTn/EOI — stay put, feed zero bits
+                else:
+                    self.i += 1
+                    byte = nb
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFFFF
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self):
+        """Align to the next RSTn marker and resume after it."""
+        self.acc = 0
+        self.n = 0
+        while self.i + 1 < len(self.b):
+            if self.b[self.i] == 0xFF and 0xD0 <= self.b[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+
+
+def _huff_table(bits_counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMedia("JPEG huffman decode failed")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0, 8-bit, Huffman) → (h, w, 3)
+    uint8 (or (h, w, 1) for grayscale scans): full entropy decode,
+    dequantize, numpy IDCT, nearest-neighbor chroma upsample,
+    YCbCr→RGB. Progressive (SOF2) and arithmetic coding raise
+    UnsupportedMedia — out of the pure-Python subset."""
+    if b[:2] != b"\xff\xd8":
+        raise UnsupportedMedia("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    dri = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xDB:                     # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg, dtype=np.uint8,
+                                        count=64, offset=j).astype(np.int32)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg, dtype=">u2",
+                                        count=64, offset=j).astype(np.int32)
+                    j += 128
+                qt[tid] = tbl
+        elif marker == 0xC4:                   # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                counts = seg[j + 1:j + 17]
+                n = sum(counts)
+                syms = seg[j + 17:j + 17 + n]
+                (huff_dc if cls == 0 else huff_ac)[tid] = \
+                    _huff_table(counts, syms)
+                j += 17 + n
+        elif marker == 0xDD:                   # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):           # SOF0/1 baseline
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia(
+                "JPEG progressive/extended coding outside the "
+                "baseline pure-Python subset")
+        elif marker == 0xDA:                   # SOS — entropy data
+            if frame is None:
+                raise UnsupportedMedia("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan_sel[cs] = (tt >> 4, tt & 0x0F)
+            return _jpeg_scan(b, i + 2 + seglen, frame, scan_sel,
+                              qt, huff_dc, huff_ac, dri)
+        i += 2 + seglen
+    raise UnsupportedMedia("JPEG has no scan data")
+
+
+def _jpeg_scan(b, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    C = _idct_matrix()
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               dtype=np.float32))
+    r = _BitReader(b, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                r.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan_sel[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _huff_decode(r, huff_dc[dc_t])
+                        diff = _extend(r.bits(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, huff_ac[ac_t])
+                            rr, ss = rs >> 4, rs & 0x0F
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break          # EOB
+                            k += rr
+                            if k > 63:
+                                break
+                            zz[k] = _extend(r.bits(ss), ss)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float32)
+                        blk[_ZIGZAG] = (zz * q).astype(np.float32)
+                        sp = C.T @ blk.reshape(8, 8) @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = sp
+            mcu_count += 1
+    # upsample to full geometry (nearest) and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
