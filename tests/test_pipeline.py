@@ -364,3 +364,30 @@ def test_pq_encode_and_adc(spark):
     # vec 1 reconstructs to (0,0),(5,5) → d2=0; vec 2 → (10,10),(-5,-5)
     assert [(r["nn_id"], r["approx_d2"]) for r in top] == \
         [(1, 0.0), (2, 400.0)]
+
+
+def test_duplicate_spans_semantics(spark):
+    """Substring dedup: shared passages across docs are found, merged
+    into maximal spans, and counted once per token; unique text in
+    the same docs is not flagged."""
+    from xtdb_spark.pipeline.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(20))        # 20 tokens
+    docs = spark.createDataFrame(
+        [(1, shared + " unique one two three four five six"),
+         (2, "prefix tokens here then " + shared),
+         (3, " ".join(f"u{i}" for i in range(30))),      # all unique
+         # internal repetition: the same 12-gram twice in one doc
+         (4, " ".join(f"r{i % 12}" for i in range(24)))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in duplicate_spans(docs, w=12).collect()}
+    assert set(got) == {1, 2, 4}
+    # doc1: the shared 20-token prefix = 9 overlapping shingles → ONE
+    # merged span covering exactly the 20 shared tokens
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["covered_tokens"] == 20
+    assert got[1]["n_dup_shingles"] == 9
+    assert got[2]["covered_tokens"] == 20
+    # doc4: r0..r11 r0..r11 — every window is a rotation that repeats
+    assert got[4]["dup_ratio"] == 1.0

@@ -276,3 +276,63 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         if violations == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_spans(docs: DataFrame, w: int = 12) -> DataFrame:
+    """Substring-level exact dedup: find duplicated w-token SPANS
+    across (and within) the corpus — the scalable shingle form of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): every w-token window
+    is fingerprinted; a window whose fingerprint occurs more than
+    once anywhere in the corpus is a duplicated span.  Overlapping
+    duplicated windows are merged per document (gaps-and-islands) so
+    `covered_tokens` counts each token once.
+
+    → (doc_id, n_dup_shingles, n_dup_spans, covered_tokens,
+       n_tokens, dup_ratio) for documents containing at least one
+    duplicated span.
+
+    Scale shape: the shingle explode is the standard ~n_tokens×
+    row expansion (JVM-side `transform`+`posexplode`, no Python);
+    duplicate marking is ONE hash shuffle via a count window over the
+    fingerprint (no groupBy+self-join, so the explode is not
+    recomputed); the interval merge is one doc_id shuffle.  md5 keeps
+    the fingerprint oracle-comparable engine-to-engine — at 100 TB
+    swap it for xxhash64 (8-byte shuffle keys, same plan)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+    sized = (docs.select("doc_id", toks.alias("toks"))
+             .withColumn("n_tokens", F.size("toks"))
+             .filter(F.col("n_tokens") >= w))
+    sh = sized.select(
+        "doc_id", "n_tokens",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, n_tokens - {w}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w}))))"
+        )).alias("p", "h"))
+    marks = (sh.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+             .filter(F.col("c") > 1)
+             .drop("c", "h"))
+    prev = (Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    run = (Window.partitionBy("doc_id").orderBy("p")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (marks
+               .withColumn("new_isl",
+                           F.when(F.col("p") > F.coalesce(
+                               F.max(F.col("p") + w).over(prev),
+                               F.lit(-1)), 1).otherwise(0))
+               .withColumn("isl_id", F.sum("new_isl").over(run))
+               .groupBy("doc_id", "n_tokens", "isl_id")
+               .agg((F.max(F.col("p") + w) - F.min("p")).alias("cov"),
+                    F.count("*").alias("nsh")))
+    return (islands.groupBy("doc_id", "n_tokens")
+            .agg(F.sum("nsh").alias("n_dup_shingles"),
+                 F.count("*").alias("n_dup_spans"),
+                 F.sum("cov").alias("covered_tokens"))
+            .select("doc_id", "n_dup_shingles", "n_dup_spans",
+                    "covered_tokens", "n_tokens",
+                    F.round(F.col("covered_tokens")
+                            / F.col("n_tokens"), 4).alias("dup_ratio")))

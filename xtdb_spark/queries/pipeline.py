@@ -930,3 +930,55 @@ def dedup_keep_best(spark, sf_dir):
             .withColumn("rn", F.row_number().over(wr))
             .filter(F.col("rn") == 1)
             .select("fp", F.col("doc_id").alias("keep_id"), "n_dups"))
+
+
+@register(
+    "pipe_dedup_substring",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base
+              WHERE len(toks) >= 12),
+    pos AS (SELECT doc_id, n_tokens, toks,
+                   unnest(range(0, n_tokens - 11)) AS p
+            FROM sized),
+    sh AS (SELECT doc_id, n_tokens, p,
+                  md5(array_to_string(list_slice(toks, p + 1, p + 12),
+                                      ' ')) AS h
+           FROM pos),
+    marked AS (SELECT doc_id, n_tokens, p,
+                      COUNT(*) OVER (PARTITION BY h) AS c
+               FROM sh),
+    marks AS (SELECT doc_id, n_tokens, p FROM marked WHERE c > 1),
+    isl AS (SELECT doc_id, n_tokens, p,
+                   CASE WHEN p > COALESCE(MAX(p + 12) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM marks),
+    isl2 AS (SELECT doc_id, n_tokens, p,
+                    SUM(new_isl) OVER (PARTITION BY doc_id
+                                       ORDER BY p) AS isl_id
+             FROM isl),
+    spans AS (SELECT doc_id, n_tokens, isl_id,
+                     MAX(p + 12) - MIN(p) AS cov, COUNT(*) AS nsh
+              FROM isl2 GROUP BY doc_id, n_tokens, isl_id)
+    SELECT doc_id,
+           CAST(SUM(nsh) AS BIGINT) AS n_dup_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(cov) AS BIGINT) AS covered_tokens,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(SUM(cov) * 1.0 / n_tokens, 4) AS dup_ratio
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Substring-level exact dedup (duplicated w-token spans, merged
+    intervals per doc) — pipeline/dedup.py duplicate_spans; the
+    scalable shingle form of Lee et al. 2022's suffix-array method."""
+    d = ld(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, w=12)
