@@ -429,3 +429,26 @@ def test_jpeg_real_world_color_420():
     assert px.shape == (h, w, 3)
     assert 30 < float(px.mean()) < 240      # not black/blank output
     assert float(px.std()) > 10             # real image variance
+
+
+_SPARK_GRAY = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+               "multi-channel/grayscale.jpg")
+_SPARK_COLOR = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+                "multi-channel/chr30.4.184.jpg")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_SPARK_GRAY),
+                    reason="sample images not present")
+def test_jpeg_progressive_cross_validates_baseline():
+    """The Spark distribution ships the SAME scene as a baseline
+    color JPEG and a progressive grayscale JPEG — decoding both and
+    correlating luminance cross-validates the two entropy decoders
+    against each other (no reference codec in the container)."""
+    col = codecs.decode_jpeg(open(_SPARK_COLOR, "rb").read())
+    gry = codecs.decode_jpeg(open(_SPARK_GRAY, "rb").read())
+    assert gry.shape == (215, 300, 1)
+    y = 0.299 * col[:, :, 0] + 0.587 * col[:, :, 1] + 0.114 * col[:, :, 2]
+    g = gry[:, :, 0].astype(float)
+    corr = np.corrcoef(y.flatten(), g.flatten())[0, 1]
+    assert corr > 0.99
+    assert float(np.abs(y - g).mean()) < 8.0

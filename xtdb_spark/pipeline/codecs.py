@@ -11,9 +11,10 @@ Scope (documented, loud on anything else):
   top-down.
 - GIF: 87a/89a first frame — full LZW decode, local/global palettes,
   interlace.
-- JPEG: baseline sequential (SOF0/1, 8-bit Huffman) — entropy
+- JPEG: baseline sequential (SOF0/1) AND progressive (SOF2,
+  spectral selection + successive approximation) — Huffman entropy
   decode, numpy IDCT, chroma upsample, YCbCr→RGB, restart markers.
-  Progressive (SOF2) and arithmetic coding raise UnsupportedMedia.
+  Lossless/arithmetic/hierarchical coding raise UnsupportedMedia.
 - WAV: PCM 8/16-bit, any channel count.
 Video frame extraction stays behind the `fake_decode` gate in
 multimodal.py — container demux + inter-frame codecs genuinely need
@@ -526,11 +527,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:                   # SOF2 progressive
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMedia(
-                "JPEG progressive/extended coding outside the "
-                "baseline pure-Python subset")
+                "JPEG lossless/arithmetic/hierarchical coding outside "
+                "the pure-Python subset")
         elif marker == 0xDA:                   # SOS — entropy data
             if frame is None:
                 raise UnsupportedMedia("JPEG SOS before SOF")
@@ -606,6 +609,290 @@ def _jpeg_scan(b, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return g[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# --- JPEG (progressive) ------------------------------------------------------
+
+def _next_marker(b: bytes, i: int) -> int:
+    """Scan past entropy-coded data to the next real marker (skipping
+    stuffed FF00 and RSTn)."""
+    while i + 1 < len(b):
+        if b[i] == 0xFF and b[i + 1] != 0x00 and \
+                not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(b)
+
+
+def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2): multi-scan spectral-selection +
+    successive-approximation decode into per-component coefficient
+    grids, then dequantize + IDCT once at the end.  The AC refinement
+    pass follows the standard correction-bit algorithm (ITU T.81
+    G.1.2.3)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    dri = 0
+    coeffs: list[np.ndarray] = []
+    geom: list[tuple] = []                    # per comp: bx, by padded
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:                     # EOI
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    qt[tid] = np.frombuffer(seg, dtype=np.uint8, count=64,
+                                            offset=j).astype(np.int32)
+                    j += 64
+                else:
+                    qt[tid] = np.frombuffer(seg, dtype=">u2", count=64,
+                                            offset=j).astype(np.int32)
+                    j += 128
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                counts = seg[j + 1:j + 17]
+                n = sum(counts)
+                (huff_dc if cls == 0 else huff_ac)[tid] = \
+                    _huff_table(counts, seg[j + 17:j + 17 + n])
+                j += 17 + n
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC2:
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (w, h, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                bx, by = mcux * c["h"], mcuy * c["v"]
+                coeffs.append(np.zeros((by, bx, 64), dtype=np.int32))
+                # true (unpadded) block grid for non-interleaved scans
+                cw = (w * c["h"] + hmax - 1) // hmax
+                chh = (h * c["v"] + vmax - 1) // vmax
+                geom.append(((cw + 7) // 8, (chh + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia("unexpected SOF in progressive path")
+        elif marker == 0xDA:
+            if frame is None:
+                raise UnsupportedMedia("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                ci = next(k for k, cc in enumerate(frame[2])
+                          if cc["id"] == cs)
+                scomps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = i + 2 + seglen
+            end = _prog_scan(b, pos, frame, scomps, ss, se, ah, al,
+                             huff_dc, huff_ac, dri, coeffs, geom)
+            i = end
+            continue
+        i += 2 + seglen
+    if frame is None:
+        raise UnsupportedMedia("progressive JPEG missing SOF2")
+    return _jpeg_assemble(frame, coeffs, qt)
+
+
+def _prog_scan(b, pos, frame, scomps, ss, se, ah, al,
+               huff_dc, huff_ac, dri, coeffs, geom):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(b, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    def maybe_restart(unit_idx):
+        if dri and unit_idx and unit_idx % dri == 0:
+            r.restart()
+            state["eobrun"] = 0
+            state["pred"] = [0] * len(comps)
+
+    if ss == 0:                                # DC scan (interleaved)
+        if se != 0:
+            raise UnsupportedMedia(
+                "progressive DC scan must have Se=0 (T.81 G.1.1.1.1 "
+                "— a full-spectrum scan under SOF2 is malformed)")
+        dc_tabs = {ci: huff_dc.get(td) for ci, td, _ in scomps}
+        unit = 0
+        if len(scomps) > 1:
+            order = [(ci, by, bx)
+                     for ci, _, _ in scomps
+                     for by in range(comps[ci]["v"])
+                     for bx in range(comps[ci]["h"])]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for ci, by, bx in order:
+                        c = comps[ci]
+                        blk = coeffs[ci][my * c["v"] + by,
+                                         mx * c["h"] + bx]
+                        _dc_unit(r, dc_tabs[ci], blk, ci, ah, al, state)
+                    unit += 1
+        else:
+            ci = scomps[0][0]
+            cw, chh = geom[ci]
+            for by in range(chh):
+                for bx in range(cw):
+                    maybe_restart(unit)
+                    _dc_unit(r, dc_tabs[ci], coeffs[ci][by, bx],
+                             ci, ah, al, state)
+                    unit += 1
+    else:                                      # AC scan: single comp
+        ci, _, ta = scomps[0]
+        tab = huff_ac[ta]
+        cw, chh = geom[ci]
+        unit = 0
+        for by in range(chh):
+            for bx in range(cw):
+                maybe_restart(unit)
+                blk = coeffs[ci][by, bx]
+                if ah == 0:
+                    _ac_first(r, tab, blk, ss, se, al, state)
+                else:
+                    _ac_refine(r, tab, blk, ss, se, al, state)
+                unit += 1
+    return _next_marker(b, r.i)
+
+
+def _dc_unit(r, tab, blk, ci, ah, al, state):
+    if ah == 0:
+        t = _huff_decode(r, tab)
+        diff = _extend(r.bits(t), t)
+        state["pred"][ci] += diff
+        blk[0] = state["pred"][ci] << al
+    else:
+        if r.bits(1):
+            blk[0] |= (1 << al)
+
+
+def _ac_first(r, tab, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr < 15:
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.bits(rr)
+                break
+            k += 16
+            continue
+        k += rr
+        if k > se:
+            break
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(r, tab, blk, ss, se, al, state):
+    """ITU T.81 G.1.2.3 AC successive-approximation refinement."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(r, tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr < 15:
+                    state["eobrun"] = (1 << rr)
+                    if rr:
+                        state["eobrun"] += r.bits(rr)
+                    break
+                # rr == 15: skip over 16 zero-history coefficients
+                val = 0
+            else:
+                val = p1 if r.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if rr == 0:
+                        if s != 0:
+                            blk[k] = val
+                        k += 1
+                        break
+                    rr -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.bits(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _jpeg_assemble(frame, coeffs, qt):
+    """Dequantize + IDCT the coefficient grids, upsample, color
+    convert — shared tail of the progressive path."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    C = _idct_matrix()
+    full = []
+    for ci, c in enumerate(comps):
+        grid = coeffs[ci]
+        by, bx, _ = grid.shape
+        q = qt[c["tq"]]
+        # vectorized: dequantize all blocks, de-zigzag, batch IDCT
+        deq = (grid.reshape(-1, 64) * q).astype(np.float32)
+        nat = np.zeros_like(deq)
+        nat[:, _ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
+        plane = (spatial.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        plane = plane[:chh, :cw]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,

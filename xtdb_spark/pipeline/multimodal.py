@@ -8,14 +8,14 @@ is real and tested. Two tiers of "decode":
   PNG/JPEG/GIF/BMP/WAV container headers are plain byte layouts, so
   format, dimensions, sample rate, and channel count come from
   actual parsing with no codec library.
-- **Pixel/sample decode is REAL for PNG / BMP / GIF / baseline JPEG
-  / WAV** via the pure-Python codecs in `pipeline/codecs.py` (zlib +
-  struct + numpy — scanline unfilter, LZW, Huffman entropy decode +
-  IDCT, PCM frames): features and resize operate on actual
-  pixels/samples for every format the sniffer identifies.
-  Progressive JPEG and video stay behind the `fake_decode` gate
-  (successive-approximation scans and container demux are the
-  documented subset boundary; the deterministic fake keeps the
+- **Pixel/sample decode is REAL for PNG / BMP / GIF / JPEG
+  (baseline AND progressive) / WAV** via the pure-Python codecs in
+  `pipeline/codecs.py` (zlib + struct + numpy — scanline unfilter,
+  LZW, Huffman entropy decode + IDCT, PCM frames): features and
+  resize operate on actual pixels/samples for every format the
+  sniffer identifies.  Only video stays behind the `fake_decode`
+  gate (container demux + inter-frame codecs genuinely need a media
+  library; the deterministic fake keeps the
   pipeline shape exercisable, and accidental production use raises).
   The mapInPandas contract (arrow-batched bytes in → struct rows
   out) is identical either way.
@@ -51,7 +51,7 @@ def _decode_image_bytes(content: bytes, fake_decode: bool = False) -> list[float
     images yield [width, height, mean_pixel, channels], audio yields
     [n_frames, sample_rate, mean_abs_amplitude, channels] — all from
     actual pixels/samples. Bytes outside the codec subset
-    (progressive JPEG, video) fall through to the deterministic
+    (video, exotic JPEG codings) fall through to the deterministic
     byte-stats stub when `fake_decode=True`, else raise — accidental
     production use of the stub surfaces loudly."""
     from xtdb_spark.pipeline import codecs
