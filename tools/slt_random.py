@@ -85,7 +85,37 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
     c1, c2 = rng.choice(ints), rng.choice(ints)
     g = rng.choice(strs)
     kind = rng.random()
-    if kind < 0.33:
+    if kind < 0.12:
+        # FROM-first pipelined tails (Sql.g4:681 queryTail*) vs the
+        # standard SELECT spelling of the same fold
+        m = rng.randint(3, 9)
+        lim = rng.randint(20, 200)
+        return (
+            f"FROM {t} WHERE {c1} < {lim * 10} "
+            f"GROUP BY {g} SELECT {g}, COUNT(*) AS n, "
+            f"CAST(SUM({c2} % {m}) AS BIGINT) AS s "
+            f"WHERE n > 1 ORDER BY {g} LIMIT {lim}",
+            f"SELECT * FROM (SELECT {g}, COUNT(*) AS n, "
+            f"CAST(SUM({c2} % {m}) AS BIGINT) AS s FROM {t} "
+            f"WHERE {c1} < {lim * 10} GROUP BY {g}) q "
+            f"WHERE n > 1 ORDER BY {g} LIMIT {lim}")
+    if kind < 0.22:
+        # star EXCLUDE/RENAME vs the explicit column list — DuckDB
+        # also parses EXCLUDE natively, so give it the expansion to
+        # keep the comparison translator-vs-independent-engine
+        drop = rng.choice(ints + strs)
+        keep = [c for c in ints + strs if c != drop]
+        ren = rng.choice(keep)
+        kept = ", ".join(c for c in keep if c != ren)
+        lim = rng.randint(20, 120)
+        order = ", ".join([f"{ren}_r"] + [c for c in keep if c != ren])
+        return (
+            f"SELECT * EXCLUDE ({drop}) RENAME ({ren} AS {ren}_r) "
+            f"FROM (SELECT {', '.join(ints + strs)} FROM {t}) s0 "
+            f"ORDER BY {order} LIMIT {lim}",
+            f"SELECT {kept}{', ' if kept else ''}{ren} AS {ren}_r "
+            f"FROM {t} ORDER BY {order} LIMIT {lim}")
+    if kind < 0.40:
         # object literal + field access
         m = rng.randint(5, 13)
         sel_x = f"({{a: {c1} % {m}, b: {g}}})"
@@ -93,7 +123,7 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
         tail = f"AS fa, {{}}.b AS fb FROM {t} ORDER BY fa, fb LIMIT 40"
         return (f"SELECT DISTINCT {sel_x}.a " + tail.format(sel_x),
                 f"SELECT DISTINCT {sel_d}.a " + tail.format(sel_d))
-    if kind < 0.55:
+    if kind < 0.58:
         # array literal + element extraction (element_at and DuckDB
         # [] are both 1-based)
         i = rng.randint(1, 3)
@@ -102,7 +132,7 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
                 f"AS BIGINT) AS s FROM {t}",
                 f"SELECT COUNT(*) AS n, CAST(SUM({arr}[{i}]) "
                 f"AS BIGINT) AS s FROM {t}")
-    if kind < 0.75:
+    if kind < 0.78:
         # period predicates over synthesized [d1, d2) intervals on
         # events.ts: XTDB infix spelling vs DuckDB's raw comparison
         # derivation of the same [from, to) semantics
