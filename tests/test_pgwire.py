@@ -820,3 +820,47 @@ def test_copy_in_transit_msgpack_over_wire(xt, client):
     res, _ = client.query(
         "SELECT _id, product_name, qty FROM cp_tmp ORDER BY _id")
     assert res[0][1] == [["1", "alpha", "3"], ["2", "beta", "-5"]]
+
+
+def test_cancel_request_interrupts_running_query(xt, server, client):
+    """CancelRequest (reference pgwire.clj:196 cmd-cancel): a fresh
+    connection quoting the BackendKeyData pid+secret interrupts the
+    target connection's running Spark jobs; the victim gets SQLSTATE
+    57014 and the connection stays usable."""
+    import threading as _th
+    import time as _t
+
+    from xtdb_spark import pgwire as pgw
+
+    pid = max(pgw._BACKENDS)            # the client fixture's conn
+    secret, _conn = pgw._BACKENDS[pid]
+    errs, done = [], []
+
+    def run():
+        try:
+            client.query(
+                "SELECT count(*) AS n FROM "
+                "(SELECT explode(sequence(1, 60000)) AS x) a CROSS JOIN "
+                "(SELECT explode(sequence(1, 60000)) AS y) b")
+            done.append("finished")
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"{type(e).__name__}: {e}")
+
+    th = _th.Thread(target=run)
+    th.start()
+    _t.sleep(3)                         # let the stages start
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    s.sendall(struct.pack(">iiii", 16, 80877102, pid, secret))
+    s.close()
+    th.join(timeout=90)
+    assert not th.is_alive(), "query was not cancelled"
+    assert errs and "57014" in errs[0]
+    res, _ = client.query("SELECT 1 AS one")
+    assert res[0][1] == [["1"]]
+
+    # wrong secret must NOT cancel (and must not crash the server)
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    s.sendall(struct.pack(">iiii", 16, 80877102, pid, secret ^ 1))
+    s.close()
+    res, _ = client.query("SELECT 2 AS two")
+    assert res[0][1] == [["2"]]

@@ -37,13 +37,21 @@ itself runs distributed as usual.
 
 from __future__ import annotations
 
+import itertools as _itertools
 import json
 import re
+import secrets as _secrets
 import socket
 import socketserver
 import struct
 import threading
 from typing import Any
+
+# cancellation registry: BackendKeyData pid → (secret, live _Conn)
+# (reference pgwire.clj:129 keeps the netty channel registry for the
+# same purpose)
+_PID_COUNTER = _itertools.count(1)
+_BACKENDS: dict[int, tuple[int, "_Conn"]] = {}
 
 # Spark simpleString (prefix) → postgres type oid
 _OID = {
@@ -284,6 +292,23 @@ class _Conn:
         # planner-relevant ones like timezone stay pinned — we
         # report, we don't re-plan by them)
         self.settings: dict[str, str] = {}
+        # cancellation identity (BackendKeyData) — see cancel()
+        self.pid = next(_PID_COUNTER)
+        self.secret = _secrets.randbits(31)
+        self.cancel_requested = False
+
+    def cancel(self) -> None:
+        """CancelRequest target (reference pgwire.clj:196 cmd-cancel):
+        interrupt this connection's running Spark jobs.  Statements on
+        this conn run inside job group `pgwire-<pid>` (thread-local,
+        set once in handle()), so cancelJobGroup kills exactly its
+        in-flight stages; the resulting exception surfaces as SQLSTATE
+        57014 like postgres."""
+        self.cancel_requested = True
+        try:
+            self.xt.spark.sparkContext.cancelJobGroup(f"pgwire-{self.pid}")
+        except Exception:       # racing a finished query is fine
+            pass
 
     # ---- low-level frames
 
@@ -313,7 +338,11 @@ class _Conn:
             if code == 80877103:        # SSLRequest → not supported
                 self.sock.sendall(b"N")
                 continue
-            if code == 80877102:        # CancelRequest → best-effort no-op
+            if code == 80877102:        # CancelRequest (pid, secret)
+                pid, secret = struct.unpack(">ii", body[4:12])
+                target = _BACKENDS.get(pid)
+                if target is not None and target[0] == secret:
+                    target[1].cancel()
                 return False
             if code == 196608:          # protocol 3.0
                 break
@@ -336,7 +365,12 @@ class _Conn:
                      ("integer_datetimes", "on"),
                      ("standard_conforming_strings", "on")):
             self._send(b"S", self._cstr(k) + self._cstr(v))
-        self._send(b"K", struct.pack(">ii", threading.get_ident() & 0x7FFFFFFF, 0))
+        # BackendKeyData: pid + secret, the cancellation identity
+        # (reference pgwire.clj:129,362 cmd-cancel) — a CancelRequest
+        # on a fresh connection quoting them interrupts this conn's
+        # running Spark jobs
+        self._send(b"K", struct.pack(">ii", self.pid, self.secret))
+        _BACKENDS[self.pid] = (self.secret, self)
         self._ready()
         return True
 
@@ -854,24 +888,41 @@ class _Conn:
     def handle(self) -> None:
         if not self.startup():
             return
-        while True:
-            t = self._recv(1)
-            (ln,) = struct.unpack(">i", self._recv(4))
-            body = self._recv(ln - 4)
-            if t == b"X":
-                return
-            try:
-                self._dispatch(t, body)
-            except (ConnectionResetError, BrokenPipeError):
-                raise
-            except Exception as e:  # noqa: BLE001 — every engine error → wire error
-                if self.tx is not None:   # error inside a tx block
-                    self.tx_failed = True  # aborts it (postgres 25P02)
-                self._error("XX000", f"{type(e).__name__}: {e}")
-                if t == b"Q":
-                    self._ready()
-                else:
-                    self._sync_after_error()
+        try:
+            # all of this conn's Spark actions run in its own job
+            # group so CancelRequest can interrupt them (thread-local
+            # property; one thread per connection)
+            self.xt.spark.sparkContext.setJobGroup(
+                f"pgwire-{self.pid}", "pgwire statement",
+                interruptOnCancel=True)
+        except Exception:
+            pass
+        try:
+            while True:
+                t = self._recv(1)
+                (ln,) = struct.unpack(">i", self._recv(4))
+                body = self._recv(ln - 4)
+                if t == b"X":
+                    return
+                try:
+                    self._dispatch(t, body)
+                except (ConnectionResetError, BrokenPipeError):
+                    raise
+                except Exception as e:  # noqa: BLE001 — every engine error → wire error
+                    if self.tx is not None:   # error inside a tx block
+                        self.tx_failed = True  # aborts it (postgres 25P02)
+                    if self.cancel_requested:
+                        self.cancel_requested = False
+                        self._error("57014", "canceling statement due "
+                                             "to user request")
+                    else:
+                        self._error("XX000", f"{type(e).__name__}: {e}")
+                    if t == b"Q":
+                        self._ready()
+                    else:
+                        self._sync_after_error()
+        finally:
+            _BACKENDS.pop(self.pid, None)
 
     def _sync_after_error(self) -> None:
         """Extended protocol: skip messages until Sync, then ReadyForQuery."""
