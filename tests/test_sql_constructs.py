@@ -321,3 +321,36 @@ def test_star_exclude_and_from_first_run(spark, tmp_path):
         xt, "FROM ft SELECT b UNION ALL FROM ft WHERE a > 15 SELECT b "
             "ORDER BY b").collect()
     assert [r["b"] for r in rows] == ["x", "y", "y"]
+
+
+def test_unnest_and_series_tables(spark, tmp_path):
+    """UNNEST / generate_series / range table refs (Sql.g4:546-547):
+    LATERAL explode lowering, 1-based ordinality (operator/
+    unnest.clj writes inc el-idx), generate_series inclusive vs
+    range exclusive end."""
+    xt = make_xt(spark, tmp_path)
+    rows = rewrite_and_run(
+        xt, "SELECT v FROM generate_series(1, 5) AS g(v) "
+            "ORDER BY v").collect()
+    assert [r["v"] for r in rows] == [1, 2, 3, 4, 5]
+    rows = rewrite_and_run(
+        xt, "SELECT v FROM range(1, 5) AS g(v) ORDER BY v").collect()
+    assert [r["v"] for r in rows] == [1, 2, 3, 4]
+    rows = rewrite_and_run(
+        xt, "SELECT v, o FROM generate_series(2, 6, 2) "
+            "WITH ORDINALITY AS g(v, o) ORDER BY o").collect()
+    assert [(r["v"], r["o"]) for r in rows] == [(2, 1), (4, 2), (6, 3)]
+
+    rewrite_and_run(xt, "INSERT INTO ut RECORDS "
+                        "{_id: 1, tags: ['a', 'b']}, {_id: 2, tags: ['c']}")
+    rows = rewrite_and_run(
+        xt, "SELECT _id, u.tag, u.o FROM ut, "
+            "UNNEST(ut.tags) WITH ORDINALITY AS u(tag, o) "
+            "ORDER BY _id, o").collect()
+    assert [(r["_id"], r["tag"], r["o"]) for r in rows] == \
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1)]
+    # expression forms: array values
+    rows = rewrite_and_run(
+        xt, "SELECT size(generate_series(1, 4)) AS gs, "
+            "size(range(1, 4)) AS rs").collect()
+    assert (rows[0]["gs"], rows[0]["rs"]) == (4, 3)

@@ -240,10 +240,13 @@ def test_rewrite_is_identity_without_store_tables(spark, tmp_path):
         "WITH c AS (SELECT 1 AS x) SELECT * FROM c JOIN c c2 ON c.x = c2.x",
         "SELECT * FROM a_view WHERE ts > ? AND id IN (?, ?)",
         "SELECT trim(LEADING 'x' FROM s) || 'FOR' FROM t1, t2 WHERE t1.a = t2.a",
-        "SELECT generate_series(1, 10) AS g",
     ]
     for q in cases:
         assert rewrite(xt, q) == q, q
+    # generate_series is an XTDB construct (Sql.g4:292) — it lowers
+    # to Spark's sequence, deliberately NOT identity
+    assert rewrite(xt, "SELECT generate_series(1, 10) AS g") == \
+        "SELECT sequence(1, 10) AS g"
 
 
 def test_rewrite_param_ordinals_stay_aligned(spark, tmp_path):

@@ -110,3 +110,59 @@ def sql_from_first_pipeline(spark, sf_dir):
     ORDER BY o_orderpriority
     """
     return spark.sql(translate(q))
+
+
+@register(
+    "sql_series_table_ordinality",
+    """
+    SELECT s.v AS v, s.ord AS ord, COUNT(*) AS n
+    FROM orders, (SELECT CAST(v AS BIGINT) AS v,
+                         CAST((v - 2) / 2 + 1 AS INTEGER) AS ord
+                  FROM generate_series(2, 6, 2) t(v)) s
+    WHERE o_orderkey % s.v = 0
+    GROUP BY s.v, s.ord ORDER BY v
+    """,
+)
+def sql_series_table_ordinality(spark, sf_dir):
+    """generate_series as a TABLE reference with WITH ORDINALITY
+    (Sql.g4:547 GenerateSeriesTable; ordinality 1-based per
+    operator/unnest.clj) → LATERAL posexplode lowering; oracle
+    derives the ordinal arithmetically from the series values."""
+    from xtdb_spark.sql.constructs import translate
+
+    ld(spark, sf_dir, "orders").createOrReplaceTempView("xt_gs_orders")
+    q = """
+    SELECT CAST(g.v AS BIGINT) AS v, g.ord AS ord, COUNT(*) AS n
+    FROM xt_gs_orders, generate_series(2, 6, 2)
+         WITH ORDINALITY AS g(v, ord)
+    WHERE o_orderkey % g.v = 0
+    GROUP BY g.v, g.ord ORDER BY v
+    """
+    return spark.sql(translate(q))
+
+
+@register(
+    "sql_unnest_table_ordinality",
+    """
+    SELECT n_nationkey, n_nationkey AS v, 1 AS o FROM nation
+    UNION ALL
+    SELECT n_nationkey, CAST(n_regionkey AS BIGINT), 2 FROM nation
+    ORDER BY n_nationkey, o
+    """,
+)
+def sql_unnest_table_ordinality(spark, sf_dir):
+    """UNNEST(expr) WITH ORDINALITY table reference (Sql.g4:546
+    CollectionDerivedTable) → correlated LATERAL posexplode with the
+    1-based ordinal re-added; oracle spells the two array positions
+    as a UNION ALL."""
+    from xtdb_spark.sql.constructs import translate
+
+    ld(spark, sf_dir, "nation").createOrReplaceTempView("xt_un_nation")
+    q = """
+    SELECT n_nationkey, u.v AS v, u.o AS o
+    FROM xt_un_nation,
+         UNNEST(array(n_nationkey, CAST(n_regionkey AS BIGINT)))
+         WITH ORDINALITY AS u(v, o)
+    ORDER BY n_nationkey, o
+    """
+    return spark.sql(translate(q))

@@ -43,6 +43,7 @@ _TRIGGER_RE = re.compile(
     # alternative over-matches `SELECT f(x) FROM` — harmless, the walk
     # is identity there, it only costs the token pass
     r"|\*\s*(?:EXCLUDE|RENAME)\b|\bMATERIALIZED\b"
+    r"|\bUNNEST\s*\(|\bGENERATE_SERIES\s*\(|\bRANGE\s*\("
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
     r"|\b(?:UNION|INTERSECT|EXCEPT)\s+(?:ALL\s+|DISTINCT\s+)?FROM\b",
@@ -217,7 +218,7 @@ class _Translator:
         return self._walk(closers=(), allow_query=True)
 
     def _walk(self, closers: tuple, stop_words: tuple = (),
-              allow_query: bool = False) -> str:
+              allow_query: bool = False, in_from: bool = False) -> str:
         """Translate until (exclusive) a top-level closer punct, a
         top-level stop word, or EOF. Consumes nested () [] {} wholly
         via the construct branches. Tracks the output span of the
@@ -231,6 +232,8 @@ class _Translator:
         suppress = False  # frame already has a governing SELECT/DML —
         #                   a FROM here is its from-clause, not a
         #                   FROM-first query term
+        last_sig = "FROM" if in_from else ""  # last significant token
+        from_ctx = in_from       # inside a from-clause (table refs)
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind in ("ws", "comment"):
@@ -281,6 +284,7 @@ class _Translator:
                 if self._peek() == ("punct", ")"):
                     parts.append(self._next()[1])
                 self.postfix = True
+                last_sig = ")"
                 continue
             if kind == "word":
                 up = text.upper()
@@ -308,6 +312,38 @@ class _Translator:
                     suppress = True
                 elif up in ("UNION", "INTERSECT", "EXCEPT"):
                     suppress = False  # next term may be FROM-first
+                # UNNEST / generate_series / range TABLE references
+                # (Sql.g4:546-547) — only in from-clause position
+                if up == "UNNEST" and self._peek(1) == ("punct", "(") \
+                        and from_ctx and last_sig in ("FROM", ",", "JOIN"):
+                    parts.append(self._unnest_table())
+                    self.postfix = False
+                    expr_start = None
+                    last_sig = ""
+                    continue
+                if up in ("GENERATE_SERIES", "RANGE") and \
+                        self._peek(1) == ("punct", "("):
+                    if from_ctx and last_sig in ("FROM", ",", "JOIN"):
+                        parts.append(self._series_table(up))
+                        self.postfix = False
+                        expr_start = None
+                        last_sig = ""
+                        continue
+                    if up == "GENERATE_SERIES" or not self.postfix:
+                        # expression form (Sql.g4:292) → array value
+                        if not self.postfix:
+                            expr_start = len(parts)
+                        parts.append(self._series_expr(up))
+                        self.postfix = True
+                        last_sig = ""
+                        continue
+                if up == "FROM":
+                    from_ctx = True
+                elif up in ("WHERE", "GROUP", "HAVING", "SELECT",
+                            "ORDER", "LIMIT", "OFFSET", "FETCH",
+                            "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+                            "SET", "RETURNING"):
+                    from_ctx = False
                 # infix period predicates: `p1 [STRICTLY|IMMEDIATELY]
                 # OVERLAPS/EQUALS/CONTAINS/… p2`
                 mod, base = None, up
@@ -385,6 +421,7 @@ class _Translator:
                 expr_start = None
             parts.append(tok[1])
             self._after_dot = tok == ("punct", ".")
+            last_sig = tok[1].upper() if tok[0] == "word" else tok[1]
             if tok[0] == "word":
                 self.postfix = tok[1].upper() not in _NON_POSTFIX_WORDS
             elif tok[0] in ("qident", "num", "str"):
@@ -524,7 +561,8 @@ class _Translator:
         attach to the folded SELECT we emit."""
         self._next()  # FROM
         self.postfix = False
-        from_text = self._walk(closers=(")",), stop_words=_FF_STOPS).strip()
+        from_text = self._walk(closers=(")",), stop_words=_FF_STOPS,
+                               in_from=True).strip()
         # tails BEFORE the first SELECT tail stay in the same query
         # block (from-clause aliases like `FROM t x WHERE x.a…` must
         # remain in scope — the reference fold is logical, not a
@@ -587,6 +625,133 @@ class _Translator:
         if rel is None:
             rel = f"SELECT * FROM {from_text}" + _where_suffix()
         return rel
+
+    _TBL_ALIAS_STOP = {
+        "WHERE", "GROUP", "HAVING", "SELECT", "ORDER", "LIMIT",
+        "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+        "ON", "USING", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+        "OUTER", "CROSS", "NATURAL", "FOR", "WITH", "SET", "RETURNING",
+    }
+
+    def _table_alias_part(self) -> tuple[str | None, list[str]]:
+        """Optional ``[AS] alias [(col, …)]`` after a derived table."""
+        alias = None
+        cols: list[str] = []
+        k, t = self._peek()
+        if k == "word" and t.upper() == "AS":
+            self._skip_ws()
+            self._next()
+            k, t = self._peek()
+        if k in ("word", "qident") and t.upper() not in self._TBL_ALIAS_STOP:
+            self._skip_ws()
+            alias = self._next()[1]
+            if self._peek() == ("punct", "("):
+                self._skip_ws()
+                self._next()
+                while True:
+                    self._skip_ws()
+                    cols.append(self._next()[1])
+                    self._skip_ws()
+                    if self._peek() == ("punct", ","):
+                        self._next()
+                        continue
+                    break
+                if self._peek() == ("punct", ")"):
+                    self._next()
+        return alias, cols
+
+    def _with_ordinality_ahead(self) -> bool:
+        if self._peek()[1].upper() == "WITH" and \
+                self._peek(1)[1].upper() == "ORDINALITY":
+            self._skip_ws()
+            self._next()
+            self._skip_ws()
+            self._next()
+            return True
+        return False
+
+    def _unnest_table(self) -> str:
+        """``UNNEST(expr) [WITH ORDINALITY] [AS] a [(v[, o])]``
+        (Sql.g4:546 CollectionDerivedTable; operator/unnest.clj —
+        ordinality is 1-based) → ``LATERAL explode`` / a LATERAL
+        posexplode subquery that re-bases the ordinal.  When no
+        column list is given the columns are named ``unnest`` /
+        ``ordinality`` (the reference generates inaccessible gensyms
+        there — a stable name is strictly more usable)."""
+        self._next()          # UNNEST
+        self._skip_ws()
+        self._next()          # (
+        self.postfix = False
+        expr = self._walk(closers=(")",)).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        ordinality = self._with_ordinality_ahead()
+        alias, cols = self._table_alias_part()
+        self._ff_n += 1
+        alias = alias or f"__xt_un{self._ff_n}"
+        v = cols[0] if cols else "unnest"
+        if not ordinality:
+            return f"LATERAL explode({expr}) {alias}({v})"
+        o = cols[1] if len(cols) > 1 else "ordinality"
+        return (f"LATERAL (SELECT {v}, __xt_pos + 1 AS {o} "
+                f"FROM posexplode({expr}) __xt_pe{self._ff_n}"
+                f"(__xt_pos, {v})) AS {alias}")
+
+    def _series_args(self) -> list[str]:
+        self._next()          # GENERATE_SERIES | RANGE
+        self._skip_ws()
+        self._next()          # (
+        args = []
+        while True:
+            self.postfix = False
+            args.append(self._walk(closers=(",", ")")).strip())
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            break
+        if self._peek() == ("punct", ")"):
+            self._next()
+        return args
+
+    def _series_table(self, fn: str) -> str:
+        """``generate_series(a, b[, s])`` / ``range(a, b[, s])`` as a
+        TABLE reference (Sql.g4:547 GenerateSeriesTable):
+        generate_series includes the end bound, range excludes it
+        (DuckDB-compatible split the reference grammar mirrors via
+        the two spellings; temporal.clj's include-end? flag).  Both
+        lower to ``explode(sequence(…))`` — sequence only emits the
+        bound when the step lands on it exactly, so range's exclusion
+        is a ``<> bound`` filter, direction-agnostic."""
+        args = self._series_args()
+        ordinality = self._with_ordinality_ahead()
+        alias, cols = self._table_alias_part()
+        self._ff_n += 1
+        alias = alias or f"__xt_gs{self._ff_n}"
+        v = cols[0] if cols else "generate_series"
+        seq = f"sequence({', '.join(args)})"
+        end = args[1] if len(args) > 1 else args[0]
+        if not ordinality:
+            if fn == "GENERATE_SERIES":
+                return f"LATERAL explode({seq}) {alias}({v})"
+            return (f"LATERAL (SELECT {v} FROM explode({seq}) "
+                    f"__xt_r{self._ff_n}({v}) WHERE {v} <> ({end})) "
+                    f"AS {alias}")
+        o = cols[1] if len(cols) > 1 else "ordinality"
+        flt = "" if fn == "GENERATE_SERIES" else f" WHERE {v} <> ({end})"
+        return (f"LATERAL (SELECT {v}, __xt_pos + 1 AS {o} "
+                f"FROM posexplode({seq}) __xt_pe{self._ff_n}"
+                f"(__xt_pos, {v}){flt}) AS {alias}")
+
+    def _series_expr(self, fn: str) -> str:
+        """Expression form (Sql.g4:292 GenerateSeriesFunction) →
+        an array value: ``sequence(…)``, with range's exclusive end
+        as an ``array filter``."""
+        args = self._series_args()
+        seq = f"sequence({', '.join(args)})"
+        if fn == "GENERATE_SERIES":
+            return seq
+        end = args[1] if len(args) > 1 else args[0]
+        return f"filter({seq}, __xt_sv -> __xt_sv <> ({end}))"
 
     def _parse_primary(self) -> str:
         """One primary expression (right operand of an infix period
