@@ -354,3 +354,51 @@ def test_unnest_and_series_tables(spark, tmp_path):
         xt, "SELECT size(generate_series(1, 4)) AS gs, "
             "size(range(1, 4)) AS rs").collect()
     assert (rows[0]["gs"], rows[0]["rs"]) == (4, 3)
+
+
+def test_quantified_comparisons_3vl(spark, tmp_path):
+    """E op ANY/SOME/ALL (subq) (Sql.g4:245; reference lowers ALL to
+    NOT-negated-ANY over a mark-join, sql.clj:2127) — the lowering
+    must keep the standard's 3VL across empty sets, NULL elements,
+    and NULL left operands (incl. fixing Spark's semi-join-shaped
+    IN-subquery which loses UNKNOWN)."""
+    from xtdb_spark.sql.constructs import translate
+
+    def run(sql):
+        return spark.sql(translate(sql)).collect()[0]["r"]
+
+    empty = "SELECT 1 AS x WHERE FALSE"
+    withnull = "SELECT * FROM (VALUES (3), (NULL)) q(x)"
+    cases = [
+        (f"SELECT (5 = ANY ({empty})) AS r", False),
+        (f"SELECT (5 = ALL ({empty})) AS r", True),
+        (f"SELECT (5 = ANY ({withnull})) AS r", None),     # no match + NULL
+        (f"SELECT (3 = ANY ({withnull})) AS r", True),
+        (f"SELECT (5 <> ALL ({withnull})) AS r", None),
+        (f"SELECT (5 > ANY ({withnull})) AS r", True),     # 5 > 3
+        (f"SELECT (2 > ANY ({withnull})) AS r", None),     # only NULL left
+        (f"SELECT (5 > ALL ({withnull})) AS r", None),
+        (f"SELECT (2 > ALL ({withnull})) AS r", False),    # 2 > 3 fails
+        (f"SELECT (CAST(NULL AS INT) = ANY ({withnull})) AS r", None),
+        ("SELECT (5 = SOME (SELECT * FROM (VALUES (5)) q(x))) AS r", True),
+    ]
+    for sql, want in cases:
+        assert run(sql) is want or run(sql) == want, (sql, want, run(sql))
+
+
+def test_regex_ops_and_between_symmetric(spark, tmp_path):
+    from xtdb_spark.sql.constructs import translate
+
+    def run(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    assert run("SELECT 'abc' LIKE_REGEX 'a.c' AS m") == [(True,)]
+    assert run("SELECT 'ABC' LIKE_REGEX 'a.c' FLAG 'i' AS m") == [(True,)]
+    assert run("SELECT 'abc' ~ 'a.c', 'ABC' ~* 'a.c', "
+               "'abc' !~ 'zzz', ~5 AS bitnot") == [(True, True, True, -6)]
+    assert run("SELECT 3 BETWEEN SYMMETRIC 5 AND 1 AS b, "
+               "3 NOT BETWEEN SYMMETRIC 2 AND 1 AS nb") == [(True, True)]
+    # pg-compat constants (reference sql.clj:1792-1797,2228-2234)
+    assert run("SELECT has_table_privilege('u','t','s') AS a, "
+               "pg_table_is_visible(1) AS b, pg_get_userbyid(10) AS c, "
+               "pg_get_expr('x', 1) AS d") == [(True, True, "xtdb", None)]

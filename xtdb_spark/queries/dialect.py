@@ -166,3 +166,48 @@ def sql_unnest_table_ordinality(spark, sf_dir):
     ORDER BY n_nationkey, o
     """
     return spark.sql(translate(q))
+
+
+@register(
+    "sql_quantified_comparisons",
+    """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN c_acctbal > ANY (SELECT s_acctbal
+                                            FROM supplier
+                                            WHERE s_nationkey = 3)
+                      THEN 1 END) AS n_any,
+           COUNT(CASE WHEN c_acctbal >= ALL (SELECT s_acctbal
+                                             FROM supplier
+                                             WHERE s_nationkey = 3)
+                      THEN 1 END) AS n_all,
+           COUNT(CASE WHEN c_nationkey = SOME (SELECT n_regionkey
+                                               FROM nation)
+                      THEN 1 END) AS n_some
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_quantified_comparisons(spark, sf_dir):
+    """Quantified comparisons (Sql.g4:245; reference lowers ALL to
+    NOT-negated-ANY over a mark-join, sql.clj:2127-2151) through the
+    translator's 3VL-faithful scalar-aggregate lowering — DuckDB runs
+    its NATIVE quantified operators as the oracle."""
+    from xtdb_spark.sql.constructs import translate
+
+    for t in ("customer", "supplier", "nation"):
+        ld(spark, sf_dir, t).createOrReplaceTempView(f"xt_qc_{t}")
+    q = """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN c_acctbal > ANY (SELECT s_acctbal
+                                            FROM xt_qc_supplier
+                                            WHERE s_nationkey = 3)
+                      THEN 1 END) AS n_any,
+           COUNT(CASE WHEN c_acctbal >= ALL (SELECT s_acctbal
+                                             FROM xt_qc_supplier
+                                             WHERE s_nationkey = 3)
+                      THEN 1 END) AS n_all,
+           COUNT(CASE WHEN c_nationkey = SOME (SELECT n_regionkey
+                                               FROM xt_qc_nation)
+                      THEN 1 END) AS n_some
+    FROM xt_qc_customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    return spark.sql(translate(q))

@@ -44,6 +44,11 @@ _TRIGGER_RE = re.compile(
     # is identity there, it only costs the token pass
     r"|\*\s*(?:EXCLUDE|RENAME)\b|\bMATERIALIZED\b"
     r"|\bUNNEST\s*\(|\bGENERATE_SERIES\s*\(|\bRANGE\s*\("
+    r"|\bLIKE_REGEX\b|~|\bSYMMETRIC\b|\bASYMMETRIC\b"
+    r"|[=<>!]\s*(?:ANY|SOME|ALL)\s*\(|\bPG_SLEEP"
+    r"|\bHAS_(?:ANY_COLUMN|TABLE|SCHEMA)_PRIVILEGE\s*\("
+    r"|\bPG_(?:TABLE_IS_VISIBLE|GET_EXPR|GET_INDEXDEF|GET_USERBYID)"
+    r"\s*\(|\b_PG_EXPANDARRAY\s*\("
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
     r"|\b(?:UNION|INTERSECT|EXCEPT)\s+(?:ALL\s+|DISTINCT\s+)?FROM\b",
@@ -251,6 +256,16 @@ class _Translator:
                 self._after_dot = False
                 expr_start = None
                 continue
+            if kind == "punct" and text == "~":
+                k = len(parts) - 1
+                while k >= 0 and parts[k].strip() == "":
+                    k -= 1
+                if self.postfix or (k >= 0 and parts[k].strip() == "!"):
+                    parts.append(self._pg_regex_op(parts))
+                    self.postfix = True
+                    expr_start = None
+                    last_sig = ""
+                    continue
             if kind == "punct" and text == "{":
                 if not self.postfix:
                     expr_start = len(parts)
@@ -307,6 +322,55 @@ class _Translator:
                     # materialization hint; drop the keyword
                     self._next()
                     self._skip_ws()
+                    continue
+                if up in ("ANY", "SOME", "ALL") and \
+                        self._peek(1) == ("punct", "("):
+                    k = len(parts) - 1
+                    while k >= 0 and parts[k].strip() == "":
+                        k -= 1
+                    if k >= 0 and parts[k].strip() in ("=", "<", ">", "!"):
+                        parts.append(self._quantified(parts, up))
+                        self.postfix = True
+                        expr_start = None
+                        last_sig = ""
+                        continue
+                if up == "BETWEEN" and \
+                        self._peek(1)[1].upper() in ("SYMMETRIC",
+                                                     "ASYMMETRIC"):
+                    if self._peek(1)[1].upper() == "ASYMMETRIC":
+                        parts.append(self._next()[1])   # BETWEEN
+                        self._skip_ws()
+                        self._next()                    # drop the word
+                        parts.append(" ")
+                        self.postfix = False
+                        last_sig = "BETWEEN"
+                        continue
+                    parts.append(self._between_symmetric(parts))
+                    self.postfix = True
+                    expr_start = None
+                    last_sig = ""
+                    continue
+                if up == "LIKE_REGEX":
+                    parts.append(self._like_regex(parts))
+                    self.postfix = True
+                    expr_start = None
+                    last_sig = ""
+                    continue
+                if up in self._PG_CONST_FNS and \
+                        self._peek(1) == ("punct", "("):
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    parts.append(self._pg_const_fn(self._PG_CONST_FNS[up]))
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up in ("PG_SLEEP", "PG_SLEEP_FOR") and \
+                        self._peek(1) == ("punct", "("):
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    parts.append(self._pg_sleep(up == "PG_SLEEP_FOR"))
+                    self.postfix = True
+                    last_sig = ""
                     continue
                 if up in _FROM_FIRST_SUPPRESS:
                     suppress = True
@@ -625,6 +689,257 @@ class _Translator:
         if rel is None:
             rel = f"SELECT * FROM {from_text}" + _where_suffix()
         return rel
+
+    # boundary words when capturing an already-emitted LEFT operand
+    # backwards out of the output buffer (comparison/infix rewrites)
+    _LEFT_STOPS = {
+        "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE", "CASE",
+        "ON", "SELECT", "FROM", "BY", "HAVING", "SET", "RETURNING",
+        "IN", "LIKE", "BETWEEN", "IS", "UNION", "INTERSECT", "EXCEPT",
+        "ALL", "DISTINCT", "AS",
+    }
+
+    def _capture_left(self, parts: list[str]) -> str:
+        """Pop the trailing expression off the output buffer: walk
+        fragments backwards, balancing parens, stopping at a
+        top-level boundary word/comma/comparison punct.  Composite
+        constructs were emitted as single fragments, so they ride
+        along as atoms."""
+        depth = 0
+        start = len(parts)
+        k = len(parts) - 1
+        while k >= 0:
+            frag = parts[k]
+            fs = frag.strip()
+            if fs == "":
+                k -= 1
+                continue
+            if fs == ")":
+                depth += 1
+            elif fs == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if fs == "," or fs in ("=", "<", ">", "!"):
+                    break
+                if re.fullmatch(r"[A-Za-z_]\w*", fs) and \
+                        fs.upper() in self._LEFT_STOPS:
+                    break
+            start = k
+            k -= 1
+        left = "".join(parts[start:]).strip()
+        del parts[start:]
+        return left
+
+    def _trailing_comp_op(self, parts: list[str]) -> str | None:
+        """Pop a trailing comparison operator (=, <>, !=, <, <=, >,
+        >=) off the output buffer, or None."""
+        puncts: list[str] = []
+        k = len(parts) - 1
+        while k >= 0 and len(puncts) < 2:
+            fs = parts[k].strip()
+            if fs == "":
+                k -= 1
+                continue
+            if fs in ("=", "<", ">", "!"):
+                puncts.append(fs)
+                k -= 1
+                continue
+            break
+        op = "".join(reversed(puncts))
+        if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            return None
+        del parts[k + 1:]
+        return "<>" if op == "!=" else op
+
+    def _quantified(self, parts: list[str], quant: str) -> str:
+        """``E op ANY|SOME|ALL (subquery)`` (Sql.g4:245; the
+        reference lowers ALL to NOT(negated-op ANY) over a mark-join,
+        sql.clj:2127-2151) — Spark has no quantified comparisons, so
+        lower to 3VL-faithful combinations of IN / scalar aggregates
+        over the subquery (empty → ANY false / ALL true; NULLs in
+        either operand → UNKNOWN where the standard says so).  E is
+        re-emitted verbatim (possibly several times) — side-effecting
+        expressions are not a concern in this pure dialect."""
+        op = self._trailing_comp_op(parts)
+        if op is None:          # not a quantified comparison after all
+            raise ValueError("quantifier without comparison operator")
+        e = self._capture_left(parts)
+        self._next()            # ANY | SOME | ALL
+        self._skip_ws()
+        self._next()            # (
+        self.postfix = False
+        q = self._walk(closers=(")",), allow_query=True).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        is_all = quant == "ALL"
+        self._ff_n += 1
+        n = self._ff_n
+
+        def agg(expr: str) -> str:
+            return f"(SELECT {expr} FROM ({q}) __xtq{n}(__v))"
+
+        cnt, nn = agg("COUNT(*)"), agg("COUNT(__v)")
+        null_b = "CAST(NULL AS BOOLEAN)"
+        if op == "=" and not is_all:
+            # Spark's IN-subquery is semi-join-shaped (no-match +
+            # NULL in the subquery yields FALSE, not UNKNOWN) — wrap
+            # it to restore the standard's 3VL
+            return (f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                    f"WHEN ({e}) IN ({q}) THEN TRUE "
+                    f"WHEN ({e}) IS NULL OR {cnt} > {nn} THEN {null_b} "
+                    f"ELSE FALSE END)")
+        if op == "<>" and is_all:
+            return (f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                    f"WHEN ({e}) IN ({q}) THEN FALSE "
+                    f"WHEN ({e}) IS NULL OR {cnt} > {nn} THEN {null_b} "
+                    f"ELSE TRUE END)")
+        if op in ("=", "<>"):
+            ndv, only = agg("COUNT(DISTINCT __v)"), agg("MAX(__v)")
+            if op == "<>":      # <> ANY
+                return (f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                        f"WHEN ({e}) IS NULL THEN {null_b} "
+                        f"WHEN {ndv} >= 2 THEN TRUE "
+                        f"WHEN {ndv} = 1 AND ({e}) <> {only} THEN TRUE "
+                        f"WHEN {cnt} > {nn} OR {nn} = 0 THEN {null_b} "
+                        f"ELSE FALSE END)")
+            return (f"(CASE WHEN {cnt} = 0 THEN TRUE "  # = ALL
+                    f"WHEN ({e}) IS NULL THEN {null_b} "
+                    f"WHEN {ndv} >= 2 THEN FALSE "
+                    f"WHEN {ndv} = 1 AND ({e}) <> {only} THEN FALSE "
+                    f"WHEN {cnt} > {nn} THEN {null_b} "
+                    f"ELSE TRUE END)")
+        if not is_all:          # ordering op ANY
+            m = agg("MIN(__v)" if op in (">", ">=") else "MAX(__v)")
+            return (f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                    f"WHEN ({e}) {op} {m} THEN TRUE "
+                    f"WHEN ({e}) IS NULL OR {cnt} > {nn} OR {nn} = 0 "
+                    f"THEN {null_b} ELSE FALSE END)")
+        m = agg("MAX(__v)" if op in (">", ">=") else "MIN(__v)")
+        return (f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                f"WHEN NOT(({e}) {op} {m}) THEN FALSE "
+                f"WHEN ({e}) IS NULL OR {cnt} > {nn} THEN {null_b} "
+                f"ELSE TRUE END)")
+
+    def _between_symmetric(self, parts: list[str]) -> str:
+        """``E [NOT] BETWEEN SYMMETRIC a AND b`` (Sql.g4:218) —
+        bounds apply in either order."""
+        neg = False
+        k = len(parts) - 1
+        while k >= 0 and parts[k].strip() == "":
+            k -= 1
+        if k >= 0 and parts[k].strip().upper() == "NOT":
+            neg = True
+            del parts[k:]
+        e = self._capture_left(parts)
+        self._next()            # BETWEEN
+        self._skip_ws()
+        self._next()            # SYMMETRIC
+        stops = ("AND",)
+        self.postfix = False
+        a = self._walk(closers=(")", ","), stop_words=stops).strip()
+        self._next()            # AND
+        self.postfix = False
+        b = self._walk(closers=(")", ","),
+                       stop_words=("AND", "OR", "AS", "FROM", "WHERE",
+                                   "GROUP", "ORDER", "HAVING", "LIMIT",
+                                   "OFFSET", "FETCH", "THEN", "ELSE",
+                                   "END", "WHEN", "UNION", "INTERSECT",
+                                   "EXCEPT")).strip()
+        out = (f"(({e}) BETWEEN ({a}) AND ({b}) "
+               f"OR ({e}) BETWEEN ({b}) AND ({a}))")
+        return f"(NOT {out})" if neg else out
+
+    def _like_regex(self, parts: list[str]) -> str:
+        """``E [NOT] LIKE_REGEX pat [FLAG f]`` (Sql.g4:221) →
+        regexp_like, flags spliced as an inline ``(?f)`` group."""
+        neg = False
+        k = len(parts) - 1
+        while k >= 0 and parts[k].strip() == "":
+            k -= 1
+        if k >= 0 and parts[k].strip().upper() == "NOT":
+            neg = True
+            del parts[k:]
+        e = self._capture_left(parts)
+        self._next()            # LIKE_REGEX
+        pat = self._parse_primary()
+        flag = None
+        if self._peek()[1].upper() == "FLAG":
+            self._skip_ws()
+            self._next()
+            flag = self._parse_primary()
+        if flag is not None:
+            pat = f"concat('(?', {flag}, ')', {pat})"
+        out = f"regexp_like({e}, {pat})"
+        return f"(NOT {out})" if neg else out
+
+    def _pg_regex_op(self, parts: list[str]) -> str:
+        """Postgres regex operators ``~  ~*  !~  !~*`` (Sql.g4:222
+        PostgresRegexPredicate) → regexp_like."""
+        neg = False
+        k = len(parts) - 1
+        while k >= 0 and parts[k].strip() == "":
+            k -= 1
+        if k >= 0 and parts[k].strip() == "!":
+            neg = True
+            del parts[k:]
+        e = self._capture_left(parts)
+        self._next()            # ~
+        ci = False
+        if self._peek() == ("punct", "*"):
+            self._skip_ws()
+            self._next()
+            ci = True
+        pat = self._parse_primary()
+        if ci:
+            pat = f"concat('(?i)', {pat})"
+        out = f"regexp_like({e}, {pat})"
+        return f"(NOT {out})" if neg else out
+
+    # pg-compat callables the reference hard-wires (sql.clj:1792-1797,
+    # 2228-2234): privilege predicates are TRUE (single-user),
+    # pg_get_expr/_pg_expandarray/pg_get_indexdef are NULL,
+    # pg_table_is_visible TRUE, pg_get_userbyid the server user
+    _PG_CONST_FNS = {
+        "HAS_ANY_COLUMN_PRIVILEGE": "TRUE",
+        "HAS_TABLE_PRIVILEGE": "TRUE",
+        "HAS_SCHEMA_PRIVILEGE": "TRUE",
+        "PG_TABLE_IS_VISIBLE": "TRUE",
+        "PG_GET_EXPR": "CAST(NULL AS STRING)",
+        "_PG_EXPANDARRAY": "CAST(NULL AS STRING)",
+        "PG_GET_INDEXDEF": "CAST(NULL AS STRING)",
+        "PG_GET_USERBYID": "'xtdb'",
+    }
+
+    def _pg_const_fn(self, const: str) -> str:
+        """Swallow ``fn(args…)`` and emit the reference's constant."""
+        self._next()            # the function word
+        self._skip_ws()
+        if self._peek() == ("punct", "("):
+            self._next()
+            self.postfix = False
+            self._walk(closers=(")",))   # discard args
+            if self._peek() == ("punct", ")"):
+                self._next()
+        return const
+
+    def _pg_sleep(self, for_form: bool) -> str:
+        """pg_sleep(seconds) / pg_sleep_for(interval) — the reference
+        really sleeps (sql.clj:1798-1803); lower to a JVM static call
+        so SELECT pg_sleep(1) blocks like postgres."""
+        self._next()
+        self._skip_ws()
+        self._next()            # (
+        self.postfix = False
+        arg = self._walk(closers=(")",)).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        ms = (f"unix_millis(CAST('1970-01-01 00:00:00' AS TIMESTAMP) "
+              f"+ ({arg}))" if for_form
+              else f"CAST(({arg}) * 1000 AS BIGINT)")
+        return (f"nullif(java_method('java.lang.Thread', 'sleep', "
+                f"{ms}), 'void')")
 
     _TBL_ALIAS_STOP = {
         "WHERE", "GROUP", "HAVING", "SELECT", "ORDER", "LIMIT",
