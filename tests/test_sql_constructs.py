@@ -402,3 +402,33 @@ def test_regex_ops_and_between_symmetric(spark, tmp_path):
     assert run("SELECT has_table_privilege('u','t','s') AS a, "
                "pg_table_is_visible(1) AS b, pg_get_userbyid(10) AS c, "
                "pg_get_expr('x', 1) AS d") == [(True, True, "xtdb", None)]
+
+
+def test_iso_intervals_and_xtdb_types(spark, tmp_path):
+    """ISO-8601 interval literals (reference sql.clj:992
+    parse-duration-literal) and the XTDB type spellings in CAST
+    (URI/DURATION/t ARRAY/ROW, Sql.g4:181-196)."""
+    from xtdb_spark.sql.constructs import translate
+
+    def run(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    assert run("SELECT DATE '2024-01-01' + INTERVAL 'P1Y2M' AS d") == \
+        [(__import__("datetime").date(2025, 3, 1),)]
+    got = run("SELECT TIMESTAMP '2024-01-01 00:00:00' "
+              "+ INTERVAL 'PT1H30M' AS t")[0][0]
+    assert (got.hour, got.minute) == (1, 30)
+    # date + day-time interval widens to timestamp in Spark
+    got = run("SELECT DATE '2024-01-22' + INTERVAL '-P3W' AS d")[0][0]
+    assert got == __import__("datetime").datetime(2024, 1, 1, 0, 0)
+    # mixed ym+dt has no single Spark interval type — loud error
+    with pytest.raises(ValueError, match="mixed"):
+        translate("SELECT INTERVAL 'P1Y2M3D'")
+    assert run("SELECT CAST('u://x' AS URI) AS u") == [("u://x",)]
+    assert run("SELECT CAST(array(1, 2) AS INT ARRAY) AS a") == [([1, 2],)]
+    r = run("SELECT CAST(named_struct('a', 1, 'b', 'x') "
+            "AS ROW(a BIGINT, b VARCHAR)) AS r")[0][0]
+    assert (r["a"], r["b"]) == (1, "x")
+    # bare [] subscripts keep Spark's 0-based convention (the
+    # 1-based spelling is element_at, as elsewhere in the dialect)
+    assert run("SELECT ARRAY[1, 2][1] AS e") == [(2,)]

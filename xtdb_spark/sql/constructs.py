@@ -49,6 +49,8 @@ _TRIGGER_RE = re.compile(
     r"|\bHAS_(?:ANY_COLUMN|TABLE|SCHEMA)_PRIVILEGE\s*\("
     r"|\bPG_(?:TABLE_IS_VISIBLE|GET_EXPR|GET_INDEXDEF|GET_USERBYID)"
     r"\s*\(|\b_PG_EXPANDARRAY\s*\("
+    r"|\bINTERVAL\s*'\s*[+-]?P|\bAS\s+URI\b|\bAS\s+DURATION\b"
+    r"|\bAS\s+ROW\s*\(|\bARRAY\s*[),\]]|\bARRAY\s*\[\s*\d+\s*\]"
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
     r"|\b(?:UNION|INTERSECT|EXCEPT)\s+(?:ALL\s+|DISTINCT\s+)?FROM\b",
@@ -354,6 +356,32 @@ class _Translator:
                     parts.append(self._like_regex(parts))
                     self.postfix = True
                     expr_start = None
+                    last_sig = ""
+                    continue
+                if up == "INTERVAL" and self._peek(1)[0] == "str":
+                    inner = self._peek(1)[1][1:-1].strip()
+                    if re.match(r"^[+-]?P", inner, re.IGNORECASE) and \
+                            self._peek(2)[1].upper() not in (
+                                "YEAR", "MONTH", "DAY", "HOUR",
+                                "MINUTE", "SECOND"):
+                        if not self.postfix:
+                            expr_start = len(parts)
+                        parts.append(self._iso_interval_literal())
+                        self.postfix = True
+                        last_sig = ""
+                        continue
+                if up == "ARRAY" and self._peek(1) == ("punct", "["):
+                    # ARRAY[e1, e2] spelling (Sql.g4:505 — the ARRAY
+                    # keyword is optional noise before the literal)
+                    self._next()
+                    self._skip_ws()
+                    self.postfix = False   # the [ branch emits array()
+                    continue
+                if up == "CAST" and self._peek(1) == ("punct", "("):
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    parts.append(self._cast_call())
+                    self.postfix = True
                     last_sig = ""
                     continue
                 if up in self._PG_CONST_FNS and \
@@ -940,6 +968,112 @@ class _Translator:
               else f"CAST(({arg}) * 1000 AS BIGINT)")
         return (f"nullif(java_method('java.lang.Thread', 'sleep', "
                 f"{ms}), 'void')")
+
+    _ISO_DUR_RE = re.compile(
+        r"^([+-]?)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$",
+        re.IGNORECASE)
+
+    @classmethod
+    def _iso_interval_sql(cls, iso: str) -> str:
+        """ISO-8601 duration string → a Spark interval literal.
+        The reference parses these natively (sql.clj:992
+        parse-duration-literal / temporal.clj:667 PeriodDuration);
+        Spark splits year-month from day-time interval types, so a
+        MIXED duration (months AND days/time) has no single Spark
+        value — rejected with guidance."""
+        m = cls._ISO_DUR_RE.match(iso.strip())
+        if not m or iso.strip().upper().rstrip("+-") in ("P", ""):
+            raise ValueError(f"cannot parse ISO duration {iso!r}")
+        sign, y, mo, w, d, h, mi, s = m.groups()
+        y, mo = int(y or 0), int(mo or 0)
+        days = int(d or 0) + 7 * int(w or 0)
+        h, mi = int(h or 0), int(mi or 0)
+        s = s or "0"
+        ym = 12 * y + mo
+        has_dt = days or h or mi or float(s) != 0.0
+        if ym and has_dt:
+            raise ValueError(
+                f"mixed year-month + day-time duration {iso!r} has no "
+                "single Spark interval type — split it into an "
+                "INTERVAL 'PnYnM' + INTERVAL 'PnDTnH…' sum at the "
+                "use site")
+        neg = "-" if sign == "-" else ""
+        if ym:
+            return f"INTERVAL '{neg}{ym // 12}-{ym % 12}' YEAR TO MONTH"
+        if "." in s:
+            ip, fp = s.split(".")
+            s_fmt = f"{int(ip):02d}.{fp}"
+        else:
+            s_fmt = f"{int(s):02d}"
+        return (f"INTERVAL '{neg}{days} {h:02d}:{mi:02d}:{s_fmt}' "
+                f"DAY TO SECOND")
+
+    def _iso_interval_literal(self) -> str:
+        self._next()            # INTERVAL
+        self._skip_ws()
+        raw = self._next()[1]   # the quoted string
+        return self._iso_interval_sql(raw[1:-1].replace("''", "'"))
+
+    def _cast_call(self) -> str:
+        """CAST(expr AS type) with the XTDB-only types mapped:
+        URI → STRING (tagged string in the reference, types.clj),
+        DURATION[(p)] → INTERVAL DAY TO SECOND.  Everything else
+        re-emits unchanged."""
+        self._next()            # CAST
+        self._skip_ws()
+        self._next()            # (
+        self.postfix = False
+        expr = self._walk(closers=(")",), stop_words=("AS",))
+        if self._peek()[1].upper() == "AS":
+            self._skip_ws()
+            self._next()
+        self.postfix = False
+        typ = self._walk(closers=(")",)).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        typ = self._map_type(typ)
+        return f"CAST({expr.strip()} AS {typ})"
+
+    @classmethod
+    def _map_type(cls, typ: str) -> str:
+        """XTDB dataType spellings → Spark (Sql.g4:181-196): URI →
+        STRING, DURATION → day-time interval, ``t ARRAY`` →
+        ``ARRAY<t>``, ``ROW(a t, …)`` → ``STRUCT<a: t, …>``."""
+        t = typ.strip()
+        up = t.upper().replace(" ", "")
+        if up == "URI":
+            return "STRING"
+        if up in ("VARCHAR", "TEXT", "CHAR"):
+            return "STRING"   # CharacterStringType, Sql.g4:185 —
+            #                   Spark needs a length on bare VARCHAR
+        if up == "DURATION" or re.fullmatch(r"DURATION\(\d+\)", up):
+            return "INTERVAL DAY TO SECOND"
+        m = re.fullmatch(r"(.*?)\s+ARRAY(?:\s*\[\s*\d+\s*\])?", t,
+                         re.IGNORECASE | re.DOTALL)
+        if m:
+            return f"ARRAY<{cls._map_type(m.group(1))}>"
+        m = re.fullmatch(r"ROW\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+        if m:
+            fields = []
+            depth = 0
+            cur = ""
+            for ch in m.group(1) + ",":
+                if ch == "," and depth == 0:
+                    fields.append(cur.strip())
+                    cur = ""
+                    continue
+                depth += ch in "(<["
+                depth -= ch in ")>]"
+                cur += ch
+            cols = []
+            for f in fields:
+                if not f:
+                    continue
+                name, _, ft = f.partition(" ")
+                cols.append(f"{name}: {cls._map_type(ft)}")
+            return "STRUCT<" + ", ".join(cols) + ">"
+        return t
 
     _TBL_ALIAS_STOP = {
         "WHERE", "GROUP", "HAVING", "SELECT", "ORDER", "LIMIT",
