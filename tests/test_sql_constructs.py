@@ -432,3 +432,31 @@ def test_iso_intervals_and_xtdb_types(spark, tmp_path):
     # bare [] subscripts keep Spark's 0-based convention (the
     # 1-based spelling is element_at, as elsewhere in the dialect)
     assert run("SELECT ARRAY[1, 2][1] AS e") == [(2,)]
+
+
+def test_typed_literals_and_string_spellings(spark, tmp_path):
+    """Typed literals (Sql.g4:103-113: DURATION/UUID/URI/KEYWORD/
+    TIME) and the extra string spellings (E'…' C-escapes, dollar
+    quoting) — normalized by the tokenizer so Spark sees standard
+    strings."""
+    from xtdb_spark.sql.constructs import translate
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    def run(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    assert run("SELECT UUID '531A379E-31BB-4CE1-8690-158DCEB64BE6' AS u") \
+        == [("531a379e-31bb-4ce1-8690-158dceb64be6",)]
+    assert run("SELECT KEYWORD ':foo' AS k, URI 'http://x' AS r") == \
+        [("foo", "http://x")]
+    got = run("SELECT TIMESTAMP '2024-01-01 00:00:00' "
+              "+ DURATION 'PT45M' AS t")[0][0]
+    assert got.minute == 45
+    assert run("SELECT TIME '10:30:00' < TIME '11:00:00' AS lt") == \
+        [(True,)]
+    # string spellings normalize at the tokenizer
+    toks = _tokenize("SELECT E'a\\nb', $$it's$$, $q$x $ y$q$")
+    strs = [t for k, t in toks if k == "str"]
+    assert strs == ["'a\nb'", "'it''s'", "'x $ y'"]
+    # a column named time followed by an aliased string is untouched
+    assert translate("SELECT t.time 'x'") == "SELECT t.time 'x'"

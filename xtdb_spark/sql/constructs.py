@@ -50,6 +50,7 @@ _TRIGGER_RE = re.compile(
     r"|\bPG_(?:TABLE_IS_VISIBLE|GET_EXPR|GET_INDEXDEF|GET_USERBYID)"
     r"\s*\(|\b_PG_EXPANDARRAY\s*\("
     r"|\bINTERVAL\s*'\s*[+-]?P|\bAS\s+URI\b|\bAS\s+DURATION\b"
+    r"|\b(?:DURATION|UUID|URI|KEYWORD|TIME)\s*'"
     r"|\bAS\s+ROW\s*\(|\bARRAY\s*[),\]]|\bARRAY\s*\[\s*\d+\s*\]"
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
@@ -376,6 +377,34 @@ class _Translator:
                     self._next()
                     self._skip_ws()
                     self.postfix = False   # the [ branch emits array()
+                    continue
+                if up in ("DURATION", "UUID", "URI", "KEYWORD", "TIME") \
+                        and self._peek(1)[0] == "str" \
+                        and not self.postfix and not self._after_dot:
+                    # typed literals (Sql.g4:103-113): DURATION 'PT1H'
+                    # → day-time interval (sql.clj:992 Duration/parse);
+                    # UUID/URI/KEYWORD → canonical strings (keyword
+                    # strips the leading colon, sql.clj:1321-1326);
+                    # TIME 'hh:mm:ss' → HOUR TO SECOND interval (a
+                    # LocalTime total order Spark can compare and add
+                    # to timestamps)
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    raw = self._next()[1][1:-1].replace("''", "'")
+                    if up == "DURATION":
+                        parts.append(self._iso_interval_sql(raw))
+                    elif up == "TIME":
+                        parts.append(f"INTERVAL '{raw}' HOUR TO SECOND")
+                    elif up == "UUID":
+                        parts.append(f"'{raw.lower()}'")
+                    elif up == "KEYWORD":
+                        parts.append(f"'{raw.lstrip(':')}'")
+                    else:
+                        parts.append(f"'{raw}'")
+                    self.postfix = True
+                    last_sig = ""
                     continue
                 if up == "CAST" and self._peek(1) == ("punct", "("):
                     if not self.postfix:

@@ -44,6 +44,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<cstr>[eE]'(?:[^'\\]|\\.|'')*')
+  | (?P<dstr>\$(?P<dtag>[A-Za-z_][A-Za-z_0-9]*|)\$.*?\$(?P=dtag)\$)
   | (?P<str>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
   | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
@@ -54,9 +56,59 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+_C_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+              "\\": "\\", "'": "'", '"': '"', "0": "\0"}
+
+
+def _decode_c_escapes(body: str) -> str:
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        elif c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n in _C_ESCAPES:
+                out.append(_C_ESCAPES[n])
+                i += 2
+            elif n == "x" and i + 3 < len(body) + 1:
+                out.append(chr(int(body[i + 2:i + 4], 16)))
+                i += 4
+            elif n == "u" and i + 5 < len(body) + 1:
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+            else:
+                out.append(n)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _std_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
-    return [(m.lastgroup, m.group()) for m in _TOKEN_RE.finditer(sql)]
+    """Token stream; the reference's extra string spellings
+    (Sql.g4 characterString: E'…' C-escapes, $tag$…$tag$ dollar
+    quoting) normalize to standard SQL strings here, so every
+    downstream pass — and Spark — sees one string form."""
+    out = []
+    for m in _TOKEN_RE.finditer(sql):
+        kind, text = m.lastgroup, m.group()
+        if kind == "cstr":
+            out.append(("str", _std_str(_decode_c_escapes(text[2:-1]))))
+        elif kind in ("dstr", "dtag"):
+            tag = m.group("dtag") or ""
+            k = len(tag) + 2
+            out.append(("str", _std_str(text[k:-k])))
+        else:
+            out.append((kind, text))
+    return out
 
 
 def _unquote(tok: tuple[str, str]) -> str:
