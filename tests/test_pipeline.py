@@ -391,3 +391,19 @@ def test_duplicate_spans_semantics(spark):
     assert got[2]["covered_tokens"] == 20
     # doc4: r0..r11 r0..r11 — every window is a rotation that repeats
     assert got[4]["dup_ratio"] == 1.0
+
+
+def test_global_shuffle_deterministic_and_seeded(spark):
+    from xtdb_spark.pipeline.text import global_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    o1 = [r["doc_id"] for p in range(1)
+          for r in global_shuffle(df, seed=1, partitions=4).collect()]
+    o1b = [r["doc_id"] for r in global_shuffle(df, seed=1,
+                                               partitions=4).collect()]
+    o2 = [r["doc_id"] for r in global_shuffle(df, seed=2,
+                                              partitions=4).collect()]
+    assert o1 == o1b                      # reproducible
+    assert o1 != o2                       # seed changes the epoch
+    assert sorted(o1) == list(range(100))  # a permutation
+    assert o1 != list(range(100))          # actually shuffled

@@ -265,3 +265,28 @@ def test_kafka_path_contract_exactly_once(spark, store, tmp_path):
         spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src),
         store, "ktx", str(tmp_path / "ckpt2"))
     assert store.events("ktx").count() == 5
+
+
+def test_session_counts_merging(spark):
+    """Session windows merge events within the gap and split beyond
+    it; boundary: an event exactly `gap` after the previous one STILL
+    merges (Spark splits only when the gap is exceeded strictly)."""
+    from datetime import datetime
+
+    from xtdb_spark.streaming.ingest import session_counts
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 30)),   # merges (30m < 1h gap)
+        (1, datetime(2024, 1, 1, 11, 30)),   # exactly 1h → still merges
+        (1, datetime(2024, 1, 1, 13, 0)),    # 1h30m gap → NEW session
+        (2, datetime(2024, 1, 1, 9, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["user_id"], r["session_start"], r["n"])
+           for r in session_counts(df, gap="1 hour").collect()}
+    assert got == {
+        (1, datetime(2024, 1, 1, 10, 0), 3),
+        (1, datetime(2024, 1, 1, 13, 0), 1),
+        (2, datetime(2024, 1, 1, 9, 0), 1),
+    }

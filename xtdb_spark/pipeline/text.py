@@ -181,3 +181,22 @@ def repetition_stats(df, id_col: str = "doc_id",
                     .alias("top_word_frac"),
                     F.coalesce("top_bigram_char_frac", F.lit(0.0))
                     .alias("top_bigram_char_frac")))
+
+
+def global_shuffle(df, seed: int = 0, id_col: str = "doc_id",
+                   partitions: int | None = None):
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a pseudo-random but REPRODUCIBLE sort key
+    (md5 of id + seed — engine-portable, no RNG state), and the
+    corpus is range-partitioned + sorted by it.  At cluster scale
+    this is ONE range shuffle (repartitionByRange samples the key
+    space, so partitions balance even though md5 is uniform anyway) —
+    no global window, no driver collect; changing `seed` gives an
+    independent permutation for each training epoch."""
+    keyed = df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{seed}"))))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (keyed.repartitionByRange(n, "shuffle_key")
+            .sortWithinPartitions("shuffle_key"))

