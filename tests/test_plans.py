@@ -171,3 +171,24 @@ def test_cb_topk_no_global_sort(no_aqe):
     aggregate output."""
     f = facts(no_aqe, "cb_group_count_topk")
     assert "TakeOrderedAndProject" in f.text
+
+
+def test_substring_dedup_two_shuffles_and_pruned_scan(no_aqe):
+    """pipe_dedup_substring's scale shape: the scan reads only
+    (doc_id, text); the short-doc filter runs BEFORE the shingle
+    explode; exactly two exchanges (fingerprint window, doc_id
+    islands) — no groupBy+self-join recompute of the explode."""
+    f = facts(no_aqe, "pipe_dedup_substring")
+    assert f.scan_reads_only("doc_id", "text")
+    assert f.text.count("Generate") >= 1          # the explode
+    assert f.n_shuffles == 2, f.n_shuffles
+    assert "CartesianProduct" not in f.text
+
+
+def test_global_shuffle_is_single_range_exchange(no_aqe):
+    """pipe_global_shuffle: one range repartition + local sort — no
+    global window, no single-partition funnel."""
+    f = facts(no_aqe, "pipe_global_shuffle")
+    assert f.n_shuffles == 1, f.n_shuffles
+    assert "rangepartitioning" in f.text.lower()
+    assert "Window" not in f.text
