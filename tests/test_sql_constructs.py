@@ -460,3 +460,26 @@ def test_typed_literals_and_string_spellings(spark, tmp_path):
     assert strs == ["'a\nb'", "'it''s'", "'x $ y'"]
     # a column named time followed by an aliased string is untouched
     assert translate("SELECT t.time 'x'") == "SELECT t.time 'x'"
+
+
+def test_search_condition_comma_and(spark, tmp_path):
+    """searchCondition commas are implicit AND (Sql.g4:749,
+    sql.clj:1273 wraps the exprs in one `and`) — in WHERE, HAVING,
+    DML WHERE, subqueries, and FROM-first tails."""
+    xt = make_xt(spark, tmp_path)
+    rewrite_and_run(xt, "INSERT INTO sc RECORDS "
+                        "{_id: 1, a: 5, b: 1}, {_id: 2, a: 5, b: 9}, "
+                        "{_id: 3, a: 0, b: 9}")
+    rows = rewrite_and_run(
+        xt, "SELECT _id FROM sc WHERE a > 1, b > 5").collect()
+    assert [r["_id"] for r in rows] == [2]
+    rows = rewrite_and_run(
+        xt, "FROM sc WHERE a > 1, b < 5 SELECT _id").collect()
+    assert [r["_id"] for r in rows] == [1]
+    rows = rewrite_and_run(
+        xt, "SELECT a, count(*) AS n FROM sc "
+            "GROUP BY a HAVING count(*) > 1, a > 1").collect()
+    assert [(r["a"], r["n"]) for r in rows] == [(5, 2)]
+    rewrite_and_run(xt, "DELETE FROM sc WHERE a > 1, b > 5")
+    rows = rewrite_and_run(xt, "SELECT _id FROM sc ORDER BY _id").collect()
+    assert [r["_id"] for r in rows] == [1, 3]

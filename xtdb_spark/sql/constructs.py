@@ -51,6 +51,10 @@ _TRIGGER_RE = re.compile(
     r"\s*\(|\b_PG_EXPANDARRAY\s*\("
     r"|\bINTERVAL\s*'\s*[+-]?P|\bAS\s+URI\b|\bAS\s+DURATION\b"
     r"|\b(?:DURATION|UUID|URI|KEYWORD|TIME)\s*'"
+    # searchCondition comma-AND: any WHERE/HAVING query walks (the
+    # walk is identity on standard SQL; commas split only at the
+    # condition's own top level)
+    r"|\bWHERE\b|\bHAVING\b"
     r"|\bAS\s+ROW\s*\(|\bARRAY\s*[),\]]|\bARRAY\s*\[\s*\d+\s*\]"
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
@@ -429,6 +433,19 @@ class _Translator:
                     self.postfix = True
                     last_sig = ""
                     continue
+                if up in ("WHERE", "HAVING"):
+                    # searchCondition: top-level commas = implicit AND
+                    parts.append(self._next()[1])
+                    parts.append(" ")
+                    parts.append(self._search_condition())
+                    if self.i < len(self.toks) and \
+                            self._peek() != ("punct", ")"):
+                        parts.append(" ")
+                    self.postfix = False
+                    expr_start = None
+                    last_sig = ""
+                    from_ctx = False
+                    continue
                 if up in _FROM_FIRST_SUPPRESS:
                     suppress = True
                 elif up in ("UNION", "INTERSECT", "EXCEPT"):
@@ -673,6 +690,31 @@ class _Translator:
             out += f", {src} AS {alias}"
         return out
 
+    _SC_STOPS = ("GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                 "FETCH", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+                 "SELECT", "RETURNING", "WHERE")
+
+    def _search_condition(self) -> str:
+        """searchCondition (Sql.g4:749 ``expr? (',' expr?)*``) —
+        top-level commas are implicit AND (sql.clj:1273 wraps the
+        exprs in one ``and``); empty slots are skipped."""
+        conds: list[str] = []
+        while True:
+            self.postfix = False
+            c = self._walk(closers=(")", ","),
+                           stop_words=self._SC_STOPS).strip()
+            if c:
+                conds.append(c)
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            break
+        if not conds:
+            return ""
+        if len(conds) == 1:
+            return conds[0]
+        return " AND ".join(f"({c})" for c in conds)
+
     def _from_first(self) -> str:
         """``FROM t [tail …]`` query term where tail = ``WHERE p`` |
         ``[GROUP BY g [HAVING h]] SELECT list`` (Sql.g4:681-693
@@ -700,9 +742,7 @@ class _Translator:
             up = t.upper() if k == "word" else ""
             if up == "WHERE":
                 self._next()
-                self.postfix = False
-                cond = self._walk(closers=(")",),
-                                  stop_words=_FF_STOPS).strip()
+                cond = self._search_condition()
                 if rel is None:
                     conds.append(cond)
                 else:
@@ -720,9 +760,7 @@ class _Translator:
                                        stop_words=_FF_STOPS).strip()
                 if self._peek()[1].upper() == "HAVING":
                     self._next()
-                    self.postfix = False
-                    having = self._walk(closers=(")",),
-                                        stop_words=_FF_STOPS).strip()
+                    having = self._search_condition()
                 if self._peek()[1].upper() != "SELECT":
                     raise ValueError(
                         "FROM-first GROUP BY/HAVING tail must be "
