@@ -483,3 +483,27 @@ def test_search_condition_comma_and(spark, tmp_path):
     rewrite_and_run(xt, "DELETE FROM sc WHERE a > 1, b > 5")
     rows = rewrite_and_run(xt, "SELECT _id FROM sc ORDER BY _id").collect()
     assert [r["_id"] for r in rows] == [1, 3]
+
+
+def test_offset_fetch_spellings(spark, tmp_path):
+    """offsetAndLimit (Sql.g4:698-711): FETCH FIRST/NEXT … ONLY, the
+    ROW/ROWS noise words, and the offset-before-limit order all
+    canonicalize to Spark's LIMIT … OFFSET …."""
+    from xtdb_spark.sql.constructs import translate
+
+    spark.createDataFrame([(i,) for i in range(10)], "a int") \
+        .createOrReplaceTempView("of_t")
+
+    def run(sql):
+        return [r["a"] for r in spark.sql(translate(sql)).collect()]
+
+    assert run("SELECT a FROM of_t ORDER BY a "
+               "FETCH FIRST 3 ROWS ONLY") == [0, 1, 2]
+    assert run("SELECT a FROM of_t ORDER BY a FETCH NEXT ROW ONLY") == [0]
+    assert run("SELECT a FROM of_t ORDER BY a "
+               "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY") == [2, 3, 4]
+    assert run("SELECT a FROM of_t ORDER BY a OFFSET 8 ROW") == [8, 9]
+    assert run("SELECT a FROM of_t ORDER BY a OFFSET 2 LIMIT 3") == \
+        [2, 3, 4]
+    assert run("SELECT a FROM of_t ORDER BY a LIMIT 3 OFFSET 2") == \
+        [2, 3, 4]

@@ -55,6 +55,7 @@ _TRIGGER_RE = re.compile(
     # walk is identity on standard SQL; commas split only at the
     # condition's own top level)
     r"|\bWHERE\b|\bHAVING\b"
+    r"|\bFETCH\b|\bOFFSET\s+(?:\d+|\?)\s+(?:ROWS?\b|LIMIT\b)"
     r"|\bAS\s+ROW\s*\(|\bARRAY\s*[),\]]|\bARRAY\s*\[\s*\d+\s*\]"
     r"|^\s*(?:EXPLAIN\s+(?:ANALYZE\s+)?)?(?:SETTING\b.*?)?FROM\b"
     r"|\(\s*FROM\b|\)\s*FROM\b"
@@ -433,6 +434,18 @@ class _Translator:
                     self.postfix = True
                     last_sig = ""
                     continue
+                if (up == "FETCH" and
+                        self._peek(1)[1].upper() in ("FIRST", "NEXT")) \
+                        or (up == "OFFSET"
+                            and self._peek(1)[0] in ("num", "param")):
+                    parts.append(self._offset_fetch())
+                    if self.i < len(self.toks) and \
+                            self._peek() != ("punct", ")"):
+                        parts.append(" ")
+                    self.postfix = False
+                    expr_start = None
+                    last_sig = ""
+                    continue
                 if up in ("WHERE", "HAVING"):
                     # searchCondition: top-level commas = implicit AND
                     parts.append(self._next()[1])
@@ -714,6 +727,53 @@ class _Translator:
         if len(conds) == 1:
             return conds[0]
         return " AND ".join(f"({c})" for c in conds)
+
+    def _offset_fetch(self) -> str:
+        """offsetAndLimit (Sql.g4:698-711): ``OFFSET n [ROW|ROWS]``
+        and ``FETCH FIRST|NEXT [n] ROW|ROWS ONLY`` (and either
+        order, plus the LIMIT spelling) → canonical Spark
+        ``LIMIT n OFFSET m`` (Spark only parses that order and has
+        no FETCH/ROW-noise forms)."""
+        off = lim = None
+        while True:
+            k, t = self._peek()
+            up = t.upper() if k == "word" else ""
+            if up == "OFFSET" and off is None:
+                self._skip_ws()
+                self._next()
+                self._skip_ws()
+                off = self._next()[1]
+                if self._peek()[1].upper() in ("ROW", "ROWS"):
+                    self._skip_ws()
+                    self._next()
+            elif up == "FETCH" and lim is None:
+                self._skip_ws()
+                self._next()          # FETCH
+                self._skip_ws()
+                self._next()          # FIRST | NEXT
+                lim = "1"
+                if self._peek()[0] in ("num", "param"):
+                    self._skip_ws()
+                    lim = self._next()[1]
+                if self._peek()[1].upper() in ("ROW", "ROWS"):
+                    self._skip_ws()
+                    self._next()
+                if self._peek()[1].upper() == "ONLY":
+                    self._skip_ws()
+                    self._next()
+            elif up == "LIMIT" and lim is None:
+                self._skip_ws()
+                self._next()
+                self._skip_ws()
+                lim = self._next()[1]
+            else:
+                break
+        out = []
+        if lim is not None:
+            out.append(f"LIMIT {lim}")
+        if off is not None:
+            out.append(f"OFFSET {off}")
+        return " ".join(out)
 
     def _from_first(self) -> str:
         """``FROM t [tail …]`` query term where tail = ``WHERE p`` |
