@@ -507,3 +507,22 @@ def test_offset_fetch_spellings(spark, tmp_path):
         [2, 3, 4]
     assert run("SELECT a FROM of_t ORDER BY a LIMIT 3 OFFSET 2") == \
         [2, 3, 4]
+
+
+def test_quantified_over_arrays(spark, tmp_path):
+    """`op ANY/ALL (array-expr)` (sql.clj:2155
+    QuantifiedComparisonExpr — the postgres `= ANY(array)` form) →
+    Spark exists/forall, which follow 3VL natively."""
+    from xtdb_spark.sql.constructs import translate
+
+    def run(sql):
+        return spark.sql(translate(sql)).collect()[0]["r"]
+
+    assert run("SELECT (5 = ANY (array(3, 5))) AS r") is True
+    assert run("SELECT (5 = ANY (array(3, CAST(NULL AS INT)))) AS r") \
+        is None
+    assert run("SELECT (5 = ANY (array())) AS r") is False
+    assert run("SELECT (5 > ALL (array(1, 2))) AS r") is True
+    assert run("SELECT (5 > ALL (array(1, CAST(NULL AS INT)))) AS r") \
+        is None
+    assert run("SELECT (5 > ALL (array())) AS r") is True

@@ -929,6 +929,16 @@ class _Translator:
         if self._peek() == ("punct", ")"):
             self._next()
         is_all = quant == "ALL"
+        head = q.lstrip()[:8].upper()
+        if not (q.lstrip().startswith("(")
+                or any(head.startswith(w) for w in
+                       ("SELECT", "WITH", "VALUES", "FROM", "XTQL",
+                        "RECORDS", "TABLE"))):
+            # array operand (sql.clj:2155 QuantifiedComparisonExpr —
+            # the postgres `= ANY(array)` form): Spark's exists/forall
+            # higher-order functions follow 3VL natively
+            fn = "forall" if is_all else "exists"
+            return f"{fn}({q}, __xt_sv -> ({e}) {op} __xt_sv)"
         self._ff_n += 1
         n = self._ff_n
 
