@@ -526,3 +526,40 @@ def test_quantified_over_arrays(spark, tmp_path):
     assert run("SELECT (5 > ALL (array(1, CAST(NULL AS INT)))) AS r") \
         is None
     assert run("SELECT (5 > ALL (array())) AS r") is True
+
+
+def test_review_fix_regressions(spark, tmp_path):
+    """Round-6 review findings, pinned: star-modifier multiplication
+    guard, CASE…END left operands, keyword-prefixed array columns,
+    ?-param refusal in reordering/duplicating rewrites, signed empty
+    durations, concatenated regex patterns, tolerant C-escapes."""
+    from xtdb_spark.sql.constructs import translate
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    # multiplication by a bare column named exclude is untouched
+    assert translate("SELECT price * exclude FROM t WHERE x > 0") == \
+        "SELECT price * exclude FROM t WHERE x > 0"
+    # CASE…END as the quantified left operand survives whole
+    q = ("SELECT (CASE WHEN a = 1 THEN b ELSE c END "
+         "= ANY (SELECT * FROM (VALUES (5), (9)) v(x))) AS r")
+    spark.createDataFrame([(1, 5, 3)], "a int, b int, c int") \
+        .createOrReplaceTempView("rr_t")
+    got = spark.sql(translate(q + " FROM rr_t")).collect()[0]["r"]
+    assert got is True
+    # a column named `selections` is an ARRAY operand, not a subquery
+    assert "exists(selections" in translate(
+        "SELECT a FROM t WHERE x = ANY(selections)")
+    # ?-params inside rewrites that duplicate/reorder refuse loudly
+    with pytest.raises(ValueError):
+        translate("SELECT a FROM t WHERE x = ANY(SELECT v FROM u "
+                  "WHERE k = ?)")
+    with pytest.raises(ValueError):
+        translate("SELECT a FROM t ORDER BY a OFFSET ? ROWS "
+                  "FETCH NEXT ? ROWS ONLY")
+    with pytest.raises(ValueError):
+        translate("SELECT INTERVAL '-P'")
+    # || binds tighter than ~ (postgres precedence)
+    assert spark.sql(translate("SELECT ('ab' ~ 'a' || 'b') AS m")) \
+        .collect()[0]["m"] is True
+    # PG-style 1-digit \x escape doesn't crash tokenization
+    assert _tokenize(r"SELECT E'\x9!'")[-1] == ("str", "'\t!'")

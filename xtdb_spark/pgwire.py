@@ -905,6 +905,9 @@ class _Conn:
                 if t == b"X":
                     return
                 try:
+                    # a stale cancel that raced a COMPLETED statement
+                    # must not relabel the next unrelated error 57014
+                    self.cancel_requested = False
                     self._dispatch(t, body)
                 except (ConnectionResetError, BrokenPipeError):
                     raise

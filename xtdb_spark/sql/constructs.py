@@ -257,6 +257,7 @@ class _Translator:
             if kind == "word" and stop_words and text.upper() in stop_words:
                 break
             if kind == "punct" and text == "*" and \
+                    (not self.postfix or self._after_dot) and \
                     self._peek(1)[0] == "word" and \
                     self._peek(1)[1].upper() in ("EXCLUDE", "RENAME"):
                 parts.append(self._star_modifiers(parts))
@@ -735,10 +736,12 @@ class _Translator:
         ``LIMIT n OFFSET m`` (Spark only parses that order and has
         no FETCH/ROW-noise forms)."""
         off = lim = None
+        off_first = False
         while True:
             k, t = self._peek()
             up = t.upper() if k == "word" else ""
             if up == "OFFSET" and off is None:
+                off_first = lim is None
                 self._skip_ws()
                 self._next()
                 self._skip_ws()
@@ -768,6 +771,12 @@ class _Translator:
                 lim = self._next()[1]
             else:
                 break
+        if off == "?" and lim == "?" and off_first:
+            # canonicalizing to LIMIT…OFFSET would swap the two
+            # positional bindings — refuse loudly rather than misbind
+            raise ValueError(
+                "OFFSET ? … FETCH/LIMIT ? cannot be reordered with "
+                "positional parameters — write LIMIT ? OFFSET ?")
         out = []
         if lim is not None:
             out.append(f"LIMIT {lim}")
@@ -861,6 +870,7 @@ class _Translator:
         constructs were emitted as single fragments, so they ride
         along as atoms."""
         depth = 0
+        case_depth = 0   # CASE…END blocks ride along whole
         start = len(parts)
         k = len(parts) - 1
         while k >= 0:
@@ -876,11 +886,17 @@ class _Translator:
                     break
                 depth -= 1
             elif depth == 0:
-                if fs == "," or fs in ("=", "<", ">", "!"):
-                    break
-                if re.fullmatch(r"[A-Za-z_]\w*", fs) and \
-                        fs.upper() in self._LEFT_STOPS:
-                    break
+                up = fs.upper() if re.fullmatch(r"[A-Za-z_]\w*", fs) \
+                    else None
+                if up == "END":
+                    case_depth += 1
+                elif up == "CASE" and case_depth:
+                    case_depth -= 1
+                elif case_depth == 0:
+                    if fs == "," or fs in ("=", "<", ">", "!"):
+                        break
+                    if up is not None and up in self._LEFT_STOPS:
+                        break
             start = k
             k -= 1
         left = "".join(parts[start:]).strip()
@@ -929,16 +945,23 @@ class _Translator:
         if self._peek() == ("punct", ")"):
             self._next()
         is_all = quant == "ALL"
-        head = q.lstrip()[:8].upper()
-        if not (q.lstrip().startswith("(")
-                or any(head.startswith(w) for w in
-                       ("SELECT", "WITH", "VALUES", "FROM", "XTQL",
-                        "RECORDS", "TABLE"))):
+        if not re.match(r"\s*(?:\(|(?:SELECT|WITH|VALUES|FROM|XTQL"
+                        r"|RECORDS|TABLE)\b)", q, re.IGNORECASE):
             # array operand (sql.clj:2155 QuantifiedComparisonExpr —
             # the postgres `= ANY(array)` form): Spark's exists/forall
-            # higher-order functions follow 3VL natively
+            # higher-order functions follow 3VL natively.  The \b
+            # keeps columns like `selections` out of the subquery arm.
             fn = "forall" if is_all else "exists"
             return f"{fn}({q}, __xt_sv -> ({e}) {op} __xt_sv)"
+        strip_lits = (lambda s: re.sub(r"'(?:[^']|'')*'", "", s))
+        if "?" in strip_lits(q) or "?" in strip_lits(e):
+            # the lowering re-emits both sides several times, which
+            # would duplicate positional parameters and shift every
+            # later ?-binding — refuse loudly rather than misbind
+            raise ValueError(
+                "positional ? parameters inside a quantified "
+                "comparison are not supported — inline the value or "
+                "use a temp view for the subquery")
         self._ff_n += 1
         n = self._ff_n
 
@@ -1028,16 +1051,29 @@ class _Translator:
             del parts[k:]
         e = self._capture_left(parts)
         self._next()            # LIKE_REGEX
-        pat = self._parse_primary()
+        pat = self._rhs_operand(extra=("FLAG",))
         flag = None
         if self._peek()[1].upper() == "FLAG":
             self._skip_ws()
             self._next()
-            flag = self._parse_primary()
+            flag = self._rhs_operand()
         if flag is not None:
             pat = f"concat('(?', {flag}, ')', {pat})"
         out = f"regexp_like({e}, {pat})"
         return f"(NOT {out})" if neg else out
+
+    def _rhs_operand(self, extra: tuple = ()) -> str:
+        """Right operand of an infix rewrite (regex pattern, flag):
+        a full expression up to the next top-level boundary word, so
+        concatenations like ``~ 'a' || 'b'`` stay whole (PG gives
+        ``||`` higher precedence than the regex operators)."""
+        self.postfix = False
+        return self._walk(
+            closers=(")", ","),
+            stop_words=("AND", "OR", "AS", "FROM", "WHERE", "GROUP",
+                        "ORDER", "HAVING", "LIMIT", "OFFSET", "FETCH",
+                        "THEN", "ELSE", "END", "WHEN", "UNION",
+                        "INTERSECT", "EXCEPT") + extra).strip()
 
     def _pg_regex_op(self, parts: list[str]) -> str:
         """Postgres regex operators ``~  ~*  !~  !~*`` (Sql.g4:222
@@ -1056,7 +1092,7 @@ class _Translator:
             self._skip_ws()
             self._next()
             ci = True
-        pat = self._parse_primary()
+        pat = self._rhs_operand()
         if ci:
             pat = f"concat('(?i)', {pat})"
         out = f"regexp_like({e}, {pat})"
@@ -1120,7 +1156,7 @@ class _Translator:
         MIXED duration (months AND days/time) has no single Spark
         value — rejected with guidance."""
         m = cls._ISO_DUR_RE.match(iso.strip())
-        if not m or iso.strip().upper().rstrip("+-") in ("P", ""):
+        if not m or iso.strip().upper().lstrip("+-") in ("P", ""):
             raise ValueError(f"cannot parse ISO duration {iso!r}")
         sign, y, mo, w, d, h, mi, s = m.groups()
         y, mo = int(y or 0), int(mo or 0)

@@ -73,12 +73,23 @@ def _decode_c_escapes(body: str) -> str:
             if n in _C_ESCAPES:
                 out.append(_C_ESCAPES[n])
                 i += 2
-            elif n == "x" and i + 3 < len(body) + 1:
-                out.append(chr(int(body[i + 2:i + 4], 16)))
-                i += 4
-            elif n == "u" and i + 5 < len(body) + 1:
-                out.append(chr(int(body[i + 2:i + 6], 16)))
-                i += 6
+            elif n == "x":
+                # PG accepts 1-2 hex digits after \x
+                hm = re.match(r"[0-9a-fA-F]{1,2}", body[i + 2:i + 4])
+                if hm:
+                    out.append(chr(int(hm.group(), 16)))
+                    i += 2 + len(hm.group())
+                else:
+                    out.append(n)
+                    i += 2
+            elif n == "u":
+                hm = re.match(r"[0-9a-fA-F]{4}", body[i + 2:i + 6])
+                if hm:
+                    out.append(chr(int(hm.group(), 16)))
+                    i += 6
+                else:
+                    out.append(n)
+                    i += 2
             else:
                 out.append(n)
                 i += 2
