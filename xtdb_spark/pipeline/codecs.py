@@ -549,16 +549,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
 
 def _jpeg_scan(b, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+    """Baseline interleaved scan: entropy-decode every block's
+    zigzag coefficients into per-component grids, then hand off to
+    the shared vectorized `_jpeg_assemble` (batched einsum IDCT +
+    upsample + color convert — same tail as the progressive path)."""
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    C = _idct_matrix()
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               dtype=np.float32))
+    coeffs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                       dtype=np.int32) for c in comps]
     r = _BitReader(b, pos)
     pred = [0] * len(comps)
     mcu_count = 0
@@ -569,10 +570,10 @@ def _jpeg_scan(b, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dc_t, ac_t = scan_sel[c["id"]]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = coeffs[ci][my * c["v"] + by,
+                                        mx * c["h"] + bx]
                         t = _huff_decode(r, huff_dc[dc_t])
                         diff = _extend(r.bits(t), t)
                         pred[ci] += diff
@@ -591,29 +592,8 @@ def _jpeg_scan(b, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                                 break
                             zz[k] = _extend(r.bits(ss), ss)
                             k += 1
-                        blk = np.zeros(64, dtype=np.float32)
-                        blk[_ZIGZAG] = (zz * q).astype(np.float32)
-                        sp = C.T @ blk.reshape(8, 8) @ C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = sp
             mcu_count += 1
-    # upsample to full geometry (nearest) and crop
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        g = np.clip(full[0], 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=2)
-    return np.clip(rgb, 0, 255).astype(np.uint8)
+    return _jpeg_assemble(frame, coeffs, qt)
 
 
 # --- JPEG (progressive) ------------------------------------------------------
