@@ -407,3 +407,19 @@ def test_global_shuffle_deterministic_and_seeded(spark):
     assert o1 != o2                       # seed changes the epoch
     assert sorted(o1) == list(range(100))  # a permutation
     assert o1 != list(range(100))          # actually shuffled
+
+
+def test_span_pairs_star_shape(spark):
+    """Span-pair attribution: k docs sharing a fingerprint yield k-1
+    star edges from the minimum doc, not k^2 pairs."""
+    from xtdb_spark.pipeline.dedup import span_pairs
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, "pre " + shared), (3, shared + " post"),
+         (4, " ".join(f"u{i}" for i in range(20)))],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared_shingles"]
+           for r in span_pairs(docs, w=12).collect()}
+    assert set(got) == {(1, 2), (1, 3)}        # star from doc 1
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1

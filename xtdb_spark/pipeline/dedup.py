@@ -336,3 +336,36 @@ def duplicate_spans(docs: DataFrame, w: int = 12) -> DataFrame:
                     "covered_tokens", "n_tokens",
                     F.round(F.col("covered_tokens")
                             / F.col("n_tokens"), 4).alias("dup_ratio")))
+
+
+def span_pairs(docs: DataFrame, w: int = 12) -> DataFrame:
+    """Companion to `duplicate_spans`: WHICH documents share
+    duplicated w-token spans.  Pairs are star-shaped — every doc
+    containing a duplicated fingerprint links to the MINIMUM doc id
+    holding it — so a fingerprint occurring in k docs yields k-1
+    rows, not k², and a hot boilerplate shingle cannot go quadratic.
+    → (doc_a, doc_b, n_shared_shingles), doc_a < doc_b.
+
+    Same two-shuffle shape as duplicate_spans (fingerprint window,
+    then the pair groupBy); md5 for engine-portable fingerprints —
+    swap for xxhash64 at 100 TB."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+    sized = (docs.select("doc_id", toks.alias("toks"))
+             .withColumn("n_tokens", F.size("toks"))
+             .filter(F.col("n_tokens") >= w))
+    sh = sized.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, n_tokens - {w}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w}))))"
+        )).alias("h")).distinct()
+    win = Window.partitionBy("h")
+    marked = (sh.withColumn("m", F.min("doc_id").over(win))
+              .withColumn("c", F.count("*").over(win)))
+    return (marked.filter((F.col("c") > 1) & (F.col("doc_id") != F.col("m")))
+            .groupBy(F.col("m").alias("doc_a"),
+                     F.col("doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared_shingles")))

@@ -1001,3 +1001,38 @@ def global_shuffle_q(spark, sf_dir):
 
     d = ld(spark, sf_dir, "documents")
     return T.global_shuffle(d, seed=42).select("doc_id", "shuffle_key")
+
+
+@register(
+    "pipe_dedup_span_pairs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base
+              WHERE len(toks) >= 12),
+    pos AS (SELECT doc_id, n_tokens, toks,
+                   unnest(range(0, n_tokens - 11)) AS p
+            FROM sized),
+    sh AS (SELECT DISTINCT doc_id,
+                  md5(array_to_string(list_slice(toks, p + 1, p + 12),
+                                      ' ')) AS h
+           FROM pos),
+    marked AS (SELECT doc_id, h,
+                      MIN(doc_id) OVER (PARTITION BY h) AS m,
+                      COUNT(*) OVER (PARTITION BY h) AS c
+               FROM sh)
+    SELECT m AS doc_a, doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM marked WHERE c > 1 AND doc_id <> m
+    GROUP BY m, doc_id
+    """,
+)
+def dedup_span_pairs(spark, sf_dir):
+    """Span-sharing pair attribution (pipeline/dedup.py span_pairs):
+    star-shaped links from each duplicated fingerprint's minimum doc,
+    so hot boilerplate shingles stay linear, never quadratic."""
+    d = ld(spark, sf_dir, "documents")
+    return dedup.span_pairs(d, w=12)
