@@ -423,3 +423,21 @@ def test_span_pairs_star_shape(spark):
            for r in span_pairs(docs, w=12).collect()}
     assert set(got) == {(1, 2), (1, 3)}        # star from doc 1
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1
+
+
+def test_normalize_text_unicode_semantics(spark):
+    """NFC + casefold on real Unicode: combining sequences compose,
+    casefold exceeds lower() (German sharp s)."""
+    from xtdb_spark.pipeline.text import normalize_text
+
+    rows = [(1, "Café STRASSE"),     # e + combining acute
+            (2, "café straße"),  # precomposed + sharp s
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"]
+           for r in df.select("doc_id",
+                              normalize_text().alias("n")).collect()}
+    assert got[1] == "café strasse"   # composed + casefolded
+    assert got[2] == "café strasse"   # ß → ss via casefold
+    assert got[3] is None
+    assert got[1] == got[2]                # the dedup-relevant point

@@ -200,3 +200,31 @@ def global_shuffle(df, seed: int = 0, id_col: str = "doc_id",
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return (keyed.repartitionByRange(n, "shuffle_key")
             .sortWithinPartitions("shuffle_key"))
+
+
+def normalize_text(col_name: str = "text", form: str = "NFC",
+                   casefold: bool = True):
+    """Unicode normalization for corpus prep: NFC/NFKC/NFD/NFKD via
+    a vectorized pandas UDF (Spark has no builtin normalizer;
+    unicodedata is stdlib, Arrow-batched — no per-row Python calls
+    into the JVM).  `casefold` applies the full Unicode casefold
+    (stronger than lower() for ß, dotted I, …)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if casefold else y
+        return s.map(one)
+
+    # set real (non-stringified) hints — this module uses
+    # `from __future__ import annotations`, which would otherwise
+    # leave pandas_udf unable to resolve the signature
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+    return _norm(F.col(col_name))

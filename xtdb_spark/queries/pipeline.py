@@ -1036,3 +1036,25 @@ def dedup_span_pairs(spark, sf_dir):
     so hot boilerplate shingles stay linear, never quadratic."""
     d = ld(spark, sf_dir, "documents")
     return dedup.span_pairs(d, w=12)
+
+
+@register(
+    "pipe_text_normalize",
+    """
+    SELECT doc_id, md5(nfc_normalize(lower(text))) AS norm_fp,
+           CAST(length(nfc_normalize(lower(text))) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_normalize_q(spark, sf_dir):
+    """Unicode NFC normalization + casefold (pipeline/text.py
+    normalize_text, Arrow-batched pandas UDF) — fingerprinted so the
+    oracle (DuckDB's native nfc_normalize) verifies the actual
+    normalized bytes.  Note lower() vs casefold() agree on this
+    corpus; the casefold extras (ß→ss, …) are unit-tested."""
+    from xtdb_spark.pipeline import text as T
+
+    d = ld(spark, sf_dir, "documents")
+    norm = T.normalize_text("text", form="NFC", casefold=True)
+    return d.select("doc_id", F.md5(norm).alias("norm_fp"),
+                    F.length(norm).cast("long").alias("n_chars"))
