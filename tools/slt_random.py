@@ -115,6 +115,18 @@ def gen_construct_pair(rng: random.Random) -> tuple[str, str]:
             f"ORDER BY {order} LIMIT {lim}",
             f"SELECT {kept}{', ' if kept else ''}{ren} AS {ren}_r "
             f"FROM {t} ORDER BY {order} LIMIT {lim}")
+    if kind < 0.30:
+        # quantified comparisons: the SAME spelling runs through our
+        # 3VL scalar-aggregate lowering on Spark and natively on
+        # DuckDB — empty/NULL/dup subquery shapes arise naturally
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        quant = rng.choice(["ANY", "SOME", "ALL"])
+        th = rng.randint(0, 600)
+        lim = rng.randint(20, 150)
+        sub = (f"SELECT {c2} FROM {t} s2 WHERE s2.{c1} < {th}")
+        q = (f"SELECT {c1}, ({c1} {op} {quant} ({sub})) AS m "
+             f"FROM {t} ORDER BY {c1}, m LIMIT {lim}")
+        return (q, q)
     if kind < 0.40:
         # object literal + field access
         m = rng.randint(5, 13)
