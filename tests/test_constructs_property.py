@@ -104,3 +104,42 @@ def test_literal_trees_match_duckdb(spark, duck, v):
     s_val = _norm(spark.sql(translate(xt_sql)).collect()[0]["r"])
     d_val = _norm(duck.execute(du_sql).fetchone()[0])
     assert s_val == d_val, (xt_sql, s_val, d_val)
+
+
+@given(
+    y=st.integers(0, 5), mo=st.integers(0, 11),
+    d=st.integers(0, 40), h=st.integers(0, 23),
+    mi=st.integers(0, 59), sec=st.integers(0, 59),
+    neg=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_iso_interval_parse_property(y, mo, d, h, mi, sec, neg):
+    """Property: the ISO-duration → Spark-interval-literal lowering
+    round-trips against Python's own calendar/timedelta arithmetic
+    (year-month and day-time cases generated separately — mixed is
+    rejected by design)."""
+    import re as _re
+    from datetime import datetime, timedelta
+
+    from xtdb_spark.sql.constructs import _Translator
+
+    sign = "-" if neg else ""
+    if y or mo:
+        iso = f"{sign}P{y}Y{mo}M"
+        out = _Translator._iso_interval_sql(iso)
+        m = _re.match(r"INTERVAL '(-?)(\d+)-(\d+)' YEAR TO MONTH", out)
+        assert m, out
+        total = (12 * y + mo) * (-1 if m.group(1) == "-" else 1)
+        assert int(m.group(2)) * 12 + int(m.group(3)) == abs(12 * y + mo)
+        assert (m.group(1) == "-") == (neg and (y or mo) > 0)
+    else:
+        iso = f"{sign}P{d}DT{h}H{mi}M{sec}S"
+        out = _Translator._iso_interval_sql(iso)
+        m = _re.match(r"INTERVAL '(-?)(\d+) (\d+):(\d+):(\d+)' "
+                      r"DAY TO SECOND", out)
+        assert m, out
+        got = timedelta(days=int(m.group(2)), hours=int(m.group(3)),
+                        minutes=int(m.group(4)), seconds=int(m.group(5)))
+        want = timedelta(days=d, hours=h, minutes=mi, seconds=sec)
+        assert got == want
+        assert (m.group(1) == "-") == (neg and want > timedelta())
