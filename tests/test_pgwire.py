@@ -855,6 +855,7 @@ def test_cancel_request_interrupts_running_query(xt, server, client):
     th.join(timeout=90)
     assert not th.is_alive(), "query was not cancelled"
     assert errs and "57014" in errs[0]
+    assert pgw._CANCELLED_TOTAL >= 1   # feeds xt.metrics
     res, _ = client.query("SELECT 1 AS one")
     assert res[0][1] == [["1"]]
 

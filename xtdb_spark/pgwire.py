@@ -52,6 +52,7 @@ from typing import Any
 # same purpose)
 _PID_COUNTER = _itertools.count(1)
 _BACKENDS: dict[int, tuple[int, "_Conn"]] = {}
+_CANCELLED_TOTAL = 0  # process metric (reference pgwire.clj:200)
 
 # Spark simpleString (prefix) → postgres type oid
 _OID = {
@@ -304,6 +305,8 @@ class _Conn:
         set once in handle()), so cancelJobGroup kills exactly its
         in-flight stages; the resulting exception surfaces as SQLSTATE
         57014 like postgres."""
+        global _CANCELLED_TOTAL
+        _CANCELLED_TOTAL += 1
         self.cancel_requested = True
         try:
             self.xt.spark.sparkContext.cancelJobGroup(f"pgwire-{self.pid}")

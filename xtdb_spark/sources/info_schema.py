@@ -343,6 +343,15 @@ def xt_metrics(spark: SparkSession, store) -> DataFrame:
             ("tables_total", float(len(tables))),
             ("storage_files_total", float(n_files)),
             ("storage_bytes_total", float(n_bytes))]
+    try:
+        # process-level wire counters (reference pgwire.clj:200
+        # cancelled-connections-counter feeds the same registry)
+        from xtdb_spark import pgwire as _pg
+
+        rows.append(("pgwire_cancelled_total",
+                     float(_pg._CANCELLED_TOTAL)))
+    except Exception:
+        pass
     return spark.createDataFrame(rows, "metric string, value double")
 
 
