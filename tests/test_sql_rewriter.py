@@ -471,3 +471,33 @@ def test_create_table_typed_columns_and_prepared_dml_over_wire(spark, tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_pg_catalog_full_surface(spark, tmp_path):
+    """The remaining pg_catalog tables the reference models
+    (information_schema.clj pg-catalog-tables): pg_database/pg_user/
+    pg_am populated, pg_stat_user_tables with footer-derived row
+    counts, and the empty-by-design probe targets."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("pgt", [{"_id": 1}, {"_id": 2}, {"_id": 3}])
+    assert [r["amname"] for r in
+            rewrite_and_run(xt, "SELECT amname FROM pg_am "
+                                "ORDER BY oid").collect()] == \
+        ["heap", "btree", "hash"]
+    assert rewrite_and_run(
+        xt, "SELECT datname FROM pg_catalog.pg_database"
+    ).collect()[0]["datname"] == "xtdb"
+    r = rewrite_and_run(
+        xt, "SELECT relname, n_live_tup FROM pg_stat_user_tables "
+            "WHERE relname = 'pgt'").collect()
+    assert [(x["relname"], x["n_live_tup"]) for x in r] == [("pgt", 3)]
+    for empty in ("pg_matviews", "pg_enum", "pg_constraint",
+                  "pg_extension", "pg_attrdef"):
+        assert rewrite_and_run(
+            xt, f"SELECT count(*) AS n FROM {empty}"
+        ).collect()[0]["n"] == 0
+    assert rewrite_and_run(
+        xt, "SELECT usesuper FROM pg_user WHERE usename = 'xtdb'"
+    ).collect()[0]["usesuper"] is True

@@ -355,6 +355,97 @@ def xt_metrics(spark: SparkSession, store) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+def pg_database(spark: SparkSession, store=None) -> DataFrame:
+    """One row per attached database (reference
+    information_schema.clj pg_database; multi-db via ATTACH)."""
+    rows = [(1, "xtdb", True, False)]
+    dbs = getattr(store, "databases", None)
+    if callable(dbs):
+        names = dbs()
+    elif isinstance(dbs, dict):
+        names = dbs.keys()
+    else:
+        names = ()
+    rows += [(_name_oid(n), n, True, False)
+             for n in sorted(names) if n != "xtdb"]
+    return spark.createDataFrame(
+        rows, "oid int, datname string, datallowconn boolean, "
+              "datistemplate boolean")
+
+
+def pg_user(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [("xtdb", True, None)],
+        "usename string, usesuper boolean, passwd string")
+
+
+def pg_am(spark: SparkSession, store=None) -> DataFrame:
+    """Access methods postgres ships with (reference populates the
+    same static trio so ORMs resolve index/table AMs)."""
+    return spark.createDataFrame(
+        [(2, "heap", "heap_tableam_handler", "t"),
+         (403, "btree", "bthandler", "i"),
+         (405, "hash", "hashhandler", "i")],
+        "oid int, amname string, amhandler string, amtype string")
+
+
+def pg_stat_user_tables(spark: SparkSession, store=None) -> DataFrame:
+    """Row counts per user table from parquet FOOTERS (no scan) —
+    the reference serves n_live_tup the same zero-cost way."""
+    rows = []
+    if store is not None:
+        for s, t in _tables(store):
+            n = 0
+            try:
+                import pyarrow.parquet as pq
+
+                for f in store.table_files(f"{s}.{t}"
+                                           if s != "public" else t):
+                    n += pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                pass
+            rows.append((_name_oid(f"{s}.{t}"), s, t, n))
+    return spark.createDataFrame(
+        rows, "relid int, schemaname string, relname string, "
+              "n_live_tup long")
+
+
+def pg_matviews(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "schemaname string, matviewname string, matviewowner string")
+
+
+def pg_enum(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "oid int, enumtypid int, enumsortorder double, "
+            "enumlabel string")
+
+
+def pg_constraint(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "oid int, conname string, connamespace int, contype string, "
+            "conrelid int, conindid int, confrelid int")
+
+
+def pg_extension(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "oid int, extname string, extowner int, extnamespace int, "
+            "extrelocatable boolean, extversion string")
+
+
+def pg_attrdef(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [], "oid int, adrelid int, adnum int, adbin string")
+
+
+def pg_range(spark: SparkSession, store=None) -> DataFrame:
+    return spark.createDataFrame(
+        [(3910, 1184, 4534, 0, 0, "", "tstzrange_subdiff")],
+        "rngtypid int, rngsubtype int, rngmultitypid int, "
+        "rngcollation int, rngsubopc int, rngcanonical string, "
+        "rngsubdiff string")
+
+
 def register_all(spark: SparkSession, store) -> None:
     """Register every introspection view (underscore spellings)."""
     information_schema_tables(spark, store) \
@@ -376,6 +467,16 @@ def register_all(spark: SparkSession, store) -> None:
     pg_auth_members(spark, store) \
         .createOrReplaceTempView("pg_catalog_pg_auth_members")
     pg_settings(spark).createOrReplaceTempView("pg_catalog_pg_settings")
+    pg_database(spark, store).createOrReplaceTempView(
+        "pg_catalog_pg_database")
+    pg_user(spark).createOrReplaceTempView("pg_catalog_pg_user")
+    pg_am(spark).createOrReplaceTempView("pg_catalog_pg_am")
+    pg_stat_user_tables(spark, store).createOrReplaceTempView(
+        "pg_catalog_pg_stat_user_tables")
+    for fn in (pg_matviews, pg_enum, pg_constraint, pg_extension,
+               pg_attrdef, pg_range):
+        fn(spark).createOrReplaceTempView(
+            f"pg_catalog_{fn.__name__}")
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
     xt_trie_stats(spark, store).createOrReplaceTempView("xt_trie_stats")
     xt_metrics(spark, store).createOrReplaceTempView("xt_metrics")

@@ -194,7 +194,11 @@ _NOT_TABLE_START = {"SELECT", "VALUES", "LATERAL", "UNNEST"}
 _PG_CATALOG_TABLES = ("pg_tables", "pg_type", "pg_namespace", "pg_class",
                       "pg_attribute", "pg_proc", "pg_index",
                       "pg_description", "pg_views", "pg_roles",
-                      "pg_settings", "pg_auth_members")
+                      "pg_settings", "pg_auth_members",
+                      "pg_database", "pg_user", "pg_am",
+                      "pg_stat_user_tables", "pg_matviews", "pg_enum",
+                      "pg_constraint", "pg_extension", "pg_attrdef",
+                      "pg_range")
 
 _SYSTEM_VIEWS = {
     "information_schema.tables": "information_schema_tables",
