@@ -501,3 +501,27 @@ def test_pg_catalog_full_surface(spark, tmp_path):
     assert rewrite_and_run(
         xt, "SELECT usesuper FROM pg_user WHERE usename = 'xtdb'"
     ).collect()[0]["usesuper"] is True
+
+
+def test_xt_derived_tables(spark, tmp_path):
+    """xt.live_tables / xt.live_columns / xt.metrics_* (reference
+    information_schema.clj xt-derived-tables)."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("lv", [{"_id": 1, "v": "a"}, {"_id": 2, "v": "b"}])
+    r = rewrite_and_run(
+        xt, "SELECT table_name, row_count FROM xt.live_tables "
+            "WHERE table_name = 'lv'").collect()
+    assert [(x["table_name"], x["row_count"]) for x in r] == [("lv", 2)]
+    cols = {x["col_name"] for x in rewrite_and_run(
+        xt, "SELECT col_name FROM xt.live_columns "
+            "WHERE table_name = 'lv'").collect()}
+    assert {"_id", "v"} <= cols
+    c = rewrite_and_run(
+        xt, "SELECT count, tags.source AS src FROM xt.metrics_counters "
+            "WHERE name = 'txs_committed'").collect()
+    assert c[0]["count"] >= 1.0 and c[0]["src"] == "store"
+    assert rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM xt.metrics_timers"
+    ).collect()[0]["n"] == 0

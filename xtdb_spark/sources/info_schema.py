@@ -446,6 +446,64 @@ def pg_range(spark: SparkSession, store=None) -> DataFrame:
         "rngsubdiff string")
 
 
+def xt_live_tables(spark: SparkSession, store) -> DataFrame:
+    """`xt.live_tables` (information_schema.clj xt-derived-tables):
+    the reference reports the in-memory live index; our appends are
+    durable immediately (no unflushed state), so live == committed —
+    the row counts come from parquet footers, zero scan."""
+    rows = []
+    for s, t in _tables(store):
+        n = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for f in store.table_files(f"{s}.{t}" if s != "public"
+                                       else t):
+                n += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            pass
+        rows.append((s, t, n))
+    return spark.createDataFrame(
+        rows or [("", "", 0)],
+        "schema_name string, table_name string, row_count long"
+    ).filter("table_name <> ''")
+
+
+def xt_live_columns(spark: SparkSession, store) -> DataFrame:
+    """`xt.live_columns` — (schema, table, col, type)."""
+    rows = []
+    for s, t in _tables(store):
+        full = f"{s}.{t}" if s != "public" else t
+        for f in store.events(full).schema.fields:
+            rows.append((s, t, f.name, f.dataType.simpleString()))
+    return spark.createDataFrame(
+        rows or [("", "", "", "")],
+        "schema_name string, table_name string, col_name string, "
+        "col_type string").filter("table_name <> ''")
+
+
+def xt_metrics_counters(spark: SparkSession, store) -> DataFrame:
+    """`xt.metrics_counters` — the flat xt.metrics counters in the
+    reference's (name, tags, count) shape."""
+    return (xt_metrics(spark, store)
+            .selectExpr("metric AS name",
+                        "named_struct('source', 'store') AS tags",
+                        "value AS count"))
+
+
+def xt_metrics_gauges(spark: SparkSession, store) -> DataFrame:
+    return spark.createDataFrame(
+        [], "name string, tags struct<source: string>, value double")
+
+
+def xt_metrics_timers(spark: SparkSession, store) -> DataFrame:
+    """Empty by design: per-query timer histograms live in the Spark
+    UI/event log, not a store-side registry."""
+    return spark.createDataFrame(
+        [], "name string, tags struct<source: string>, count long, "
+            "mean_time long, p99_time long, max_time long")
+
+
 def register_all(spark: SparkSession, store) -> None:
     """Register every introspection view (underscore spellings)."""
     information_schema_tables(spark, store) \
@@ -480,4 +538,13 @@ def register_all(spark: SparkSession, store) -> None:
     xt_table_stats(spark, store).createOrReplaceTempView("xt_table_stats")
     xt_trie_stats(spark, store).createOrReplaceTempView("xt_trie_stats")
     xt_metrics(spark, store).createOrReplaceTempView("xt_metrics")
+    xt_live_tables(spark, store).createOrReplaceTempView("xt_live_tables")
+    xt_live_columns(spark, store) \
+        .createOrReplaceTempView("xt_live_columns")
+    xt_metrics_counters(spark, store) \
+        .createOrReplaceTempView("xt_metrics_counters")
+    xt_metrics_gauges(spark, store) \
+        .createOrReplaceTempView("xt_metrics_gauges")
+    xt_metrics_timers(spark, store) \
+        .createOrReplaceTempView("xt_metrics_timers")
     store.txs().createOrReplaceTempView("xt_txs")

@@ -209,6 +209,11 @@ _SYSTEM_VIEWS = {
     "xt.table_stats": "xt_table_stats",
     "xt.trie_stats": "xt_trie_stats",
     "xt.metrics": "xt_metrics",
+    "xt.live_tables": "xt_live_tables",
+    "xt.live_columns": "xt_live_columns",
+    "xt.metrics_counters": "xt_metrics_counters",
+    "xt.metrics_gauges": "xt_metrics_gauges",
+    "xt.metrics_timers": "xt_metrics_timers",
 }
 
 
