@@ -244,9 +244,11 @@ def test_rewrite_is_identity_without_store_tables(spark, tmp_path):
     for q in cases:
         assert rewrite(xt, q) == q, q
     # generate_series is an XTDB construct (Sql.g4:292) — it lowers
-    # to Spark's sequence, deliberately NOT identity
-    assert rewrite(xt, "SELECT generate_series(1, 10) AS g") == \
-        "SELECT sequence(1, 10) AS g"
+    # to Spark's sequence, deliberately NOT identity (round 7: with a
+    # direction guard so generate_series(10, 3) → [], matching
+    # generate_series_test.clj)
+    low = rewrite(xt, "SELECT generate_series(1, 10) AS g")
+    assert "sequence" in low and "filter(" in low and "<=" in low
 
 
 def test_rewrite_param_ordinals_stay_aligned(spark, tmp_path):

@@ -1201,11 +1201,20 @@ class _Translator:
         if self._peek()[1].upper() == "AS":
             self._skip_ws()
             self._next()
-        self.postfix = False
-        typ = self._walk(closers=(")",)).strip()
-        if self._peek() == ("punct", ")"):
-            self._next()
-        typ = self._map_type(typ)
+        # Raw token copy for the type — _walk would fire the
+        # ARRAY[…] literal branch on sized-array type spellings
+        # (INT ARRAY[5]), hiding them from _map_type.
+        depth = 0
+        typ_parts: list[str] = []
+        while self.i < len(self.toks):
+            k, t = self._peek()
+            if k == "punct" and t == ")" and depth == 0:
+                self._next()
+                break
+            depth += (k == "punct" and t in "([")
+            depth -= (k == "punct" and t in ")]")
+            typ_parts.append(self._next()[1])
+        typ = self._map_type("".join(typ_parts).strip())
         return f"CAST({expr.strip()} AS {typ})"
 
     @classmethod
@@ -1335,6 +1344,32 @@ class _Translator:
             self._next()
         return args
 
+    @staticmethod
+    def _guarded_seq(args: list[str]) -> str:
+        """``sequence`` with the reference's direction semantics
+        (generate_series_test.clj: generate_series(10, 3) → [], and a
+        step whose sign opposes the direction → [] — Spark's
+        ``sequence`` instead auto-descends / throws).  Built so the
+        inner ``sequence`` call is valid for ANY argument values
+        (Catalyst constant-folds foldable sub-expressions even in
+        never-taken CASE branches, so a guarded-but-invalid literal
+        call would still throw at plan time): the bounds are
+        normalized to a valid call, and the guard lives in a
+        ``filter`` predicate that drops every element when the
+        direction is wrong."""
+        a = f"({args[0]})"
+        if len(args) == 1:
+            return f"sequence({a}, {a})"
+        b = f"({args[1]})"
+        if len(args) == 2:
+            return (f"filter(sequence(least({a}, {b}), "
+                    f"greatest({a}, {b})), __xt_gv -> {a} <= {b})")
+        s = f"({args[2]})"
+        cond = (f"({a} <= {b} AND {a} + {s} > {a}) OR "
+                f"({a} >= {b} AND {a} + {s} < {a})")
+        return (f"filter(sequence({a}, if({cond}, {b}, {a}), {s}), "
+                f"__xt_gv -> {cond})")
+
     def _series_table(self, fn: str) -> str:
         """``generate_series(a, b[, s])`` / ``range(a, b[, s])`` as a
         TABLE reference (Sql.g4:547 GenerateSeriesTable):
@@ -1350,7 +1385,7 @@ class _Translator:
         self._ff_n += 1
         alias = alias or f"__xt_gs{self._ff_n}"
         v = cols[0] if cols else "generate_series"
-        seq = f"sequence({', '.join(args)})"
+        seq = self._guarded_seq(args)
         end = args[1] if len(args) > 1 else args[0]
         if not ordinality:
             if fn == "GENERATE_SERIES":
@@ -1369,7 +1404,7 @@ class _Translator:
         an array value: ``sequence(…)``, with range's exclusive end
         as an ``array filter``."""
         args = self._series_args()
-        seq = f"sequence({', '.join(args)})"
+        seq = self._guarded_seq(args)
         if fn == "GENERATE_SERIES":
             return seq
         end = args[1] if len(args) > 1 else args[0]

@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
 )
 
 _C_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
-              "\\": "\\", "'": "'", '"': '"', "0": "\0"}
+              "\\": "\\", "'": "'", '"': '"'}  # \0.. handled as octal
 
 
 def _decode_c_escapes(body: str) -> str:
@@ -90,6 +90,11 @@ def _decode_c_escapes(body: str) -> str:
                 else:
                     out.append(n)
                     i += 2
+            elif n in "01234567":
+                # PG octal escapes: \o, \oo, \ooo (1-3 octal digits)
+                om = re.match(r"[0-7]{1,3}", body[i + 1:i + 4])
+                out.append(chr(int(om.group(), 8)))
+                i += 1 + len(om.group())
             else:
                 out.append(n)
                 i += 2
@@ -100,7 +105,14 @@ def _decode_c_escapes(body: str) -> str:
 
 
 def _std_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Emit a Spark string literal that evaluates to exactly `s`.
+
+    Spark's default parser (escapedStringLiterals=false) processes
+    backslash escapes inside '…', unlike PG standard strings — so a
+    backslash that should be literal (E'\\d+' after C-escape decode,
+    or a plain '…\\…' standard string) must be doubled here or the
+    regex/path silently loses its backslashes."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
@@ -117,6 +129,10 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
             tag = m.group("dtag") or ""
             k = len(tag) + 2
             out.append(("str", _std_str(text[k:-k])))
+        elif kind == "str":
+            # PG standard strings treat backslash literally
+            # (standard_conforming_strings=on); re-encode for Spark.
+            out.append(("str", _std_str(text[1:-1].replace("''", "'"))))
         else:
             out.append((kind, text))
     return out

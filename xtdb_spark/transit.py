@@ -181,8 +181,21 @@ def parse_lines(data: bytes) -> list[dict]:
 import struct as _struct
 
 
+def _mp_take(buf: bytes, i: int, n: int) -> bytes:
+    """Bounds-checked slice: a truncated payload must raise, not
+    silently decode a short int/str (corrupt-row insertion guard)."""
+    if i + n > len(buf):
+        raise ValueError(
+            f"truncated msgpack payload: need {n} bytes at offset "
+            f"{i}, have {len(buf) - i}")
+    return buf[i:i + n]
+
+
 def _mp_decode(buf: bytes, i: int):
     """One MessagePack value at offset i → (value, next_offset)."""
+    if i >= len(buf):
+        raise ValueError("truncated msgpack payload: no type byte "
+                         f"at offset {i}")
     b = buf[i]
     i += 1
     if b <= 0x7F:                      # positive fixint
@@ -193,7 +206,7 @@ def _mp_decode(buf: bytes, i: int):
         return _mp_array(buf, i, b & 0x0F)
     if 0xA0 <= b <= 0xBF:              # fixstr
         n = b & 0x1F
-        return buf[i:i + n].decode("utf-8"), i + n
+        return _mp_take(buf, i, n).decode("utf-8"), i + n
     if b >= 0xE0:                      # negative fixint
         return b - 0x100, i
     if b == 0xC0:
@@ -204,31 +217,32 @@ def _mp_decode(buf: bytes, i: int):
         return True, i
     if b in (0xC4, 0xC5, 0xC6):        # bin 8/16/32
         w = 1 << (b - 0xC4)
-        n = int.from_bytes(buf[i:i + w], "big")
+        n = int.from_bytes(_mp_take(buf, i, w), "big")
         i += w
-        return bytes(buf[i:i + n]), i + n
+        return bytes(_mp_take(buf, i, n)), i + n
     if b == 0xCA:
-        return _struct.unpack_from(">f", buf, i)[0], i + 4
+        return _struct.unpack(">f", _mp_take(buf, i, 4))[0], i + 4
     if b == 0xCB:
-        return _struct.unpack_from(">d", buf, i)[0], i + 8
+        return _struct.unpack(">d", _mp_take(buf, i, 8))[0], i + 8
     if 0xCC <= b <= 0xCF:              # uint 8/16/32/64
         w = 1 << (b - 0xCC)
-        return int.from_bytes(buf[i:i + w], "big"), i + w
+        return int.from_bytes(_mp_take(buf, i, w), "big"), i + w
     if 0xD0 <= b <= 0xD3:              # int 8/16/32/64
         w = 1 << (b - 0xD0)
-        return int.from_bytes(buf[i:i + w], "big", signed=True), i + w
+        return int.from_bytes(_mp_take(buf, i, w), "big",
+                              signed=True), i + w
     if b in (0xD9, 0xDA, 0xDB):        # str 8/16/32
         w = 1 << (b - 0xD9)
-        n = int.from_bytes(buf[i:i + w], "big")
+        n = int.from_bytes(_mp_take(buf, i, w), "big")
         i += w
-        return buf[i:i + n].decode("utf-8"), i + n
+        return _mp_take(buf, i, n).decode("utf-8"), i + n
     if b in (0xDC, 0xDD):              # array 16/32
         w = 2 << (b - 0xDC)
-        n = int.from_bytes(buf[i:i + w], "big")
+        n = int.from_bytes(_mp_take(buf, i, w), "big")
         return _mp_array(buf, i + w, n)
     if b in (0xDE, 0xDF):              # map 16/32
         w = 2 << (b - 0xDE)
-        n = int.from_bytes(buf[i:i + w], "big")
+        n = int.from_bytes(_mp_take(buf, i, w), "big")
         return _mp_map(buf, i + w, n)
     raise ValueError(f"unsupported msgpack byte 0x{b:02x} "
                      "(ext types are outside the transit subset)")
