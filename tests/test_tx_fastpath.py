@@ -13,7 +13,7 @@ def spark_path_put(store, table, rows, **kw):
     st = kw.pop("system_from", None) or store._next_system_time()
     store._append(table, store._events_df(rows, "put",
                                           kw.get("valid_from"),
-                                          kw.get("valid_to"), st))
+                                          kw.get("valid_to"), st), st)
     store._record_tx(st)
     return st
 

@@ -159,7 +159,8 @@ class XtdbSession:
                         if rec["committed"]:
                             latest = rec
         tables = [d for d in sorted(os.listdir(wh))
-                  if os.path.isdir(os.path.join(wh, d))]
+                  if os.path.isdir(os.path.join(wh, d))
+                  and not d.startswith(("_", "."))]
         n_bytes = sum(os.path.getsize(p) for t in tables
                       for p in glob.glob(os.path.join(wh, t, "*.parquet")))
         return {

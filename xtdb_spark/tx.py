@@ -29,9 +29,19 @@ Spark design:
 
 from __future__ import annotations
 
+import contextlib
+import glob as _glob
+import json as _json
 import os
+import threading
 import time
+import uuid as _uuid
 from datetime import datetime, timezone
+
+try:
+    import fcntl as _fcntl
+except ImportError:          # non-POSIX: single-process only
+    _fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -50,6 +60,10 @@ class TableStore:
         self._tx_counter = 0
         self._pins: dict[int, tuple[str, tuple[str, ...]]] = {}
         self._pin_counter = 0
+        # commit protocol state (see "multi-process commit protocol")
+        self._tx_mutex = threading.RLock()
+        self._lock_depth = 0
+        self._lock_fd: int | None = None
         # attached databases: name → warehouse root (reference
         # db_catalog.clj DatabaseCatalog; ATTACH DATABASE Sql.g4:55).
         # Persisted next to the primary warehouse so a reconnect sees
@@ -72,6 +86,173 @@ class TableStore:
         # trie-catalog role (reference trie_catalog.clj: per-trie
         # temporal bounds consulted before opening leaves)
         self._footer_cache: dict[str, tuple[tuple[int, float], object]] = {}
+        # crash recovery: quarantine files of unfinished transactions
+        # (journal entries with no committed ledger record)
+        self._recover_journal()
+
+    # ---- multi-process commit protocol (reference log.clj:70-87 —
+    #      ALL txs serialize through one log; here the serializer is
+    #      an inter-process file lock, and atomicity comes from a
+    #      commit journal + controlled tx-id-stamped file names +
+    #      recovery-on-open) ----
+
+    @contextlib.contextmanager
+    def _ipc_lock(self):
+        """Inter-process (flock) + inter-thread (RLock) commit lock,
+        reentrant within a store. Held across system-time allocation,
+        op evaluation, appends, and the ledger record, so concurrent
+        writer PROCESSES against one warehouse serialize exactly like
+        the reference's single log (log.clj:70-87). Readers are never
+        blocked (scans don't take it)."""
+        with self._tx_mutex:
+            if self._lock_depth == 0 and _fcntl is not None:
+                fd = os.open(os.path.join(self.warehouse, "_commit.lock"),
+                             os.O_CREAT | os.O_RDWR, 0o644)
+                _fcntl.flock(fd, _fcntl.LOCK_EX)
+                self._lock_fd = fd
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+                if self._lock_depth == 0 and self._lock_fd is not None:
+                    _fcntl.flock(self._lock_fd, _fcntl.LOCK_UN)
+                    os.close(self._lock_fd)
+                    self._lock_fd = None
+
+    @staticmethod
+    def _txid(st: datetime) -> int:
+        """tx id = the system time in micros (the log-offset
+        analogue, also stamped into every file the tx writes)."""
+        if isinstance(st, str):
+            st = datetime.fromisoformat(st)
+        return int(st.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.warehouse, "_txs.jsonl")
+
+    def _last_ledger_txid(self) -> int | None:
+        """tx id of the last ledger line — O(1) tail read, consulted
+        under the commit lock so system times stay strictly monotonic
+        ACROSS processes, not just within one."""
+        path = self._ledger_path()
+        try:
+            with open(path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                f.seek(max(0, size - 4096))
+                tail = f.read().splitlines()
+        except OSError:
+            return None
+        for ln in reversed(tail):
+            ln = ln.strip()
+            if ln:
+                try:
+                    return _json.loads(ln)["tx_id"]
+                except (ValueError, KeyError):
+                    return None
+        return None
+
+    def _journal_dir(self) -> str:
+        return os.path.join(self.warehouse, "_journal")
+
+    def _journal_path(self, txid: int) -> str:
+        return os.path.join(self._journal_dir(), f"{txid}.json")
+
+    @contextlib.contextmanager
+    def _commit_journal(self, st: datetime, tables):
+        """Write-ahead intent for one tx: journal the (tx id, table)
+        set BEFORE any append; after the appends, record the tx as
+        committed and retire the journal. On failure (or a crash —
+        handled by `_recover_journal` at next open), every file the
+        tx wrote is identifiable by its `part-xt{txid}-` name and is
+        quarantined, so a partial multi-table commit can never become
+        visible. The reference gets this atomicity from its single
+        serialized log (log.clj:70-87); Delta gets it from the
+        commit-log protocol — this is the same idea at warehouse
+        granularity."""
+        tables = sorted(set(tables))
+        txid = self._txid(st)
+        os.makedirs(self._journal_dir(), exist_ok=True)
+        jp = self._journal_path(txid)
+        tmp = jp + f".tmp-{_uuid.uuid4().hex}"
+        st_iso = (st if isinstance(st, str)
+                  else st.isoformat(sep=" "))
+        with open(tmp, "w") as f:
+            _json.dump({"tx_id": txid, "system_time": st_iso,
+                        "tables": tables}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, jp)
+        try:
+            yield
+        except Exception as e:
+            self._quarantine_tx(txid, tables)
+            self._record_tx(st, committed=False,
+                            error=f"{type(e).__name__}: {e}"[:500])
+            with contextlib.suppress(OSError):
+                os.remove(jp)
+            raise
+        self._record_tx(st)
+        with contextlib.suppress(OSError):
+            os.remove(jp)
+
+    def _quarantine_tx(self, txid: int, tables) -> None:
+        """Move every file stamped with this tx id out of the listed
+        tables (and drop its staging leftovers) → `_quarantine/` —
+        the tx becomes invisible to scans."""
+        qdir = os.path.join(self.warehouse, "_quarantine", str(txid))
+        for table in tables:
+            path = self._path(table)
+            if not os.path.isdir(path):
+                continue
+            import shutil
+            for sd in _glob.glob(os.path.join(path, f".stage-{txid}-*")):
+                shutil.rmtree(sd, ignore_errors=True)
+            for f in _glob.glob(os.path.join(path,
+                                             f"part-xt{txid}-*.parquet")):
+                os.makedirs(qdir, exist_ok=True)
+                os.replace(f, os.path.join(
+                    qdir, os.path.basename(path) + "__" +
+                    os.path.basename(f)))
+
+    def _recover_journal(self) -> None:
+        """Recovery-on-open: a journal entry with no committed ledger
+        record is an unfinished tx from a crashed process — its files
+        are quarantined and the tx recorded as aborted. A journal
+        whose tx IS committed crashed between the ledger append and
+        journal retirement — just retire it. Runs under the commit
+        lock so only one recovering process acts."""
+        jdir = self._journal_dir()
+        if not os.path.isdir(jdir) or not os.listdir(jdir):
+            return
+        with self._ipc_lock():
+            committed = set()
+            try:
+                with open(self._ledger_path()) as f:
+                    for ln in f:
+                        if ln.strip():
+                            r = _json.loads(ln)
+                            if r.get("committed"):
+                                committed.add(r["tx_id"])
+            except OSError:
+                pass
+            for jp in _glob.glob(os.path.join(jdir, "*.json")):
+                try:
+                    with open(jp) as f:
+                        j = _json.load(f)
+                except (OSError, ValueError):
+                    with contextlib.suppress(OSError):
+                        os.remove(jp)
+                    continue
+                if j["tx_id"] not in committed:
+                    self._quarantine_tx(j["tx_id"], j.get("tables", []))
+                    self._record_tx(
+                        j["system_time"], committed=False,
+                        error="recovered: partial commit from crashed "
+                              "process quarantined")
+                with contextlib.suppress(OSError):
+                    os.remove(jp)
 
     def _path(self, table: str) -> str:
         parts = table.split(".")
@@ -237,12 +418,21 @@ class TableStore:
             .filter(F.col("_id") > 0)
 
     def _next_system_time(self) -> datetime:
-        # strictly monotonic per store (single-writer model — the
-        # reference serializes all txs through one log; Delta-style
-        # commit protocols would arbitrate multi-writer)
+        # strictly monotonic ACROSS processes: called under the
+        # commit lock, and bumped past the ledger's last tx id so two
+        # writer processes sharing a warehouse can never allocate the
+        # same system time (reference: log offsets are unique by
+        # construction, log.clj:70-87)
         self._tx_counter += 1
-        t = time.time_ns() // 1000 * 1000 + self._tx_counter
-        return datetime.fromtimestamp(t / 1e9, tz=timezone.utc).replace(tzinfo=None)
+        t_us = time.time_ns() // 1000
+        if t_us <= getattr(self, "_last_alloc_us", 0):
+            t_us = self._last_alloc_us + 1
+        last = self._last_ledger_txid()
+        if last is not None and t_us <= last:
+            t_us = last + 1
+        self._last_alloc_us = t_us
+        return datetime.fromtimestamp(t_us / 1e6,
+                                      tz=timezone.utc).replace(tzinfo=None)
 
     @staticmethod
     def _iid_expr(df: DataFrame) -> F.Column:
@@ -308,8 +498,25 @@ class TableStore:
                 .withColumn("_system_from", F.lit(system_from).cast("timestamp"))
                 .withColumn("op", F.lit(op)))
 
-    def _append(self, table: str, events: DataFrame) -> datetime:
-        events.write.mode("append").parquet(self._path(table))
+    def _append(self, table: str, events: DataFrame, st) -> DataFrame:
+        """Append one tx's events: written to a hidden staging dir,
+        then renamed into the table with `part-xt{txid}-` names —
+        per-file-atomic, and every file is attributable to its tx so
+        `_quarantine_tx` / `_recover_journal` can undo a partial
+        commit (Delta-style controlled file naming)."""
+        import shutil
+
+        txid = self._txid(st)
+        path = self._path(table)
+        staging = os.path.join(path,
+                               f".stage-{txid}-{_uuid.uuid4().hex}")
+        events.write.mode("overwrite").parquet(staging)
+        for i, f in enumerate(sorted(
+                _glob.glob(os.path.join(staging, "*.parquet")))):
+            os.replace(f, os.path.join(
+                path, f"part-xt{txid}-{i:05d}-{_uuid.uuid4().hex}"
+                      ".parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
         return events
 
     @staticmethod
@@ -404,21 +611,28 @@ class TableStore:
         cols["op"] = pa.array([op] * n, type=pa.string())
         path = self._path(table)
         os.makedirs(path, exist_ok=True)
-        pq.write_table(
-            pa.table(cols),
-            os.path.join(path, f"part-xt-{_uuid.uuid4().hex}.parquet"),
-            compression="snappy")
+        # tx-id-stamped name (quarantinable), written via a hidden
+        # temp name so a crash mid-write can't leave a truncated
+        # .parquet where scans would trip over it
+        txid = self._txid(st)
+        final = os.path.join(
+            path, f"part-xt{txid}-{_uuid.uuid4().hex}.parquet")
+        tmp = os.path.join(path, f".stage-{txid}-{_uuid.uuid4().hex}")
+        pq.write_table(pa.table(cols), tmp, compression="snappy")
+        os.replace(tmp, final)
         return True
 
     # ---- tx ops (reference tx_ops.clj) ----
 
     def put(self, table, rows, valid_from=None, valid_to=None, system_from=None):
-        st = system_from or self._next_system_time()
-        if isinstance(rows, DataFrame) or not self._append_local_fast(
-                table, rows, "put", valid_from, valid_to, st):
-            self._append(table, self._events_df(rows, "put", valid_from,
-                                                valid_to, st))
-        self._record_tx(st)
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            with self._commit_journal(st, [table]):
+                if isinstance(rows, DataFrame) or not self._append_local_fast(
+                        table, rows, "put", valid_from, valid_to, st):
+                    self._append(table, self._events_df(rows, "put",
+                                                        valid_from,
+                                                        valid_to, st), st)
         return st
 
     @staticmethod
@@ -443,23 +657,26 @@ class TableStore:
         return [{"_id": i} for i in ids]
 
     def delete(self, table, ids, valid_from=None, valid_to=None, system_from=None):
-        st = system_from or self._next_system_time()
-        id_rows = self._id_rows(ids)
-        if isinstance(id_rows, DataFrame) or not self._append_local_fast(
-                table, id_rows, "delete", valid_from, valid_to, st):
-            self._append(table, self._events_df(id_rows, "delete",
-                                                valid_from, valid_to, st))
-        self._record_tx(st)
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            id_rows = self._id_rows(ids)
+            with self._commit_journal(st, [table]):
+                if isinstance(id_rows, DataFrame) or not self._append_local_fast(
+                        table, id_rows, "delete", valid_from, valid_to, st):
+                    self._append(table, self._events_df(id_rows, "delete",
+                                                        valid_from,
+                                                        valid_to, st), st)
         return st
 
     def erase(self, table, ids, system_from=None):
-        st = system_from or self._next_system_time()
-        id_rows = self._id_rows(ids)
-        if isinstance(id_rows, DataFrame) or not self._append_local_fast(
-                table, id_rows, "erase", None, None, st):
-            self._append(table, self._events_df(id_rows, "erase",
-                                                None, None, st))
-        self._record_tx(st)
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            id_rows = self._id_rows(ids)
+            with self._commit_journal(st, [table]):
+                if isinstance(id_rows, DataFrame) or not self._append_local_fast(
+                        table, id_rows, "erase", None, None, st):
+                    self._append(table, self._events_df(id_rows, "erase",
+                                                        None, None, st), st)
         return st
 
     def copy_from(self, table, path, fmt: str = "parquet",
@@ -500,42 +717,45 @@ class TableStore:
         appends from the same tx.
 
         Atomicity model: events are staged per table and appended
-        only after every op has evaluated — the single-writer
-        equivalent of the reference's log-serialized tx. (Multi-table
-        appends are sequential files; a crash mid-commit can leave a
-        partial tx — the reference's log gives it atomically, Delta
-        commit protocols would here.)"""
-        st = system_from or self._next_system_time()
-        staged: list[tuple[str, DataFrame, bool]] = []
-        stage = (lambda table, ev, snap=True:  # noqa: E731
-                 staged.append((table, ev, snap)))
+        only after every op has evaluated — under the inter-process
+        commit lock (the reference's log-serialized tx, log.clj:
+        70-87), with a commit journal written before the first append
+        and retired after the ledger record. A crash mid-commit
+        leaves tx-id-stamped files that `_recover_journal` quarantines
+        at next open, so a partial multi-table tx can never become
+        visible (the Delta commit-protocol role)."""
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            staged: list[tuple[str, DataFrame, bool]] = []
+            stage = (lambda table, ev, snap=True:  # noqa: E731
+                     staged.append((table, ev, snap)))
 
-        try:
-            self._submit_tx_ops(ops, st, stage)
-        except Exception as e:  # aborted tx: recorded, nothing written
-            self._record_tx(st, committed=False,
-                            error=f"{type(e).__name__}: {e}"[:500])
-            raise
-        # materialize against the pre-tx snapshot, then commit.
-        # `snap=False` stages are LITERAL driver-side rows — they
-        # cannot observe the store, so they defer entirely to commit
-        # and go through the pyarrow fast path (no Spark job; falls
-        # back to the Spark writer outside the simple-scalar
-        # envelope). Store-derived frames checkpoint first so they
-        # pin the pre-tx snapshot.
-        staged = [(table, ev.localCheckpoint(eager=True)
-                   if snap and isinstance(ev, DataFrame) else ev)
-                  for table, ev, snap in staged]
-        for table, ev in staged:
-            if isinstance(ev, tuple) and ev[0] == "raw":
-                _, rows, opk, vf, vt = ev
-                if not self._append_local_fast(table, rows, opk,
-                                               vf, vt, st):
-                    self._append(table, self._events_df(rows, opk,
-                                                        vf, vt, st))
-            else:
-                self._append(table, ev)
-        self._record_tx(st)
+            try:
+                self._submit_tx_ops(ops, st, stage)
+            except Exception as e:  # aborted tx: recorded, nothing written
+                self._record_tx(st, committed=False,
+                                error=f"{type(e).__name__}: {e}"[:500])
+                raise
+            # materialize against the pre-tx snapshot, then commit.
+            # `snap=False` stages are LITERAL driver-side rows — they
+            # cannot observe the store, so they defer entirely to commit
+            # and go through the pyarrow fast path (no Spark job; falls
+            # back to the Spark writer outside the simple-scalar
+            # envelope). Store-derived frames checkpoint first so they
+            # pin the pre-tx snapshot.
+            staged = [(table, ev.localCheckpoint(eager=True)
+                       if snap and isinstance(ev, DataFrame) else ev)
+                      for table, ev, snap in staged]
+            with self._commit_journal(st, [t for t, _ in staged]):
+                for table, ev in staged:
+                    if isinstance(ev, tuple) and ev[0] == "raw":
+                        _, rows, opk, vf, vt = ev
+                        if not self._append_local_fast(table, rows, opk,
+                                                       vf, vt, st):
+                            self._append(table, self._events_df(
+                                rows, opk, vf, vt, st), st)
+                    else:
+                        self._append(table, ev, st)
         return st
 
     def _submit_tx_ops(self, ops, st, stage):
@@ -593,9 +813,11 @@ class TableStore:
         if valid_from is not None or valid_to is not None:
             return self.patch_portion(table, rows, valid_from, valid_to,
                                       system_from)
-        st = system_from or self._next_system_time()
-        self._append(table, self._patch_events(table, rows, st))
-        self._record_tx(st)
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            ev = self._patch_events(table, rows, st)
+            with self._commit_journal(st, [table]):
+                self._append(table, ev, st)
         return st
 
     def _patch_events(self, table, rows, st) -> DataFrame:
@@ -630,11 +852,12 @@ class TableStore:
         merged over it; sub-ranges covered by NO version get the patch
         doc alone. All as put-events at one system time — one window
         over the id's (few) versions, no UDF."""
-        st = system_from or self._next_system_time()
-        self._append(table,
-                     self._patch_portion_events(table, rows, valid_from,
-                                                valid_to, st))
-        self._record_tx(st)
+        with self._ipc_lock():
+            st = system_from or self._next_system_time()
+            ev = self._patch_portion_events(table, rows, valid_from,
+                                            valid_to, st)
+            with self._commit_journal(st, [table]):
+                self._append(table, ev, st)
         return st
 
     def _patch_portion_events(self, table, rows, valid_from, valid_to,
@@ -708,6 +931,11 @@ class TableStore:
     def compact(self, table: str,
                 file_size_target: int = compactor.FILE_SIZE_TARGET,
                 l0_threshold: int = compactor.L0_THRESHOLD) -> int:
+        with self._ipc_lock():      # maintenance serializes with
+            return self._compact_unlocked(  # writers across processes
+                table, file_size_target, l0_threshold)
+
+    def _compact_unlocked(self, table, file_size_target, l0_threshold):
         """LEVELED background compaction (reference compactor.clj +
         compactor/job_calculator.clj + trie/Bucketer.kt): run the
         available L0→L1 and tiering jobs to a fixpoint. Each job
@@ -721,6 +949,11 @@ class TableStore:
 
     def optimize(self, table: str, n_files: int | None = None,
                  full: bool | None = None) -> int:
+        with self._ipc_lock():
+            return self._optimize_unlocked(table, n_files, full)
+
+    def _optimize_unlocked(self, table: str, n_files: int | None = None,
+                           full: bool | None = None) -> int:
         """Compaction entry point. Default (`full=None`, no
         `n_files`): run LEVELED incremental compaction — see
         `compact()`. With `n_files` (or `full=True`): FULL
@@ -798,6 +1031,10 @@ class TableStore:
         self._pins.pop(token, None)
 
     def vacuum(self, table: str, retain_system_time=None) -> list[str]:
+        with self._ipc_lock():
+            return self._vacuum_unlocked(table, retain_system_time)
+
+    def _vacuum_unlocked(self, table: str, retain_system_time=None) -> list[str]:
         """Garbage-collect WHOLLY-SUPERSEDED event files (reference
         garbage_collector.clj + trie-catalog retention: delete files
         no query inside the retention window can reach).
