@@ -13,10 +13,11 @@ is real and tested. Two tiers of "decode":
   `pipeline/codecs.py` (zlib + struct + numpy — scanline unfilter,
   LZW, Huffman entropy decode + IDCT, PCM frames): features and
   resize operate on actual pixels/samples for every format the
-  sniffer identifies.  Only video stays behind the `fake_decode`
-  gate (container demux + inter-frame codecs genuinely need a media
-  library; the deterministic fake keeps the
-  pipeline shape exercisable, and accidental production use raises).
+  sniffer identifies.  **Video frame sampling is REAL too (round
+  7)** for animated GIF (full compositing) and MJPEG-in-AVI (RIFF
+  demux + the JPEG decoder); only inter-frame codecs (H.264 etc.)
+  remain behind the `fake_decode` gate — those genuinely need a
+  media library, and accidental production use raises.
   The mapInPandas contract (arrow-batched bytes in → struct rows
   out) is identical either way.
 
@@ -199,9 +200,15 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     """Sample `n_frames` evenly-spaced frames from each video row —
     the 1→N mapInPandas expansion pattern (one input row yields many
     output rows; arrow batches keep memory bounded even though the
-    cardinality grows). Frame extraction is the STUB (deterministic
-    byte slices with real timestamps from fps); swap in pyav in
-    production."""
+    cardinality grows).
+
+    REAL decode (round 7): animated GIF (full compositing —
+    placement, transparency, disposal) and MJPEG-in-AVI (RIFF demux
+    + the pure-Python JPEG decoder) — frames come back as PNG bytes
+    with container-derived timestamps. Bytes outside those container
+    formats (H.264 etc. — inter-frame codecs genuinely need a media
+    library) raise, unless `fake_decode=True` falls back to the
+    deterministic byte-slice stub."""
     spark = media.sparkSession
     if batch_size is not None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
@@ -209,14 +216,38 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     videos = media.filter(F.col("kind") == "video")
 
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xtdb_spark.pipeline import codecs
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(b or b"")
+                decoded = None
+                try:
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        decoded = codecs.decode_gif_frames(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        decoded = codecs.decode_avi_frames(b)
+                except codecs.UnsupportedMedia:
+                    decoded = None
+                if decoded:
+                    k = min(n_frames, len(decoded))
+                    picks = sorted({round(j * (len(decoded) - 1)
+                                          / max(1, k - 1))
+                                    for j in range(k)})
+                    for i, p in enumerate(picks):
+                        ts, px = decoded[p]
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(int(ts))
+                        frames.append(codecs.encode_png(px))
+                    continue
                 if not fake_decode:
                     raise NotImplementedError(
-                        "frame sampling needs a video library; "
-                        "pass fake_decode=True for the deterministic stub")
-                b = b or b""
+                        "bytes outside the GIF/MJPEG-AVI container "
+                        "subset (inter-frame codecs need a media "
+                        "library); pass fake_decode=True for the "
+                        "deterministic stub")
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):
                     ids.append(mid)
