@@ -865,3 +865,148 @@ def test_cancel_request_interrupts_running_query(xt, server, client):
     s.close()
     res, _ = client.query("SELECT 2 AS two")
     assert res[0][1] == [["2"]]
+
+
+# --- round 7: portal edge-cases a real JDBC driver exercises -----------------
+
+def _read_until_z(c):
+    """Collect (type, body) messages until ReadyForQuery."""
+    msgs = []
+    while True:
+        t, b = c.read_msg()
+        msgs.append((t, b))
+        if t == b"Z":
+            return msgs
+
+
+def test_portal_suspension_fetchsize(xt, client):
+    """JDBC setFetchSize: Execute with max_rows returns that many
+    DataRows + PortalSuspended; re-Execute CONTINUES; the final
+    segment gets CommandComplete with the total."""
+    xt.store.put("ps", [{"_id": i, "v": i * 10} for i in range(10)],
+                 system_from="2024-01-01")
+    c = client
+    c.send(b"P", c.cstr("s1") + c.cstr(
+        "SELECT _id, v FROM ps ORDER BY _id") + struct.pack(">h", 0))
+    c.send(b"B", c.cstr("p1") + c.cstr("s1")
+           + struct.pack(">h", 0) + struct.pack(">h", 0)
+           + struct.pack(">h", 0))
+    c.send(b"D", b"P" + c.cstr("p1"))
+    c.send(b"E", c.cstr("p1") + struct.pack(">i", 4))   # fetch 4
+    c.send(b"E", c.cstr("p1") + struct.pack(">i", 4))   # next 4
+    c.send(b"E", c.cstr("p1") + struct.pack(">i", 4))   # last 2
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    kinds = [t for t, _ in msgs]
+    # exactly ONE RowDescription (from Describe) — Execute must not
+    # re-describe a described portal (pgjdbc compat)
+    assert kinds.count(b"T") == 1
+    assert kinds.count(b"D") == 10
+    assert kinds.count(b"s") == 2            # two suspensions
+    tags = [b.rstrip(b"\x00").decode() for t, b in msgs if t == b"C"]
+    assert tags == ["SELECT 10"]
+    # segment boundaries: 4 rows, suspend, 4 rows, suspend, 2 rows
+    seq = [t for t, _ in msgs if t in (b"D", b"s")]
+    assert seq == [b"D"] * 4 + [b"s"] + [b"D"] * 4 + [b"s"] + [b"D"] * 2
+    # rows arrive in order across segments
+    first_vals = [b for t, b in msgs if t == b"D"]
+    ids = [int(v[6:6 + struct.unpack(">i", v[2:6])[0]]) for v in first_vals]
+    assert ids == list(range(10))
+
+
+def test_portal_exhausted_at_boundary(xt, client):
+    """max_rows == row count: suspension is reported (the server
+    can't know the iterator is dry), and the follow-up Execute
+    completes with the total."""
+    xt.store.put("pb", [{"_id": i} for i in range(3)],
+                 system_from="2024-01-01")
+    c = client
+    c.send(b"P", c.cstr("") + c.cstr("SELECT _id FROM pb ORDER BY _id")
+           + struct.pack(">h", 0))
+    c.send(b"B", c.cstr("") + c.cstr("") + struct.pack(">h", 0)
+           + struct.pack(">h", 0) + struct.pack(">h", 0))
+    c.send(b"D", b"P" + c.cstr(""))
+    c.send(b"E", c.cstr("") + struct.pack(">i", 3))
+    c.send(b"E", c.cstr("") + struct.pack(">i", 3))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    kinds = [t for t, _ in msgs]
+    assert kinds.count(b"D") == 3 and kinds.count(b"s") == 1
+    tags = [b.rstrip(b"\x00").decode() for t, b in msgs if t == b"C"]
+    assert tags == ["SELECT 3"]
+
+
+def test_describe_statement_before_bind_on_dml(xt, client):
+    """pgjdbc describes a DML statement BEFORE binding (prepared
+    INSERT): expect ParameterDescription then NoData, no crash."""
+    c = client
+    c.send(b"P", c.cstr("ins") + c.cstr(
+        "INSERT INTO dd (_id, v) VALUES ($1, $2)")
+        + struct.pack(">h", 2) + struct.pack(">ii", 23, 25))
+    c.send(b"D", b"S" + c.cstr("ins"))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    kinds = [t for t, _ in msgs]
+    assert b"1" in kinds                     # ParseComplete
+    assert b"t" in kinds                     # ParameterDescription
+    t_body = next(b for t, b in msgs if t == b"t")
+    (nparams,) = struct.unpack(">h", t_body[:2])
+    assert nparams == 2
+    assert b"n" in kinds                     # NoData
+    assert b"E" not in kinds
+
+
+def test_missing_portal_error_then_resync(xt, client):
+    """Execute on a portal that doesn't exist → SQLSTATE 34000,
+    messages drained to Sync, and the CONNECTION KEEPS WORKING."""
+    c = client
+    c.send(b"E", c.cstr("nope") + struct.pack(">i", 0))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    err = next(b for t, b in msgs if t == b"E")
+    assert b"34000" in err
+    # connection still usable after resync
+    results, tags = c.query("SELECT 1 AS one")
+    assert results[0][1] == [["1"]]
+
+
+def test_missing_statement_describe_error(xt, client):
+    c = client
+    c.send(b"D", b"S" + c.cstr("ghost"))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    err = next(b for t, b in msgs if t == b"E")
+    assert b"26000" in err
+    results, _ = c.query("SELECT 2 AS two")
+    assert results[0][1] == [["2"]]
+
+
+def test_close_actually_removes(xt, client):
+    """Close('S'/'P') must drop the object: a later Bind/Execute on
+    it errors instead of silently reusing stale state."""
+    xt.store.put("cl", [{"_id": 1}], system_from="2024-01-01")
+    c = client
+    c.send(b"P", c.cstr("st") + c.cstr("SELECT _id FROM cl")
+           + struct.pack(">h", 0))
+    c.send(b"B", c.cstr("po") + c.cstr("st") + struct.pack(">h", 0)
+           + struct.pack(">h", 0) + struct.pack(">h", 0))
+    c.send(b"C", b"P" + c.cstr("po"))        # close portal
+    c.send(b"E", c.cstr("po") + struct.pack(">i", 0))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    err = next(b for t, b in msgs if t == b"E")
+    assert b"34000" in err
+    # statement still there — rebind works
+    c.send(b"B", c.cstr("po2") + c.cstr("st") + struct.pack(">h", 0)
+           + struct.pack(">h", 0) + struct.pack(">h", 0))
+    c.send(b"E", c.cstr("po2") + struct.pack(">i", 0))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    assert [t for t, _ in msgs].count(b"D") == 1
+    # close the statement: bind on it now errors
+    c.send(b"C", b"S" + c.cstr("st"))
+    c.send(b"B", c.cstr("po3") + c.cstr("st") + struct.pack(">h", 0)
+           + struct.pack(">h", 0) + struct.pack(">h", 0))
+    c.send(b"S", b"")
+    msgs = _read_until_z(c)
+    assert any(t == b"E" for t, _ in msgs)

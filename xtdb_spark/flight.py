@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 
 import pyarrow as pa
 
@@ -192,22 +193,49 @@ if _HAVE_FLIGHT:
                     ("ClosePreparedStatement", "Flight SQL close")]
 
 
-def serve_flight(session, location: str = "grpc://127.0.0.1:0"):
+def serve_flight(session, location: str = "grpc://127.0.0.1:0",
+                 ready_timeout: float = 10.0):
     """Start a Flight server on a daemon thread; returns the server
-    (`.port`, `.shutdown()`)."""
+    (`.port`, `.shutdown()`). Blocks until the port actually accepts
+    connections (`wait_for_available`) — under machine load the grpc
+    listener can lag the constructor by enough that an eager client
+    sees connection-refused."""
     if not _HAVE_FLIGHT:  # pragma: no cover
         raise RuntimeError("pyarrow.flight not available in this build")
     server = XtdbFlightServer(session, location)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
+    wait_for_available(server.port, timeout=ready_timeout)
     return server
+
+
+def wait_for_available(port: int, host: str = "127.0.0.1",
+                       timeout: float = 10.0) -> None:
+    """Poll until a TCP connect to (host, port) succeeds."""
+    import socket
+
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            with socket.create_connection((host, port), timeout=1.0):
+                return
+        except OSError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"flight server on port {port} not accepting "
+                    f"connections after {timeout}s")
+            time.sleep(0.02)
 
 
 class FlightClient:
     """Minimal client helper mirroring the server conventions
-    (reference lang clients connect over Flight SQL / ADBC)."""
+    (reference lang clients connect over Flight SQL / ADBC).
+    Connect retries briefly — gRPC channels are lazy, so the first
+    RPC is where a not-yet-listening server surfaces."""
 
-    def __init__(self, port: int, host: str = "127.0.0.1"):
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 connect_timeout: float = 10.0):
+        wait_for_available(port, host, timeout=connect_timeout)
         self._c = flight.connect(f"grpc://{host}:{port}")
 
     def sql(self, sql: str, args: list | None = None) -> pa.Table:

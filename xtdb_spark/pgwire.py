@@ -227,12 +227,14 @@ class AuthRules:
 
 def _literal(value: str | None, oid: int) -> str:
     """Render a text-format parameter as a SQL literal (the engine has
-    no plan cache, so literal substitution == binding; quoting is
-    strict — backslash doubling THEN '' doubling, typed by the
-    Parse-declared oid). Backslashes must be escaped because Spark's
-    parser treats them as escape characters inside string literals —
-    a trailing ``\\`` would otherwise swallow the closing quote
-    (injection vector)."""
+    no plan cache, so literal substitution == binding; typed by the
+    Parse-declared oid). Emits a PG STANDARD string — only ''
+    doubling, backslashes verbatim: the bound SQL goes through the
+    dialect rewriter, whose tokenizer re-encodes every plain string
+    for Spark's escape-processing parser (`_std_str` doubles
+    backslashes exactly once, round 7). Doubling here too would
+    double-escape; a trailing ``\\`` is safe either way because the
+    tokenizer sees it as data, not an escape (injection-safe)."""
     if value is None:
         return "NULL"
     if oid in _NUMERIC_OIDS or (oid == 0 and _NUM_RE.match(value)):
@@ -240,7 +242,7 @@ def _literal(value: str | None, oid: int) -> str:
             return value
     if oid == 16:
         return "TRUE" if value in ("t", "true", "1") else "FALSE"
-    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+    return "'" + value.replace("'", "''") + "'"
 
 
 def _split_statements(sql: str) -> list[str]:
@@ -268,6 +270,12 @@ _TAG_RE = re.compile(
 # tags these for driver compatibility); BEGIN/COMMIT/ROLLBACK are
 # real transaction-block control, handled in _run
 _NOOP = {"SET", "RESET", "DISCARD"}
+
+
+class _ResyncAfterError(Exception):
+    """ErrorResponse already sent — main loop should drain to Sync
+    without emitting a second error (postgres extended-protocol
+    error recovery)."""
 
 
 class _Conn:
@@ -610,10 +618,14 @@ class _Conn:
     }
 
     def _run(self, sql: str, describe_only: bool = False,
-             result_formats: list[int] | None = None):
+             result_formats: list[int] | None = None,
+             send_desc: bool = True):
         """Execute one statement; emit T/D*/C (or just T).
         `result_formats` = Bind's per-column format codes (extended
-        protocol only; the simple protocol is always text)."""
+        protocol only; the simple protocol is always text).
+        `send_desc=False` suppresses RowDescription — Execute on an
+        already-Described portal (postgres: 'T' belongs to Describe,
+        and pgjdbc treats a second one as a new result set)."""
         if not sql.strip():
             self._send(b"I")  # EmptyQueryResponse
             return
@@ -769,7 +781,8 @@ class _Conn:
         if m and isinstance(df, _DF):
             # DML … RETURNING (Sql.g4:788): rows + the DML tag with
             # the affected count, postgres-style
-            self._row_description(df, result_formats)
+            if send_desc:
+                self._row_description(df, result_formats)
             if describe_only:
                 return
             n = self._send_rows(df, result_formats)
@@ -787,7 +800,8 @@ class _Conn:
             else:
                 self._send(b"n")     # NoData
             return
-        self._row_description(df, result_formats)
+        if send_desc:
+            self._row_description(df, result_formats)
         if describe_only:
             return
         n = self._send_rows(df, result_formats)
@@ -914,6 +928,12 @@ class _Conn:
                     self._dispatch(t, body)
                 except (ConnectionResetError, BrokenPipeError):
                     raise
+                except _ResyncAfterError:
+                    # ErrorResponse already sent (e.g. missing
+                    # portal/statement) — just drain to Sync
+                    if self.tx is not None:
+                        self.tx_failed = True
+                    self._sync_after_error()
                 except Exception as e:  # noqa: BLE001 — every engine error → wire error
                     if self.tx is not None:   # error inside a tx block
                         self.tx_failed = True  # aborts it (postgres 25P02)
@@ -991,24 +1011,45 @@ class _Conn:
                         b, oids[i] if i < len(oids) else 0))
                 else:
                     params.append(b.decode())
-            self.portals[portal.decode()] = \
-                (self._bind(sql, params, oids), rfmts)
+            self.portals[portal.decode()] = {
+                "sql": self._bind(sql, params, oids), "rfmts": rfmts,
+                "described": False, "suspended": None}
             self._send(b"2")                 # BindComplete
         elif t == b"D":                      # Describe
             kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
             if kind == b"S":
+                if name not in self.statements:
+                    self._error("26000",
+                                f"prepared statement {name!r} does "
+                                "not exist")
+                    raise _ResyncAfterError
                 sql, oids = self.statements[name]
                 self._send(b"t", struct.pack(">h", len(oids))
                            + b"".join(struct.pack(">i", o or 25) for o in oids))
                 self._describe_sql(sql)
             else:
-                psql, rfmts = self.portals[name]
-                self._describe_sql(psql, rfmts)
+                if name not in self.portals:
+                    self._error("34000",
+                                f"portal {name!r} does not exist")
+                    raise _ResyncAfterError
+                p = self.portals[name]
+                self._describe_sql(p["sql"], p["rfmts"])
+                p["described"] = True
         elif t == b"E":                      # Execute
-            name = body.split(b"\x00", 1)[0].decode()
-            psql, rfmts = self.portals[name]
-            self._run(psql, result_formats=rfmts)
+            name, rest = body.split(b"\x00", 1)
+            max_rows = struct.unpack(">i", rest[:4])[0] if len(rest) >= 4 \
+                else 0
+            if name.decode() not in self.portals:
+                self._error("34000",
+                            f"portal {name.decode()!r} does not exist")
+                raise _ResyncAfterError
+            self._execute_portal(self.portals[name.decode()], max_rows)
         elif t == b"C":                      # Close
+            kind, cname = body[:1], body[1:].rstrip(b"\x00").decode()
+            if kind == b"S":
+                self.statements.pop(cname, None)
+            else:
+                self.portals.pop(cname, None)
             self._send(b"3")
         elif t == b"H":                      # Flush
             pass
@@ -1031,6 +1072,73 @@ class _Conn:
 
         df = self.xt.spark.sql(rewrite(self.xt, self._compat_sql(sql)))
         self._row_description(df, result_formats)
+
+    def _execute_portal(self, p: dict, max_rows: int) -> None:
+        """Execute message semantics (postgres protocol / reference
+        pgwire.clj portal execution): `max_rows > 0` returns at most
+        that many rows then PortalSuspended ('s'); a later Execute on
+        the same portal CONTINUES from where it stopped (JDBC
+        setFetchSize). Execute never re-sends RowDescription once the
+        portal was Described (pgjdbc treats a second 'T' as a new
+        result set); an un-Described portal still gets one so simple
+        clients keep working."""
+        if p["suspended"] is None and max_rows > 0 \
+                and self.tx is None and not self.tx_failed \
+                and not (_TAG_RE.match(p["sql"])
+                         or self._SHOW_RE.match(p["sql"])
+                         or self._SET_RE.match(p["sql"])
+                         or self._COPY_RE.match(p["sql"])):
+            from pyspark.sql import DataFrame as _DF
+
+            sql = self._apply_setting_fns(self._compat_sql(p["sql"]))
+            df = self.xt.sql(sql)
+            if isinstance(df, _DF):
+                oids = [_oid_of(f.dataType.simpleString())
+                        for f in df.schema.fields]
+                p["suspended"] = {
+                    "iter": df.toLocalIterator(), "oids": oids,
+                    "fmts": _col_formats(len(oids), p["rfmts"]),
+                    "df": df, "sent": 0}
+            # non-relation results (DML etc.) execute fully below,
+            # like postgres (row limits only apply to row returns)
+            elif max_rows:
+                self._run(p["sql"], result_formats=p["rfmts"],
+                          send_desc=not p["described"])
+                return
+        if p["suspended"] is not None:
+            s = p["suspended"]
+            if not p["described"] and s["sent"] == 0:
+                self._row_description(s["df"], p["rfmts"])
+            n = 0
+            batch = []
+            for row in s["iter"]:
+                payload = struct.pack(">h", len(s["oids"]))
+                for v, oid, fmt in zip(row, s["oids"], s["fmts"]):
+                    if v is None:
+                        payload += struct.pack(">i", -1)
+                        continue
+                    b = _binary_encode(v, oid) if fmt == 1 \
+                        else (_text(v) or "").encode()
+                    payload += struct.pack(">i", len(b)) + b
+                batch.append(b"D" + struct.pack(">i", len(payload) + 4)
+                             + payload)
+                n += 1
+                if len(batch) >= self.BATCH:
+                    self.sock.sendall(b"".join(batch))
+                    batch = []
+                if max_rows and n >= max_rows:
+                    break
+            if batch:
+                self.sock.sendall(b"".join(batch))
+            s["sent"] += n
+            if max_rows and n >= max_rows:
+                self._send(b"s")             # PortalSuspended
+                return
+            p["suspended"] = None
+            self._send(b"C", self._cstr(f"SELECT {s['sent']}"))
+            return
+        self._run(p["sql"], result_formats=p["rfmts"],
+                  send_desc=not p["described"])
 
     @staticmethod
     def _bind(sql: str, params: list[str | None], oids: list[int]) -> str:

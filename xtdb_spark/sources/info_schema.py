@@ -34,7 +34,8 @@ def _tables(store) -> list[tuple[str, str]]:
     out = []
     if os.path.isdir(store.warehouse):
         for d in sorted(os.listdir(store.warehouse)):
-            if os.path.isdir(os.path.join(store.warehouse, d)):
+            if os.path.isdir(os.path.join(store.warehouse, d)) \
+                    and not d.startswith(("_", ".")):
                 name = d.replace("__", ".")
                 schema, _, tbl = name.rpartition(".")
                 out.append((schema or "public", tbl))

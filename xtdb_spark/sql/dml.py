@@ -28,6 +28,8 @@ import re
 
 from pyspark.sql import functions as F
 
+from xtdb_spark.sql.rewriter import spark_escape_strings as _esc
+
 _INSERT_VALUES_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>[\w.]+)\s*\((?P<cols>[^)]*)\)\s*"
     r"VALUES\s*(?P<values>.+)$",
@@ -138,7 +140,7 @@ def _returning(spark, affected, select_list: str | None, st):
     if select_list is None:
         return st
     affected.createOrReplaceTempView("xt_dml_returning")
-    return spark.sql(f"SELECT {select_list} FROM xt_dml_returning")
+    return spark.sql(_esc(f"SELECT {select_list} FROM xt_dml_returning"))
 
 
 _PATCH_SELECT_RE = re.compile(
@@ -161,8 +163,8 @@ def execute_dml(xt, query: str):
     m = _INSERT_VALUES_RE.match(query)
     if m:
         cols = [c.strip() for c in m.group("cols").split(",")]
-        rel = spark.sql(
-            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
+        rel = spark.sql(_esc(
+            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})"))
         st = xt.store.put(m.group("table"), rel)
         return _returning(spark, rel, ret, st)
 
@@ -172,8 +174,8 @@ def execute_dml(xt, query: str):
         #   (c1, c2, ...) VALUES (...), (...)
         # (reference Sql.g4:30 PATCH; portion form runs patch-gaps)
         cols = [c.strip() for c in m.group("cols").split(",")]
-        rel = spark.sql(
-            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})")
+        rel = spark.sql(_esc(
+            f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})"))
         st = xt.store.patch(m.group("table"), rel,
                             valid_from=m.group("vf"),
                             valid_to=m.group("vt"))
@@ -224,8 +226,8 @@ def execute_dml(xt, query: str):
                 raise ValueError("cannot UPDATE _id")
         proj = ", ".join(f"({sets[c]}) AS {c}" if c in sets else c
                          for c in cur_cols)
-        rel = spark.sql(f"SELECT {proj} FROM {view}"
-                        + (f" WHERE {where}" if where else ""))
+        rel = spark.sql(_esc(f"SELECT {proj} FROM {view}"
+                             + (f" WHERE {where}" if where else "")))
         st = xt.store.put(table, rel, valid_from=m.group("vf"),
                           valid_to=m.group("vt"))
         return _returning(spark, rel, ret, st)
@@ -236,8 +238,8 @@ def execute_dml(xt, query: str):
         # DELETE at 100 TB must not collect its id set to the driver
         table, where = m.group("table"), m.group("where")
         view = _current_view(xt, table)
-        rows = spark.sql(f"SELECT * FROM {view}"
-                         + (f" WHERE {where}" if where else ""))
+        rows = spark.sql(_esc(f"SELECT * FROM {view}"
+                              + (f" WHERE {where}" if where else "")))
         ids = rows.select("_id")
         st = xt.store.delete(table, ids, valid_from=m.group("vf"),
                              valid_to=m.group("vt"))
@@ -249,8 +251,8 @@ def execute_dml(xt, query: str):
     if m:
         table, where = m.group("table"), m.group("where")
         view = _current_view(xt, table)
-        rows = spark.sql(f"SELECT * FROM {view}"
-                         + (f" WHERE {where}" if where else ""))
+        rows = spark.sql(_esc(f"SELECT * FROM {view}"
+                              + (f" WHERE {where}" if where else "")))
         st = xt.store.erase(table, rows.select("_id"))
         return _returning(spark, rows, ret, st)
 

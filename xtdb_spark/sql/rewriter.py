@@ -105,14 +105,33 @@ def _decode_c_escapes(body: str) -> str:
 
 
 def _std_str(s: str) -> str:
-    """Emit a Spark string literal that evaluates to exactly `s`.
+    """Emit a PG-STANDARD string literal evaluating to exactly `s`:
+    only '' doubling, backslashes verbatim. All intermediate passes
+    (tokenize→rejoin happens several times: dialect translate,
+    pgwire compat substitution, bind) keep this form — it is
+    idempotent under re-tokenization. The ONE final conversion to
+    Spark's escape-processing literal syntax happens in
+    `spark_escape_strings`, at the end of `_Rewriter.run()`."""
+    return "'" + s.replace("'", "''") + "'"
 
-    Spark's default parser (escapedStringLiterals=false) processes
-    backslash escapes inside '…', unlike PG standard strings — so a
-    backslash that should be literal (E'\\d+' after C-escape decode,
-    or a plain '…\\…' standard string) must be doubled here or the
-    regex/path silently loses its backslashes."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+def spark_escape_strings(sql: str) -> str:
+    """Final emit step: convert every plain '…' literal from PG
+    standard-string semantics to Spark's escape-processing parser
+    (escapedStringLiterals=false) by doubling backslashes. Runs
+    EXACTLY ONCE, after all rewriting — double application would
+    double-escape (E'\\d+' regexes, trailing backslashes). E''/$tag$
+    spellings were already normalized to plain strings by
+    `_tokenize`, so this single pass covers every literal."""
+    out = []
+    for kind, text in _tokenize(sql):
+        if kind == "str":
+            body = text[1:-1].replace("''", "'")
+            out.append("'" + body.replace("\\", "\\\\")
+                       .replace("'", "''") + "'")
+        else:
+            out.append(text)
+    return "".join(out)
 
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
@@ -129,10 +148,6 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
             tag = m.group("dtag") or ""
             k = len(tag) + 2
             out.append(("str", _std_str(text[k:-k])))
-        elif kind == "str":
-            # PG standard strings treat backslash literally
-            # (standard_conforming_strings=on); re-encode for Spark.
-            out.append(("str", _std_str(text[1:-1].replace("''", "'"))))
         else:
             out.append((kind, text))
     return out
@@ -288,7 +303,7 @@ class _Rewriter:
             else:
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
-        return "".join(self.out), remaining
+        return spark_escape_strings("".join(self.out)), remaining
 
     def _setting_prefix(self):
         """`SETTING DEFAULT VALID_TIME [TO] <spec>[, DEFAULT
@@ -764,7 +779,8 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         if arg_src and arg_src.strip():
             # literal argument expressions evaluate as a one-row
             # projection (constant-folded — no job)
-            vals = list(xt.spark.sql(f"SELECT {arg_src}").collect()[0]) \
+            vals = list(xt.spark.sql(
+                spark_escape_strings(f"SELECT {arg_src}")).collect()[0]) \
                 + vals
         return rewrite_and_run(xt, stmt, args=vals)
     am = _ATTACH_RE.match(query)
