@@ -244,3 +244,19 @@ def test_pgwire_under_concurrent_spark_load(xt):
     finally:
         stop.set()
         t.join(timeout=30)
+
+
+def test_export_action_roundtrip(client, tmp_path):
+    """Flight 'export' admin action produces an importable snapshot
+    (reference export.clj surface over the wire)."""
+    from xtdb_spark.tx import TableStore
+
+    xt, c = client
+    c.put("exp_t", [{"_id": 1, "v": "x"}])
+    names = {a.type for a in c._c.list_actions()}
+    assert "export" in names
+    out = c.action("export", {"path": str(tmp_path / "snap")})
+    assert out["ok"]
+    s2 = TableStore.import_warehouse(xt.spark, out["path"],
+                                     str(tmp_path / "wh2"))
+    assert [r["v"] for r in s2.scan("exp_t").collect()] == ["x"]

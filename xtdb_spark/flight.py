@@ -177,6 +177,12 @@ if _HAVE_FLIGHT:
                     n = self.session.store.optimize(
                         body["table"], full=bool(body.get("full")))
                     out = {"ok": True, "n_files": n}
+            elif action.type == "export":
+                # warehouse snapshot export (reference export.clj)
+                with self._lock:
+                    dest = self.session.store.export_warehouse(
+                        body["path"])
+                    out = {"ok": True, "path": dest}
             else:
                 raise flight.FlightServerError(
                     f"unknown action {action.type!r}")
@@ -189,6 +195,7 @@ if _HAVE_FLIGHT:
                     ("optimize", "run leveled compaction (pass "
                                  "{full: true} to rewrite whole table "
                                  "and apply erases physically)"),
+                    ("export", "warehouse snapshot export: {path}"),
                     ("CreatePreparedStatement", "Flight SQL prepare"),
                     ("ClosePreparedStatement", "Flight SQL close")]
 
