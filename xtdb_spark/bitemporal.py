@@ -157,7 +157,9 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
     by tests/test_bitemporal.py::test_polygon_hot_iid_skew_bound): a
     hot `_iid` with V versions holds one arrow-batched pandas group
     of V rows — memory O(V × row width) (10⁵ versions ≈ tens of MB,
-    fine; 10⁸ versions of ONE entity would need valid-axis chunking)
+    fine; beyond that, `polygon_history_streamed` sweeps the same
+    events through bounded arrow batches with ceiling carry-over —
+    O(batch) memory at any V, round 7)
     — and sweep time O(V × S) where S = ceiling segments: S stays
     O(1) for the common full-cover update chain (same valid range), and
     grows only with DISTINCT staggered valid boundaries, worst case
@@ -182,42 +184,7 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
         out_rows: list[dict] = []
         # (itertuples mangles _-prefixed names; dict records keep them)
         for r in pdf.to_dict(orient="records"):
-            vf = r["_valid_from"]
-            vt = r["_valid_to"] if pd.notna(r["_valid_to"]) else max_ts
-            sf = r["_system_from"]
-            if vt <= vf:
-                continue
-            # 1. emit rectangles: intersect [vf, vt) with ceiling segments
-            if r["op"] == "put":
-                for i in range(len(vals)):
-                    a, b, c = pts[i], pts[i + 1], vals[i]
-                    lo, hi = max(a, vf), min(b, vt)
-                    if lo < hi and c > sf:
-                        out_rows.append({
-                            **{k: r[k] for k in r
-                               if k not in ("_valid_from", "_valid_to",
-                                            "_system_from", "op")},
-                            "_valid_from": lo,
-                            "_valid_to": None if hi == max_ts else hi,
-                            "_system_from": sf,
-                            "_system_to": None if c == max_ts else c,
-                        })
-            # 2. lower the ceiling to sf over [vf, vt): split each
-            #    segment at vf/vt, override covered sub-segments,
-            #    merge adjacent equal-valued segments
-            new_pts, new_vals = [pts[0]], []
-            for i in range(len(vals)):
-                a, b, c = pts[i], pts[i + 1], vals[i]
-                cut = [a] + [x for x in (vf, vt) if a < x < b] + [b]
-                for j in range(len(cut) - 1):
-                    lo, hi = cut[j], cut[j + 1]
-                    val = sf if (vf <= lo and hi <= vt) else c
-                    if new_vals and new_vals[-1] == val:
-                        new_pts[-1] = hi
-                    else:
-                        new_vals.append(val)
-                        new_pts.append(hi)
-            pts, vals = new_pts, new_vals
+            pts, vals = _sweep_event(r, pts, vals, out_rows, max_ts)
         cols = ["_iid", *doc_cols, "_valid_from", "_valid_to",
                 "_system_from", "_system_to"]
         if not out_rows:
@@ -225,6 +192,109 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
         return pd.DataFrame(out_rows)[cols]
 
     return ev.groupBy("_iid").applyInPandas(sweep, schema)
+
+
+def _sweep_event(r: dict, pts: list, vals: list, out_rows: list,
+                 max_ts) -> tuple[list, list]:
+    """One ceiling-sweep step (events arrive newest-system-first):
+    emit this event's visible rectangles against the current ceiling,
+    then lower the ceiling over its valid range. Shared by the
+    grouped sweep and the streaming scale path."""
+    vf = r["_valid_from"]
+    vt = r["_valid_to"] if pd.notna(r["_valid_to"]) else max_ts
+    sf = r["_system_from"]
+    if vt <= vf:
+        return pts, vals
+    # 1. emit rectangles: intersect [vf, vt) with ceiling segments
+    if r["op"] == "put":
+        for i in range(len(vals)):
+            a, b, c = pts[i], pts[i + 1], vals[i]
+            lo, hi = max(a, vf), min(b, vt)
+            if lo < hi and c > sf:
+                out_rows.append({
+                    **{k: r[k] for k in r
+                       if k not in ("_valid_from", "_valid_to",
+                                    "_system_from", "op")},
+                    "_valid_from": lo,
+                    "_valid_to": None if hi == max_ts else hi,
+                    "_system_from": sf,
+                    "_system_to": None if c == max_ts else c,
+                })
+    # 2. lower the ceiling to sf over [vf, vt): split each
+    #    segment at vf/vt, override covered sub-segments,
+    #    merge adjacent equal-valued segments
+    new_pts, new_vals = [pts[0]], []
+    for i in range(len(vals)):
+        a, b, c = pts[i], pts[i + 1], vals[i]
+        cut = [a] + [x for x in (vf, vt) if a < x < b] + [b]
+        for j in range(len(cut) - 1):
+            lo, hi = cut[j], cut[j + 1]
+            val = sf if (vf <= lo and hi <= vt) else c
+            if new_vals and new_vals[-1] == val:
+                new_pts[-1] = hi
+            else:
+                new_vals.append(val)
+                new_pts.append(hi)
+    return new_pts, new_vals
+
+
+def polygon_history_streamed(events: DataFrame, doc_cols: list[str],
+                             batch_rows: int | None = 16384) -> DataFrame:
+    """Same rectangles as `polygon_history`, with BOUNDED working
+    set — the hot-iid scale path (bitemporal.py docstring's
+    "10⁸-versions-of-one-entity would need chunking" case).
+
+    Instead of materializing each iid's whole version history as one
+    pandas group (O(V) memory, applyInPandas), events are
+    repartitioned by `_iid` and SORTED within partitions
+    (`_iid, _system_from DESC` — Spark's external sort, spill-safe),
+    then swept by `mapInPandas`, which receives an ITERATOR of
+    arrow batches: per-event work streams through, carrying only the
+    ceiling step function across batch boundaries (and resetting it
+    at each iid change). Peak memory = O(arrow batch + ceiling
+    segments), independent of V — a 10⁶-version entity streams
+    through ~16k-row batches (test_bitemporal asserts both the
+    batch bound and result equality with the grouped sweep).
+
+    The ceiling carry-over is exactly the chunked-sweep idea
+    (reference Ceiling.kt processes system-ordered chunks the same
+    way); chunking falls on system-time boundaries (arrow batches)
+    rather than the valid axis, so emitted rectangles are IDENTICAL
+    to the grouped sweep — no boundary splits to re-merge."""
+    from typing import Iterator
+
+    ev = drop_erased(events)
+    if batch_rows is not None:
+        ev.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(batch_rows))
+    max_ts = pd.Timestamp("2262-04-10")
+    schema = StructType(
+        [StructField("_iid", ev.schema["_iid"].dataType)]
+        + [StructField(c, ev.schema[c].dataType) for c in doc_cols]
+        + _POLY_FIELDS
+    )
+    cols = ["_iid", *doc_cols, "_valid_from", "_valid_to",
+            "_system_from", "_system_to"]
+
+    def sweep_stream(batches: "Iterator[pd.DataFrame]"
+                     ) -> "Iterator[pd.DataFrame]":
+        iid = object()          # sentinel ≠ any real iid
+        pts: list = []
+        vals: list = []
+        for pdf in batches:
+            out_rows: list[dict] = []
+            for r in pdf.to_dict(orient="records"):
+                if r["_iid"] != iid:
+                    iid = r["_iid"]
+                    pts, vals = [pd.Timestamp.min, max_ts], [max_ts]
+                pts, vals = _sweep_event(r, pts, vals, out_rows, max_ts)
+            if out_rows:
+                yield pd.DataFrame(out_rows)[cols]
+
+    return (ev.repartition("_iid")
+              .sortWithinPartitions("_iid", F.col("_system_from").desc())
+              .mapInPandas(sweep_stream, schema))
 
 
 def resolve_valid_range(
