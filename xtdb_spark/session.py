@@ -128,9 +128,11 @@ class XtdbSession:
                                all_system_time=all_system_time)
 
     def sql(self, query: str, args: list | None = None):
+        from xtdb_spark import tracing
         from xtdb_spark.sql.rewriter import rewrite_and_run
 
-        return rewrite_and_run(self, query, args)
+        with tracing.span("xtdb.sql", sql=query[:2000]):
+            return rewrite_and_run(self, query, args)
 
     def to_arrow(self, query: str, args: list | None = None):
         """Run a SQL query and return the result as a pyarrow Table —

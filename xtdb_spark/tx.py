@@ -625,7 +625,10 @@ class TableStore:
     # ---- tx ops (reference tx_ops.clj) ----
 
     def put(self, table, rows, valid_from=None, valid_to=None, system_from=None):
-        with self._ipc_lock():
+        from xtdb_spark import tracing
+
+        with tracing.span("xtdb.tx", kind="put",
+                          table=table), self._ipc_lock():
             st = system_from or self._next_system_time()
             with self._commit_journal(st, [table]):
                 if isinstance(rows, DataFrame) or not self._append_local_fast(
@@ -724,8 +727,13 @@ class TableStore:
         leaves tx-id-stamped files that `_recover_journal` quarantines
         at next open, so a partial multi-table tx can never become
         visible (the Delta commit-protocol role)."""
-        with self._ipc_lock():
+        from xtdb_spark import tracing
+
+        with tracing.span("xtdb.tx", kind="submit_tx",
+                          n_ops=len(ops)) as sp, self._ipc_lock():
             st = system_from or self._next_system_time()
+            if sp is not None:
+                sp["attributes"]["tx_id"] = self._txid(st)
             staged: list[tuple[str, DataFrame, bool]] = []
             stage = (lambda table, ev, snap=True:  # noqa: E731
                      staged.append((table, ev, snap)))
