@@ -171,6 +171,43 @@ def polygon_rectangles(spark, sf_dir):
 
 
 @register(
+    "bitemp_polygon_streamed",
+    _ORACLE_EVENTS + """
+    -- same closed-form oracle as bitemp_polygon_rectangles: the
+    -- streaming sweep must emit IDENTICAL rectangles
+    SELECT _id,
+           CAST(SUM(CASE WHEN next_sf IS NULL THEN 1 ELSE 2 END) AS BIGINT)
+             AS n_rects,
+           MIN(_valid_from) AS min_vf,
+           MAX(_system_from) AS max_sf,
+           COUNT(*) AS n_open
+    FROM (
+      SELECT _id, _valid_from, _system_from, op,
+             LEAD(_system_from) OVER (PARTITION BY _id
+                                      ORDER BY _system_from) AS next_sf
+      FROM ev) t
+    WHERE op = 'put'
+    GROUP BY _id
+    """,
+)
+def polygon_rectangles_streamed(spark, sf_dir):
+    """The round-7 bounded-memory polygon path
+    (bitemporal.polygon_history_streamed: repartition + external sort
+    + mapInPandas with ceiling carry-over across arrow batches)
+    against the SAME closed-form oracle as the grouped sweep —
+    driver-checked proof the scale path is rectangle-identical."""
+    ev = _as_event_log(spark, sf_dir)
+    hist = bitemporal.polygon_history_streamed(
+        ev, ["_id", "value", "event_type"])
+    return hist.groupBy("_id").agg(
+        F.count("*").alias("n_rects"),
+        F.min("_valid_from").alias("min_vf"),
+        F.max("_system_from").alias("max_sf"),
+        F.count(F.when(F.col("_system_to").isNull(), 1)).alias("n_open"),
+    )
+
+
+@register(
     "bitemp_valid_between",
     """
     WITH ev AS (

@@ -211,3 +211,42 @@ def sql_quantified_comparisons(spark, sf_dir):
     FROM xt_qc_customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """
     return spark.sql(translate(q))
+
+
+@register(
+    "sql_series_direction",
+    """
+    -- DuckDB's generate_series natively returns [] on wrong-direction
+    -- ranges (the reference's semantics, generate_series_test.clj)
+    SELECT len(generate_series(10, 3)) AS n_desc_nostep,
+           len(generate_series(1, 5, -1)) AS n_wrong_step,
+           len(generate_series(5, 1, -2)) AS n_desc_ok,
+           len(generate_series(3, 3)) AS n_point,
+           CAST(generate_series(4, 1, -1)[1] AS BIGINT) AS first_desc,
+           len(range(4, 1)) AS n_range_desc,
+           len(range(1, 4)) AS n_range_asc
+    """,
+)
+def sql_series_direction(spark, sf_dir):
+    """generate_series/range direction semantics through the dialect
+    translator (round-7 fix: Spark's `sequence` auto-descends or
+    throws where the reference returns [] — guarded lowering in
+    sql/constructs.py:_guarded_seq, verified against DuckDB's native
+    generate_series which shares the reference's semantics
+    (generate_series_test.clj))."""
+    from xtdb_spark.sql.constructs import translate
+
+    q = """
+    SELECT CAST(cardinality(generate_series(10, 3)) AS INT)
+             AS n_desc_nostep,
+           CAST(cardinality(generate_series(1, 5, -1)) AS INT)
+             AS n_wrong_step,
+           CAST(cardinality(generate_series(5, 1, -2)) AS INT)
+             AS n_desc_ok,
+           CAST(cardinality(generate_series(3, 3)) AS INT) AS n_point,
+           CAST(element_at(generate_series(4, 1, -1), 1) AS BIGINT)
+             AS first_desc,
+           CAST(cardinality(range(4, 1)) AS INT) AS n_range_desc,
+           CAST(cardinality(range(1, 4)) AS INT) AS n_range_asc
+    """
+    return spark.sql(translate(q))
