@@ -130,7 +130,8 @@ def test_two_process_interleaved_submit_tx(tmp_path):
     jdir = os.path.join(wh, "_journal")
     assert not os.path.isdir(jdir) or not os.listdir(jdir)
     assert not os.path.isdir(os.path.join(wh, "_quarantine"))
-    spark.stop()
+    # NOTE: no spark.stop() — build_spark's getOrCreate returns the
+    # suite's shared session; stopping it would kill later tests
 
 
 def test_kill_mid_commit_recovers_on_open(tmp_path):
@@ -163,7 +164,6 @@ def test_kill_mid_commit_recovers_on_open(tmp_path):
     assert sum(1 for r in ledger if r["committed"]) == 2
     rec = [r for r in ledger if not r["committed"]]
     assert len(rec) == 1 and "recovered" in rec[0]["error"]
-    spark.stop()
 
 
 def test_journal_retired_after_each_tx(store):
