@@ -129,22 +129,33 @@ def lang_id(spark, sf_dir):
 @register(
     "pipe_dedup_ngram_jaccard",
     r"""
-    WITH g AS (
+    WITH g AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([array_to_string(words[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(words)-2, 1))])
                AS grams
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
             FROM documents)
+    ),
+    eg AS MATERIALIZED (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    -- gram-blocked intersection COUNT (LOSSLESS: jaccard >= 0.05 > 0
+    -- requires a shared gram; grams are list_distinct so the join
+    -- count IS |intersection|) — the all-pairs list_intersect
+    -- spelling was O(N^2) and took the sf0.1 gate from seconds to
+    -- hours (round 7)
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS k
+      FROM eg x JOIN eg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / (len(a.grams) + len(b.grams)
-                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-          >= 0.05
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.k AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - i.k), 6) AS jaccard
+    FROM inter i
+    JOIN g a ON a.doc_id = i.id_a
+    JOIN g b ON b.doc_id = i.id_b
+    WHERE CAST(i.k AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - i.k) >= 0.05
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -521,7 +532,7 @@ def sequence_packing(spark, sf_dir):
 @register(
     "pipe_dedup_clusters",
     r"""
-    WITH RECURSIVE g AS (
+    WITH RECURSIVE g AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([array_to_string(words[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(words)-2, 1))])
@@ -529,14 +540,23 @@ def sequence_packing(spark, sf_dir):
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
             FROM documents)
     ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-            >= 0.05
+    eg AS MATERIALIZED (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    -- gram-blocked intersection COUNT (LOSSLESS, see
+    -- pipe_dedup_ngram_jaccard — same pair derivation)
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS k
+      FROM eg x JOIN eg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
     ),
-    edges AS (
+    pairs AS MATERIALIZED (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN g a ON a.doc_id = i.id_a
+      JOIN g b ON b.doc_id = i.id_b
+      WHERE CAST(i.k AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - i.k) >= 0.05
+    ),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
