@@ -872,14 +872,23 @@ def ann_pq(spark, sf_dir):
     c = e.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("nn_id"),
         similarity.as_double_array(F.col("embedding")).alias("v"))
-    books = similarity.pq_codebooks(c, dim=dim, m=8, k=16)
+    # 64 centroids/subspace (6-bit codes; FAISS-default territory) —
+    # 16 was too coarse on THIS corpus: synthetic embeddings are
+    # near-random, the hardest PQ case (no cluster structure), and
+    # the round-7 sf0.1 oracle gate caught recall collapsing at 4×
+    # the corpus. Codes are still ~8 bytes vs 512 raw (64×).
+    books = similarity.pq_codebooks(c, dim=dim, m=8, k=64)
     encoded = similarity.pq_encode(c, books, dim=dim).select("nn_id", "codes")
-    # production PQ shape: ADC is the CANDIDATE GENERATOR (top-64 of
-    # the compressed scan), then the few candidates re-rank exactly
-    # against their raw vectors — the 100 TB win is that the full
-    # scan touches 8-byte codes and only ~k·
-    # (candidate factor) raw vectors are ever fetched
-    cand = (similarity.pq_adc_topk(encoded, q, books, dim=dim, k=64)
+    # production PQ shape: ADC is the CANDIDATE GENERATOR, then the
+    # candidates re-rank exactly against their raw vectors — the
+    # 100 TB win is that the full scan touches 8-byte codes and only
+    # the candidate fraction of raw vectors is ever fetched. The
+    # candidate count SCALES with the corpus (a fixed top-64 was the
+    # other half of the sf0.1 recall collapse): 10% here because
+    # random vectors have near-uniform pairwise distances; clustered
+    # real-world embeddings need far less.
+    k_cand = max(64, c.count() // 10)
+    cand = (similarity.pq_adc_topk(encoded, q, books, dim=dim, k=k_cand)
             .select("q_id", "nn_id"))
     rer = (cand.join(c, "nn_id").join(F.broadcast(q), "q_id")
            .select("q_id", "nn_id",
