@@ -60,12 +60,16 @@ def kafka_tx_log_stream(spark: SparkSession, brokers: str, topic: str,
     and NO network egress (DNS resolution to repo1.maven.org fails:
     `[Errno -2] Name or service not known`), and the environment
     forbids pip/apt installs — so vendoring the jars is impossible
-    and nothing Kafka-protocol-shaped can execute here. The executed
-    coverage therefore remains the file-backed CONTRACT test
-    (tests/test_streaming: offset→tx-id exactly-once, redelivery
-    dedup, checkpoint-loss replay) against KAFKA_RECORD_SCHEMA — the
-    exact record shape the real source produces, so this function is
-    the only untested line between the contract and a live broker."""
+    and this JVM-connector entry point can never run here. The gap is
+    closed as far as physically possible by `kafkalite.py`: a
+    pure-Python broker speaking the PUBLIC Kafka wire protocol
+    (RecordBatch v2 + CRC32C, Produce/Fetch/Metadata/ListOffsets over
+    TCP) plus a Spark 4 Python Data Source, so `ingest_tx_log` runs
+    UNCHANGED against a live network broker with checkpointed
+    exactly-once resume (tests/test_kafkalite.py). Only the
+    `.format("kafka")` jar itself remains untested; the file-backed
+    contract test (tests/test_streaming) additionally pins the record
+    SHAPE so either source feeds the same code."""
     return (spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("subscribe", topic)
