@@ -441,3 +441,32 @@ def test_normalize_text_unicode_semantics(spark):
     assert got[2] == "café strasse"   # ß → ss via casefold
     assert got[3] is None
     assert got[1] == got[2]                # the dedup-relevant point
+
+
+def test_bigram_lm_xent_hand_computed(spark):
+    """Cross-entropy matches an independent pure-Python bigram-LM
+    computation (add-k smoothing, k=0.5), and gibberish scores
+    strictly worse than text made of corpus-frequent bigrams."""
+    import math
+    import re
+    from collections import Counter
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+            (3, "zq xv wk pj zq")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in text.bigram_lm_xent(df).collect()}
+
+    toks = {i: re.sub(r"[^a-z]+", " ", t.lower()).split() for i, t in rows}
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    all_bg = [b for bs in bgs.values() for b in bs]
+    cb, c1 = Counter(all_bg), Counter(b[0] for b in all_bg)
+    v = len({b[1] for b in all_bg})
+    for i, bs in bgs.items():
+        lps = [round(math.log((cb[b] + 0.5) / (c1[b[0]] + 0.5 * v)), 6)
+               for b in bs]
+        want = round(-sum(lps) / len(lps), 4)
+        assert got[i]["xent"] == want, (i, got[i]["xent"], want)
+        assert got[i]["n_bigrams"] == len(bs)
+        assert got[i]["keep"] == (want <= 7.0)
+    assert got[3]["xent"] > got[1]["xent"]  # gibberish ranks worse

@@ -183,6 +183,55 @@ def repetition_stats(df, id_col: str = "doc_id",
                     .alias("top_bigram_char_frac")))
 
 
+def bigram_lm_xent(df, id_col: str = "doc_id", text_col: str = "text",
+                   k: float = 0.5, max_xent: float = 7.0):
+    """Perplexity quality filtering via a corpus-trained bigram LM —
+    the CCNet / Gopher-pipeline heuristic (Wenzek et al. 2020 filter
+    web text by LM perplexity; no external model weights exist in
+    this container, so the LM is trained on the corpus itself, which
+    is also what makes the op deterministic and oracle-expressible).
+
+    Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), add-k
+    smoothing with V = |distinct successor words| and c(w1 ·) the
+    bigram-context count. Per-document score is the mean negative
+    log-prob over its bigrams (cross-entropy, nats). Perplexity is
+    e^xent — strictly monotone in xent — so `keep = xent <= max_xent`
+    IS the perplexity filter, without exp()'s cross-engine float
+    drift. Gibberish/boilerplate scores high, fluent text low.
+
+    Scale shape (100 TB): word-count shaped. One explode over token
+    bigrams; two groupBys on word keys (map-side partial aggs); then
+    the doc-bigram stream joins the two count relations on word keys
+    — hot heads ("of the") are skew-split by AQE; no driver collect
+    (V rides a 1-row broadcast). Value-hash determinism: per-bigram
+    log-probs round to 6dp and sum as DECIMAL (exact, order-
+    independent) before the final 4dp rounding.
+    """
+    ts = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         "[^a-z]+", " ")), " +")
+    toks = (df.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+            .filter(F.size("ts") >= 2))
+    pairs = F.arrays_zip(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"))
+    bg = (toks.select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", "p.w1", "p.w2"))
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    lp6 = F.round(F.log((F.col("cb") + F.lit(k))
+                        / (F.col("c1") + F.lit(k) * F.col("v"))),
+                  6).cast("decimal(18,6)")
+    return (bg.join(bgc, ["w1", "w2"]).join(uni, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", lp6.alias("lp6"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round((-F.sum("lp6")).cast("double") / F.count("*"),
+                         4).alias("xent"))
+            .withColumn("keep", F.col("xent") <= F.lit(max_xent)))
+
+
 def global_shuffle(df, seed: int = 0, id_col: str = "doc_id",
                    partitions: int | None = None):
     """Deterministic global shuffle for training-order randomization:

@@ -1087,3 +1087,37 @@ def text_normalize_q(spark, sf_dir):
     norm = T.normalize_text("text", form="NFC", casefold=True)
     return d.select("doc_id", F.md5(norm).alias("norm_fp"),
                     F.length(norm).cast("long").alias("n_chars"))
+
+
+@register(
+    "pipe_perplexity_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+                                     '[^a-z]+', ' ', 'g')), ' +') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+            FROM toks WHERE len(ts) >= 2)
+    ), uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(-SUM(lp6) AS DOUBLE) / COUNT(*), 4) AS xent,
+           ROUND(CAST(-SUM(lp6) AS DOUBLE) / COUNT(*), 4) <= 7.0 AS keep
+    FROM (SELECT bg.doc_id,
+                 CAST(ROUND(ln((bgc.cb + 0.5) / (uni.c1 + 0.5 * vocab.v)),
+                            6) AS DECIMAL(18,6)) AS lp6
+          FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
+          CROSS JOIN vocab)
+    GROUP BY doc_id
+    """,
+)
+def perplexity_filter(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity filter (pipeline/text.py
+    bigram_lm_xent — the CCNet-style LM-quality gate, trained on the
+    corpus itself so it is deterministic and fully oracle-checked)."""
+    d = ld(spark, sf_dir, "documents")
+    return text.bigram_lm_xent(d)
