@@ -470,3 +470,36 @@ def test_bigram_lm_xent_hand_computed(spark):
         assert got[i]["n_bigrams"] == len(bs)
         assert got[i]["keep"] == (want <= 7.0)
     assert got[3]["xent"] > got[1]["xent"]  # gibberish ranks worse
+
+
+def test_semantic_dedup_blobs(spark):
+    """Three tight blobs + one far outlier: within each blob exactly
+    the least-typical member is kept, dropped docs point at a keeper
+    in the SAME cluster, and the outlier survives untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, center in enumerate(np.eye(3)):
+        base = np.concatenate([center * 10, rng.normal(0, 0.1, 5)])
+        for i in range(3):
+            v = base + rng.normal(0, 0.01, 8)
+            rows.append((b * 10 + i, [float(x) for x in v]))
+    rows.append((99, [float(x) for x in -np.ones(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(df, k=4, tau=0.95, train_cap=100)
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 10
+    assert got[99]["keep"] and got[99]["dup_of"] is None
+    for b in range(3):
+        ids = [b * 10 + i for i in range(3)]
+        kept = [i for i in ids if got[i]["keep"]]
+        assert len(kept) == 1, (b, kept)
+        # the kept one is the blob's least centroid-typical member
+        assert got[kept[0]]["centroid_sim"] == min(
+            got[i]["centroid_sim"] for i in ids)
+        clusters = {got[i]["cluster"] for i in ids}
+        assert len(clusters) == 1
+        for i in ids:
+            if not got[i]["keep"]:
+                assert got[i]["dup_of"] in ids

@@ -225,6 +225,54 @@ def kmeans_cluster(corpus: DataFrame, k: int = 8,
             .select(F.col("id"), F.col("cell").alias("cluster"), F.col("sim")))
 
 
+def semantic_dedup(corpus: DataFrame, k: int = 8, tau: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   train_cap: int = 50_000, max_iter: int = 10) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by k-means-blocked cosine pruning. Embeddings are clustered
+    (bounded-sample fit + broadcast centroids, `kmeans_cluster`), and
+    near-duplicate pairs only ever form WITHIN a cluster — the same
+    blocking argument as an LSH bucket join, so the quadratic term is
+    bounded by the largest cluster, not the corpus.
+
+    Keep policy (deterministic): within each near-dup neighborhood
+    the LEAST centroid-typical member survives — the paper's
+    keep-low-centroid-similarity choice, which preserves diversity at
+    the cluster edge — with ties broken on id. A doc is dropped iff
+    some cluster-mate with cosine >= tau precedes it in
+    (centroid_sim, id) order; `dup_of` names its best such keeper.
+
+    Scale shape (100 TB): one broadcast-assign pass, one
+    cluster-keyed self-join (shuffle on cluster id; AQE splits skewed
+    mega-clusters), one per-id top-1 window. No driver collect.
+    Returns (id, cluster, centroid_sim, keep, dup_of)."""
+    c = corpus.select(F.col(id_col).alias("id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    assign = kmeans_cluster(corpus, k, id_col, vec_col, train_cap,
+                            max_iter)
+    cv = c.join(assign, "id")
+    a = cv.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                  "cluster", F.col("sim").alias("sim_a"))
+    b = cv.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                  "cluster", F.col("sim").alias("sim_b"))
+    better = (a.join(b, "cluster")
+              .filter((F.col("sim_b") < F.col("sim_a"))
+                      | ((F.col("sim_b") == F.col("sim_a"))
+                         & (F.col("id_b") < F.col("id_a"))))
+              .withColumn("cos",
+                          F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+              .filter(F.col("cos") >= tau))
+    w = Window.partitionBy("id_a").orderBy("sim_b", "id_b")
+    drops = (better.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") == 1)
+             .select(F.col("id_a").alias("id"),
+                     F.col("id_b").alias("dup_of")))
+    return (cv.join(drops, "id", "left")
+            .select("id", "cluster",
+                    F.round("sim", 6).alias("centroid_sim"),
+                    F.col("dup_of").isNull().alias("keep"), "dup_of"))
+
+
 # ---- product quantization (PQ) ----------------------------------------------
 
 def l2sq(a: Column, b: Column) -> Column:

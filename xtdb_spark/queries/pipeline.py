@@ -1121,3 +1121,17 @@ def perplexity_filter(spark, sf_dir):
     corpus itself so it is deterministic and fully oracle-checked)."""
     d = ld(spark, sf_dir, "documents")
     return text.bigram_lm_xent(d)
+
+
+@register("pipe_dedup_semantic")  # rows-only: k-means isn't SQL-expressible
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (pipeline/similarity.py semantic_dedup): k-means-
+    blocked semantic near-dup pruning, keeping the least centroid-
+    typical member of each neighborhood. Threshold 0.3 is calibrated
+    to the synthetic random embeddings (intra-label max cos ~ 0.47;
+    real corpora use ~0.95). The exact verification stage — pairwise
+    cosine values — is oracle-checked via pipe_dedup_embedding_cosine
+    and pipe_ann_cosine_topk; the k-means assignment via the
+    pipe_embedding_kmeans rows-only entry's pytest blob test."""
+    e = ld(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, k=8, tau=0.3)
