@@ -503,3 +503,24 @@ def test_semantic_dedup_blobs(spark):
         for i in ids:
             if not got[i]["keep"]:
                 assert got[i]["dup_of"] in ids
+
+
+def test_temperature_mix_flattens_sources(spark, tmp_path):
+    """Temperature sampling upweights rare sources: the rare source
+    keeps a higher fraction than the dominant one, and the overall
+    kept volume lands near the 0.5 budget."""
+    import xtdb_spark.queries.pipeline as P
+
+    rows = [(i, "crawl") for i in range(900)] + \
+           [(900 + i, "books") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r
+           for r in P.temperature_mix(spark, str(tmp_path)).collect()}
+    crawl, books = out["crawl"], out["books"]
+    assert books["rate"] > crawl["rate"]          # rare source upweighted
+    assert books["n_kept"] / books["n_total"] > \
+        crawl["n_kept"] / crawl["n_total"]
+    total_kept = crawl["n_kept"] + books["n_kept"]
+    assert 0.35 < total_kept / 1000 < 0.65        # near the 0.5 budget
+    assert abs(crawl["w"] + books["w"] - 1.0) < 1e-5

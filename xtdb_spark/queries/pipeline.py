@@ -1135,3 +1135,76 @@ def dedup_semantic(spark, sf_dir):
     pipe_embedding_kmeans rows-only entry's pytest blob test."""
     e = ld(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, k=8, tau=0.3)
+
+
+@register(
+    "pipe_temperature_mix",
+    r"""
+    WITH s AS (SELECT source, COUNT(*) AS n_s FROM documents
+               GROUP BY source),
+    t AS (SELECT source, n_s, SUM(n_s) OVER () AS n,
+                 POW(n_s / SUM(n_s) OVER (), 0.3) AS pa
+          FROM s),
+    r AS (SELECT source, n_s, n, ROUND(pa / SUM(pa) OVER (), 6) AS w
+          FROM t),
+    r2 AS (SELECT source, n_s, ROUND(w, 6) AS w,
+                  ROUND(LEAST(1.0, 0.5 * n * ROUND(w, 6) / n_s), 6)
+                    AS rate
+           FROM r)
+    SELECT d.source, COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE rate >= 1.0
+                OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 < printf('%04x', CAST(FLOOR(rate * 65536) AS INTEGER)))
+             AS n_kept,
+           ROUND(MAX(w), 6) AS w, ROUND(MAX(rate), 6) AS rate
+    FROM documents d JOIN r2 USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing — the multilingual /
+    multi-source mixing rule from the GPT-3 / Llama / mC4 pipelines:
+    sample source s proportional to p_s^alpha (alpha = 0.3 < 1
+    upweights rare sources, flattens dominant crawl), under a global
+    token budget (here 0.5 of the corpus). Unlike pipe_source_mixture
+    (externally-given weights), the weights derive from the CORPUS
+    counts, so this is the self-calibrating variant.
+
+    Keep decisions are the same engine-portable hash threshold as
+    pipe_source_mixture (first 4 hex of md5(doc_id) vs
+    floor(rate*2^16)) — deterministic across runs, engines, and
+    partitionings. Scale shape: one groupBy(source) stats pass
+    (map-side combine), per-source rates broadcast back, stateless
+    filter; the alpha-weight math runs on the tiny per-source
+    relation. Float safety: weights round to 6dp before the rate
+    division, rates to 6dp before thresholding."""
+    d = ld(spark, sf_dir, "documents")
+    alpha, budget = 0.3, 0.5
+    stats = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = stats.agg(F.sum("n_s").alias("n"))
+    pa = (stats.crossJoin(F.broadcast(tot))
+          .withColumn("pa", F.pow(F.col("n_s") / F.col("n"), alpha)))
+    z = pa.agg(F.sum("pa").alias("z"))
+    rates = (pa.crossJoin(F.broadcast(z))
+             .withColumn("w", F.round(F.col("pa") / F.col("z"), 6))
+             .withColumn("rate",
+                         F.round(F.least(F.lit(1.0),
+                                         F.lit(budget) * F.col("n")
+                                         * F.col("w") / F.col("n_s")),
+                                 6))
+             .select("source", "w", "rate"))
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.format_string("%04x",
+                             F.floor(F.col("rate") * 65536).cast("int"))
+    kept = (F.col("rate") >= 1.0) | (h4 < thresh)
+    return (d.select("source", "doc_id")
+            .join(F.broadcast(rates), "source")
+            .select("source", "w", "rate", kept.alias("kept"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+                 F.round(F.max("w"), 6).alias("w"),
+                 F.round(F.max("rate"), 6).alias("rate"))
+            .orderBy("source"))
