@@ -240,7 +240,11 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, tau: float = 0.95,
     keep-low-centroid-similarity choice, which preserves diversity at
     the cluster edge — with ties broken on id. A doc is dropped iff
     some cluster-mate with cosine >= tau precedes it in
-    (centroid_sim, id) order; `dup_of` names its best such keeper.
+    (centroid_sim, id) order; `dup_of` names its first such
+    predecessor. In a similarity CHAIN (a~b, b~c, a!~c) that
+    predecessor may itself be dropped — follow dup_of to its
+    fixpoint for the surviving representative, or feed the implied
+    edges to `dedup.duplicate_clusters` for the transitive closure.
 
     Scale shape (100 TB): one broadcast-assign pass, one
     cluster-keyed self-join (shuffle on cluster id; AQE splits skewed
