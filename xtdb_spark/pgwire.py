@@ -522,9 +522,16 @@ class _Conn:
         oids = [_oid_of(f.dataType.simpleString())
                 for f in df.schema.fields]
         fmts = _col_formats(len(oids), result_formats)
+        return self._send_row_iter(df.toLocalIterator(), oids, fmts)
+
+    def _send_row_iter(self, rows, oids, fmts, max_rows: int = 0) -> int:
+        """DataRow encode/batch loop shared by the simple protocol
+        (`_send_rows`) and suspended-portal Execute: stops after
+        `max_rows` rows when non-zero (the iterator keeps its
+        position for the next Execute)."""
         n = 0
         batch = []
-        for row in df.toLocalIterator():
+        for row in rows:
             payload = struct.pack(">h", len(oids))
             for v, oid, fmt in zip(row, oids, fmts):
                 if v is None:
@@ -538,6 +545,8 @@ class _Conn:
             if len(batch) >= self.BATCH:
                 self.sock.sendall(b"".join(batch))
                 batch = []
+            if max_rows and n >= max_rows:
+                break
         if batch:
             self.sock.sendall(b"".join(batch))
         return n
@@ -1083,11 +1092,15 @@ class _Conn:
         result set); an un-Described portal still gets one so simple
         clients keep working."""
         if p["suspended"] is None and max_rows > 0 \
-                and self.tx is None and not self.tx_failed \
+                and not self.tx_failed \
                 and not (_TAG_RE.match(p["sql"])
                          or self._SHOW_RE.match(p["sql"])
                          or self._SET_RE.match(p["sql"])
                          or self._COPY_RE.match(p["sql"])):
+            # tx blocks included: everything _TAG_RE-excluded is a
+            # query (DML/tx-control all match), and pgjdbc only uses
+            # setFetchSize cursor mode with autocommit OFF — i.e.
+            # inside BEGIN — so suspension must work there
             from pyspark.sql import DataFrame as _DF
 
             sql = self._apply_setting_fns(self._compat_sql(p["sql"]))
@@ -1099,37 +1112,19 @@ class _Conn:
                     "iter": df.toLocalIterator(), "oids": oids,
                     "fmts": _col_formats(len(oids), p["rfmts"]),
                     "df": df, "sent": 0}
-            # non-relation results (DML etc.) execute fully below,
-            # like postgres (row limits only apply to row returns)
-            elif max_rows:
-                self._run(p["sql"], result_formats=p["rfmts"],
-                          send_desc=not p["described"])
+            else:
+                # the xt.sql call above already EXECUTED the
+                # statement (e.g. EXECUTE of a prepared DML returns a
+                # tx timestamp) — emit the tag directly; re-running
+                # via _run would apply the DML a second time
+                self._send(b"C", self._cstr("OK 0"))
                 return
         if p["suspended"] is not None:
             s = p["suspended"]
             if not p["described"] and s["sent"] == 0:
                 self._row_description(s["df"], p["rfmts"])
-            n = 0
-            batch = []
-            for row in s["iter"]:
-                payload = struct.pack(">h", len(s["oids"]))
-                for v, oid, fmt in zip(row, s["oids"], s["fmts"]):
-                    if v is None:
-                        payload += struct.pack(">i", -1)
-                        continue
-                    b = _binary_encode(v, oid) if fmt == 1 \
-                        else (_text(v) or "").encode()
-                    payload += struct.pack(">i", len(b)) + b
-                batch.append(b"D" + struct.pack(">i", len(payload) + 4)
-                             + payload)
-                n += 1
-                if len(batch) >= self.BATCH:
-                    self.sock.sendall(b"".join(batch))
-                    batch = []
-                if max_rows and n >= max_rows:
-                    break
-            if batch:
-                self.sock.sendall(b"".join(batch))
+            n = self._send_row_iter(s["iter"], s["oids"], s["fmts"],
+                                    max_rows)
             s["sent"] += n
             if max_rows and n >= max_rows:
                 self._send(b"s")             # PortalSuspended

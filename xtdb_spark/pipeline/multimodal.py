@@ -196,7 +196,8 @@ FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms long, frame binary")
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
                   fps: float = 25.0, fake_decode: bool = False,
-                  batch_size: int | None = 16) -> DataFrame:
+                  batch_size: int | None = 16,
+                  on_error: str = "raise") -> DataFrame:
     """Sample `n_frames` evenly-spaced frames from each video row —
     the 1→N mapInPandas expansion pattern (one input row yields many
     output rows; arrow batches keep memory bounded even though the
@@ -208,7 +209,15 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     with container-derived timestamps. Bytes outside those container
     formats (H.264 etc. — inter-frame codecs genuinely need a media
     library) raise, unless `fake_decode=True` falls back to the
-    deterministic byte-slice stub."""
+    deterministic byte-slice stub.
+
+    `on_error`: "raise" (default) fails the job on undecodable or
+    CORRUPT bytes (truncated GIF/AVI raise too, not just unrecognized
+    containers — one bad row would otherwise kill the stage after 4
+    task retries with a confusing struct.error); "skip" drops such
+    rows and keeps going — the right setting for a 100 TB corpus
+    where some crawl bytes are always damaged (pair with an anti-join
+    on media_id to audit what was dropped)."""
     spark = media.sparkSession
     if batch_size is not None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
@@ -216,6 +225,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     videos = media.filter(F.col("kind") == "video")
 
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         from xtdb_spark.pipeline import codecs
 
         for pdf in batches:
@@ -223,13 +234,27 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(b or b"")
                 decoded = None
+                err = None
                 try:
                     if b[:6] in (b"GIF87a", b"GIF89a"):
                         decoded = codecs.decode_gif_frames(b)
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         decoded = codecs.decode_avi_frames(b)
-                except codecs.UnsupportedMedia:
-                    decoded = None
+                except (codecs.UnsupportedMedia, ValueError,
+                        IndexError, struct.error) as e:
+                    # recognized container, corrupt/truncated bytes
+                    decoded, err = None, e
+                if err is not None:
+                    if on_error == "skip":
+                        continue
+                    if not fake_decode:
+                        raise ValueError(
+                            f"undecodable video bytes for media_id "
+                            f"{mid!r} ({type(err).__name__}: {err}); "
+                            f"pass on_error='skip' to drop corrupt "
+                            f"rows") from err
+                    # fake_decode: corrupt media stubs like any other
+                    # undecodable bytes (fall through)
                 if decoded:
                     k = min(n_frames, len(decoded))
                     picks = sorted({round(j * (len(decoded) - 1)

@@ -165,3 +165,69 @@ def stream_session_windows(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start().awaitTermination())
     return spark.table(name).select("session_start", "user_id", "n")
+
+
+@register(
+    "stream_kafka_wire_tail",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 64)
+    GROUP BY event_type
+    """,
+)
+def stream_kafka_wire_tail(spark, sf_dir):
+    """Kafka tx-log tail through the REAL wire protocol (reference
+    modules/kafka; streaming/kafkalite.py): the first 64 events are
+    produced into an in-process pure-Python Kafka broker as magic-2
+    RecordBatches over TCP (2 partitions, keyed by event_id parity),
+    tailed back with `readStream.format("kafkalite")` — the Spark 4
+    Python Data Source speaking Fetch v4 from the executors — and
+    aggregated. The oracle is the same aggregate straight off the
+    parquet, so any loss, duplication, or corruption across the wire
+    surfaces as a count/value mismatch. The 64-row driver collect is
+    the test-fixture producer, not the data path (a production
+    producer writes the log directly)."""
+    import json as _json
+
+    from xtdb_spark.queries.registry import NANOS_CONF
+    from xtdb_spark.streaming.kafkalite import (KafkaLiteBroker,
+                                                KafkaLiteClient,
+                                                kafkalite_tx_log_stream)
+
+    spark.conf.set(NANOS_CONF, "true")
+    rows = (ld(spark, sf_dir, "events")
+            .orderBy("event_id").limit(64)
+            .select("event_id", "event_type",
+                    F.col("value").cast("double").alias("value"))
+            .collect())
+    broker = KafkaLiteBroker().start()
+    broker.create_topic("events", 2)
+    try:
+        with KafkaLiteClient(broker.bootstrap) as c:
+            for p in (0, 1):
+                batch = [(1_700_000_000_000 + i,
+                          str(r["event_id"]).encode(),
+                          _json.dumps({"event_id": r["event_id"],
+                                       "event_type": r["event_type"],
+                                       "value": r["value"]}).encode())
+                         for i, r in enumerate(rows)
+                         if r["event_id"] % 2 == p]
+                if batch:
+                    c.produce("events", p, batch)
+        name = "xt_stream_kafka_wire"
+        with tempfile.TemporaryDirectory() as ckpt:
+            (kafkalite_tx_log_stream(spark, broker.bootstrap, "events")
+             .writeStream.outputMode("append").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start().awaitTermination())
+    finally:
+        broker.stop()
+    doc = F.from_json(F.col("value").cast("string"),
+                      "event_id bigint, event_type string, value double")
+    return (spark.table(name)
+            .select(doc.alias("d"))
+            .groupBy(F.col("d.event_type").alias("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("d.value").cast("decimal(28,2)"))
+                 .cast("double").alias("sum_value")))

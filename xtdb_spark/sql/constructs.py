@@ -1345,7 +1345,7 @@ class _Translator:
         return args
 
     @staticmethod
-    def _guarded_seq(args: list[str]) -> str:
+    def _guarded_seq(args: list[str], exclude_end: bool = False) -> str:
         """``sequence`` with the reference's direction semantics
         (generate_series_test.clj: generate_series(10, 3) → [], and a
         step whose sign opposes the direction → [] — Spark's
@@ -1356,19 +1356,44 @@ class _Translator:
         call would still throw at plan time): the bounds are
         normalized to a valid call, and the guard lives in a
         ``filter`` predicate that drops every element when the
-        direction is wrong."""
+        direction is wrong.
+
+        Every argument expression is emitted EXACTLY ONCE, bound into
+        a one-element struct array and consumed through lambdas — so
+        positional ``?`` parameters keep their count and order
+        (rewrite_with_args's contract) and non-deterministic
+        arguments are evaluated once, not per guard re-reference.
+        ``exclude_end`` folds range()'s exclusive upper bound into
+        the same lambda (only the end bound can ever equal an
+        element: sequence values are strictly monotone)."""
         a = f"({args[0]})"
         if len(args) == 1:
-            return f"sequence({a}, {a})"
+            # [a] (or [] for range(a), whose end == its only element)
+            return f"slice(array({a}), 1, 0)" if exclude_end \
+                else f"array({a})"
         b = f"({args[1]})"
         if len(args) == 2:
-            return (f"filter(sequence(least({a}, {b}), "
-                    f"greatest({a}, {b})), __xt_gv -> {a} <= {b})")
+            keep = "__xt_g.lo <= __xt_g.hi"
+            if exclude_end:
+                keep += " AND __xt_gv <> __xt_g.hi"
+            return (f"flatten(transform(array(struct({a} AS lo, "
+                    f"{b} AS hi)), __xt_g -> "
+                    f"filter(sequence(least(__xt_g.lo, __xt_g.hi), "
+                    f"greatest(__xt_g.lo, __xt_g.hi)), "
+                    f"__xt_gv -> {keep})))")
         s = f"({args[2]})"
-        cond = (f"({a} <= {b} AND {a} + {s} > {a}) OR "
-                f"({a} >= {b} AND {a} + {s} < {a})")
-        return (f"filter(sequence({a}, if({cond}, {b}, {a}), {s}), "
-                f"__xt_gv -> {cond})")
+        cond = ("(__xt_g.lo <= __xt_g.hi AND "
+                "__xt_g.lo + __xt_g.st > __xt_g.lo) OR "
+                "(__xt_g.lo >= __xt_g.hi AND "
+                "__xt_g.lo + __xt_g.st < __xt_g.lo)")
+        keep = cond
+        if exclude_end:
+            keep = f"({cond}) AND __xt_gv <> __xt_g.hi"
+        return (f"flatten(transform(array(struct({a} AS lo, {b} AS hi, "
+                f"{s} AS st)), __xt_g -> "
+                f"filter(sequence(__xt_g.lo, "
+                f"if({cond}, __xt_g.hi, __xt_g.lo), __xt_g.st), "
+                f"__xt_gv -> {keep})))")
 
     def _series_table(self, fn: str) -> str:
         """``generate_series(a, b[, s])`` / ``range(a, b[, s])`` as a
@@ -1385,30 +1410,25 @@ class _Translator:
         self._ff_n += 1
         alias = alias or f"__xt_gs{self._ff_n}"
         v = cols[0] if cols else "generate_series"
-        seq = self._guarded_seq(args)
-        end = args[1] if len(args) > 1 else args[0]
+        # range's end-exclusion rides inside the guarded lambda so
+        # the end-bound expression (possibly a positional ?) is never
+        # re-emitted
+        seq = self._guarded_seq(args,
+                                exclude_end=fn != "GENERATE_SERIES")
         if not ordinality:
-            if fn == "GENERATE_SERIES":
-                return f"LATERAL explode({seq}) {alias}({v})"
-            return (f"LATERAL (SELECT {v} FROM explode({seq}) "
-                    f"__xt_r{self._ff_n}({v}) WHERE {v} <> ({end})) "
-                    f"AS {alias}")
+            return f"LATERAL explode({seq}) {alias}({v})"
         o = cols[1] if len(cols) > 1 else "ordinality"
-        flt = "" if fn == "GENERATE_SERIES" else f" WHERE {v} <> ({end})"
         return (f"LATERAL (SELECT {v}, __xt_pos + 1 AS {o} "
                 f"FROM posexplode({seq}) __xt_pe{self._ff_n}"
-                f"(__xt_pos, {v}){flt}) AS {alias}")
+                f"(__xt_pos, {v})) AS {alias}")
 
     def _series_expr(self, fn: str) -> str:
         """Expression form (Sql.g4:292 GenerateSeriesFunction) →
         an array value: ``sequence(…)``, with range's exclusive end
         as an ``array filter``."""
         args = self._series_args()
-        seq = self._guarded_seq(args)
-        if fn == "GENERATE_SERIES":
-            return seq
-        end = args[1] if len(args) > 1 else args[0]
-        return f"filter({seq}, __xt_sv -> __xt_sv <> ({end}))"
+        return self._guarded_seq(args,
+                                 exclude_end=fn != "GENERATE_SERIES")
 
     def _parse_primary(self) -> str:
         """One primary expression (right operand of an infix period

@@ -147,4 +147,16 @@ def span(name: str, **attributes: Any):
         s["end_ns"] = time.time_ns()
         s["attributes"]["duration_ms"] = round(
             (s["end_ns"] - s["start_ns"]) / 1e6, 3)
-        exp.export(s)
+        try:
+            exp.export(s)
+        except Exception:
+            # telemetry must never fail the traced operation (a down
+            # collector or unwritable trace file would otherwise turn
+            # every successful sql()/put()/submit_tx into an error —
+            # after the data was already durably written — and, in
+            # the exception path, mask the real exception raised by
+            # the body). OTel SDKs drop-and-log the same way.
+            import logging
+
+            logging.getLogger("xtdb_spark.tracing").warning(
+                "trace span export failed", exc_info=True)

@@ -60,6 +60,12 @@ class TableStore:
         self._tx_counter = 0
         self._pins: dict[int, tuple[str, tuple[str, ...]]] = {}
         self._pin_counter = 0
+        # tx-id uniqueness state (see _commit_journal): ids already
+        # present in the ledger, folded in incrementally under the
+        # commit lock
+        self._active_txid: int | None = None
+        self._used_txids: set[int] = set()
+        self._used_off = 0
         # commit protocol state (see "multi-process commit protocol")
         self._tx_mutex = threading.RLock()
         self._lock_depth = 0
@@ -153,6 +159,34 @@ class TableStore:
                     return None
         return None
 
+    def _refresh_used_txids(self) -> None:
+        """Fold ledger lines appended since the last read (by ANY
+        process) into the in-memory used-id set. Called under the
+        commit lock — ledger appends also happen under it, so the
+        file always ends on a complete line and the set is complete
+        at allocation time. Incremental (byte-offset cursor), so the
+        tiny-tx fast path stays O(new lines), not O(ledger)."""
+        try:
+            with open(self._ledger_path(), "rb") as f:
+                f.seek(self._used_off)
+                for ln in f:
+                    ln = ln.strip()
+                    if ln:
+                        with contextlib.suppress(ValueError, KeyError):
+                            self._used_txids.add(_json.loads(ln)["tx_id"])
+                self._used_off = f.tell()
+        except OSError:
+            return
+
+    def _txid_for(self, st) -> int:
+        """tx id for the ACTIVE commit (allocated by _commit_journal
+        — unique even when an explicit system_from reuses a prior
+        tx's timestamp, so file names / journal / quarantine globs
+        can never cross transactions); falls back to the time-derived
+        id outside a commit scope."""
+        return (self._active_txid if self._active_txid is not None
+                else self._txid(st))
+
     def _journal_dir(self) -> str:
         return os.path.join(self.warehouse, "_journal")
 
@@ -172,7 +206,19 @@ class TableStore:
         commit-log protocol — this is the same idea at warehouse
         granularity."""
         tables = sorted(set(tables))
+        # allocate a UNIQUE tx id: time-derived, but bumped past any
+        # id already in the ledger — an explicit system_from that
+        # reuses a prior tx's timestamp must not produce colliding
+        # `part-xt{txid}-` names, or a failure/crash in the second tx
+        # would quarantine the FIRST tx's committed files (and
+        # recovery would mistake the crashed tx for committed)
+        self._refresh_used_txids()
         txid = self._txid(st)
+        while txid in self._used_txids:
+            txid += 1
+        self._used_txids.add(txid)
+        prev_active = self._active_txid
+        self._active_txid = txid
         os.makedirs(self._journal_dir(), exist_ok=True)
         jp = self._journal_path(txid)
         tmp = jp + f".tmp-{_uuid.uuid4().hex}"
@@ -189,11 +235,14 @@ class TableStore:
         except Exception as e:
             self._quarantine_tx(txid, tables)
             self._record_tx(st, committed=False,
-                            error=f"{type(e).__name__}: {e}"[:500])
+                            error=f"{type(e).__name__}: {e}"[:500],
+                            txid=txid)
             with contextlib.suppress(OSError):
                 os.remove(jp)
             raise
-        self._record_tx(st)
+        finally:
+            self._active_txid = prev_active
+        self._record_tx(st, txid=txid)
         with contextlib.suppress(OSError):
             os.remove(jp)
 
@@ -250,7 +299,8 @@ class TableStore:
                     self._record_tx(
                         j["system_time"], committed=False,
                         error="recovered: partial commit from crashed "
-                              "process quarantined")
+                              "process quarantined",
+                        txid=j["tx_id"])
                 with contextlib.suppress(OSError):
                     os.remove(jp)
 
@@ -379,19 +429,22 @@ class TableStore:
             self._save_roles(roles)
 
     def _record_tx(self, st: datetime, committed: bool = True,
-                   error: str | None = None) -> None:
+                   error: str | None = None,
+                   txid: int | None = None) -> None:
         """Append one line to the tx log manifest (reference `xt.txs`
         system table: _id/system_time/committed/error —
         information_schema.clj xt-derived tables). Driver-side JSONL
         append, not a Spark job: tx metadata is a few bytes per tx,
         and the single-writer model serializes appends. tx id = the
-        system time in micros (the log-offset analogue)."""
+        system time in micros (the log-offset analogue), or the
+        uniquified id `_commit_journal` allocated for this tx."""
         import json as _json
 
         if isinstance(st, str):
             st = datetime.fromisoformat(st)
         line = _json.dumps({
-            "tx_id": int(st.replace(tzinfo=timezone.utc).timestamp()
+            "tx_id": txid if txid is not None else
+                     int(st.replace(tzinfo=timezone.utc).timestamp()
                          * 1_000_000),
             "system_time": st.isoformat(sep=" "),
             "committed": committed,
@@ -506,7 +559,7 @@ class TableStore:
         commit (Delta-style controlled file naming)."""
         import shutil
 
-        txid = self._txid(st)
+        txid = self._txid_for(st)
         path = self._path(table)
         staging = os.path.join(path,
                                f".stage-{txid}-{_uuid.uuid4().hex}")
@@ -614,7 +667,7 @@ class TableStore:
         # tx-id-stamped name (quarantinable), written via a hidden
         # temp name so a crash mid-write can't leave a truncated
         # .parquet where scans would trip over it
-        txid = self._txid(st)
+        txid = self._txid_for(st)
         final = os.path.join(
             path, f"part-xt{txid}-{_uuid.uuid4().hex}.parquet")
         tmp = os.path.join(path, f".stage-{txid}-{_uuid.uuid4().hex}")
