@@ -301,6 +301,9 @@ class _Conn:
         # planner-relevant ones like timezone stay pinned — we
         # report, we don't re-plan by them)
         self.settings: dict[str, str] = {}
+        # replication=database startup param switches this conn into
+        # walsender mode (replication.py WalSender)
+        self.replication = False
         # cancellation identity (BackendKeyData) — see cancel()
         self.pid = next(_PID_COUNTER)
         self.secret = _secrets.randbits(31)
@@ -367,6 +370,8 @@ class _Conn:
                 params[k.decode()] = v.decode()
         if not self._authenticate(params.get("user", "")):
             return False
+        self.replication = params.get("replication", "") in (
+            "database", "true", "on", "1")
         self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk
         for k, v in (("server_version", "16.0 (xtdb_spark)"),
                      ("server_encoding", "UTF8"),
@@ -977,6 +982,13 @@ class _Conn:
             if not stmts:
                 self._send(b"I")
             for s in stmts:
+                if self.replication:
+                    # walsender grammar first (IDENTIFY_SYSTEM /
+                    # *_REPLICATION_SLOT / START_REPLICATION); plain
+                    # SQL still falls through, like postgres
+                    from xtdb_spark.replication import WalSender
+                    if WalSender(self, self.xt.store).handle(s):
+                        continue
                 self._run(s)
             self._ready()
         elif t == b"P":                      # Parse

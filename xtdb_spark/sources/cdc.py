@@ -131,16 +131,50 @@ def stream_wal2json_dir(spark: SparkSession, source_dir: str, store,
 
 
 def postgres_replication_stream(host: str, port: int, database: str,
-                                slot: str, publication: str,
-                                username: str, password: str):
-    """Live pgoutput slot connection (reference
-    PostgresSource.kt:120-151 factory surface). Requires a Postgres
-    JDBC/replication driver on the classpath — not shipped in this
-    container, so this raises a clear error instead of being silently
-    untested (same gate as the Kafka log source)."""
-    raise RuntimeError(
-        "live Postgres logical replication needs the org.postgresql "
-        "driver on the Spark classpath; dump the slot with "
-        "`pg_recvlogical -o format-version=2` (wal2json) into a "
-        "directory and use stream_wal2json_dir, or add the driver "
-        "and wire a JDBC reader here")
+                                slot: str, username: str = "xtdb",
+                                password: str | None = None,
+                                create: bool = True):
+    """LIVE logical-replication slot connection (reference
+    PostgresSource.kt:120-151 factory surface), driver-free: the
+    pure-Python protocol client (sources/pg_repl.py) connects to any
+    wal2json walsender — a real Postgres, or this repo's own
+    publisher (replication.py). Returns the connected, streaming
+    client; pair it with `replicate_slot_to_store` for the apply
+    loop, or iterate `client.poll()` yourself."""
+    from xtdb_spark.sources.pg_repl import LogicalReplicationClient
+
+    cli = LogicalReplicationClient(host, port, slot, user=username,
+                                   password=password, database=database)
+    cli.connect()
+    if create:
+        cli.create_slot(if_not_exists=True)
+    cli.start()
+    return cli
+
+
+def replicate_slot_to_store(spark: SparkSession, store, client,
+                            pk: str = "_id", max_wait: float = 1.0,
+                            max_batches: int | None = None) -> int:
+    """The live apply loop: drain the slot in batches; each wire
+    batch becomes ONE store tx window via `apply_cdc_batch` (the same
+    distributed collapse/apply as the file path), then the batch's
+    top LSN is acknowledged — confirmed_flush only advances AFTER the
+    local commit, so a crash between apply and ack redelivers and the
+    LSN-keyed last-write-wins apply stays idempotent (the reference's
+    resume-token ordering, PostgresSource.kt:199-210). Returns the
+    number of changes applied. Only the wal2json LINES pass through
+    the driver (they arrive on one socket by design); parsing and
+    apply are Spark-side."""
+    applied = 0
+    batches = 0
+    while max_batches is None or batches < max_batches:
+        changes = list(client.poll(max_wait=max_wait))
+        if not changes:
+            break
+        lines = spark.createDataFrame(
+            [(payload,) for _, payload in changes], "value string")
+        apply_cdc_batch(store, parse_wal2json(lines), pk)
+        client.ack(max(lsn for lsn, _ in changes))
+        applied += len(changes)
+        batches += 1
+    return applied
