@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xtdb_spark.pipeline import dedup, similarity, text
+from xtdb_spark.pipeline import bpe, dedup, similarity, text
 from xtdb_spark.queries.registry import ld, register
 
 
@@ -1207,4 +1207,64 @@ def temperature_mix(spark, sf_dir):
                  F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
                  F.round(F.max("w"), 6).alias("w"),
                  F.round(F.max("rate"), 6).alias("rate"))
+            .orderBy("source"))
+
+
+@register(
+    "pipe_bpe_word_freqs",
+    r"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 500
+    """,
+)
+def bpe_word_freqs(spark, sf_dir):
+    """BPE stage 1, oracle-checked: the corpus → (word, cnt) collapse
+    every later merge statistic derives from (pipeline/bpe.py module
+    docstring — the ONLY corpus-wide pass of tokenizer training; the
+    pre-token regex is portable Java-regex/RE2 so both engines
+    tokenize identically). Top-500 under a (cnt, word) total order."""
+    d = ld(spark, sf_dir, "documents")
+    return (bpe.word_freqs(d)
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(500))
+
+
+@register("pipe_bpe_train")  # rows-only: iterative merge loop is not
+def bpe_train(spark, sf_dir):  # SQL-expressible; value-checked in
+    """BPE stage 2 (pytest): learned merge table.  Deterministic —
+    count ties break to the lexicographically smallest pair — so the
+    rows-only check still sees a stable row count, and
+    tests/test_bpe.py value-checks the merges on a hand-computed
+    corpus (Sennrich et al. 2016 worked example).
+    Reference scope note: the reference engine has no tokenizer; this
+    is part of the training-data pipeline surface the brief adds."""
+    d = ld(spark, sf_dir, "documents")
+    merges = bpe.train(d, n_merges=120, top_words=50_000)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string")
+
+
+@register("pipe_bpe_encode")  # rows-only: depends on the learned
+def bpe_encode(spark, sf_dir):  # merges (iterative); round-trip and
+    """BPE stage 3 (hand examples value-checked in pytest): encode the
+    corpus under the learned merges — per-doc BPE token count next to
+    the whitespace count, aggregated per source so the result is
+    small and stable. The encode UDF is Arrow-batched with per-batch
+    word memoization (bpe.py:encode_counts)."""
+    d = ld(spark, sf_dir, "documents")
+    merges = bpe.train(d, n_merges=120, top_words=50_000)
+    enc = bpe.encode_counts(d, merges)
+    return (d.select("doc_id", "source",
+                     text.token_count(F.col("text")).alias("n_ws"))
+            .join(enc, "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_ws").alias("ws_tokens"),
+                 F.sum("n_bpe").alias("bpe_tokens"))
             .orderBy("source"))
