@@ -1009,12 +1009,14 @@ class TableStore:
                                  l0_threshold)
 
     def optimize(self, table: str, n_files: int | None = None,
-                 full: bool | None = None) -> int:
+                 full: bool | None = None,
+                 cluster_by: list[str] | None = None) -> int:
         with self._ipc_lock():
-            return self._optimize_unlocked(table, n_files, full)
+            return self._optimize_unlocked(table, n_files, full, cluster_by)
 
     def _optimize_unlocked(self, table: str, n_files: int | None = None,
-                           full: bool | None = None) -> int:
+                           full: bool | None = None,
+                           cluster_by: list[str] | None = None) -> int:
         """Compaction entry point. Default (`full=None`, no
         `n_files`): run LEVELED incremental compaction — see
         `compact()`. With `n_files` (or `full=True`): FULL
@@ -1050,7 +1052,7 @@ class TableStore:
         import glob
         import shutil
 
-        if n_files is None and not full:
+        if n_files is None and not full and not cluster_by:
             return self.compact(table)
         path = self._path(table)
         # physical erase: keep only what an erase didn't wipe
@@ -1061,9 +1063,20 @@ class TableStore:
             n_files = max(1, n_bytes // (128 * 1024 * 1024) + 1)
         tmp = path + "__compacting"
         old = path + "__old"
-        (ev.repartitionByRange(int(n_files), "_iid")
-         .sortWithinPartitions("_iid", "_system_from")
-         .write.mode("overwrite").parquet(tmp))
+        if cluster_by:
+            # multi-column Z-order layout (operators/zorder.py): each
+            # file becomes a bounded box in EVERY clustered dimension,
+            # so footer min/max stats prune scans filtered on any of
+            # them — Delta's OPTIMIZE ... ZORDER BY, re-expressed as
+            # pure Column math + one repartitionByRange
+            from xtdb_spark.operators import zorder
+
+            clustered = zorder.cluster(ev, cluster_by, int(n_files),
+                                       extra_sort=["_iid", "_system_from"])
+        else:
+            clustered = (ev.repartitionByRange(int(n_files), "_iid")
+                         .sortWithinPartitions("_iid", "_system_from"))
+        clustered.write.mode("overwrite").parquet(tmp)
         # table METADATA survives the data rewrite (declared columns)
         sj = os.path.join(path, "_schema.json")
         if os.path.exists(sj):
