@@ -114,6 +114,22 @@ def test_resume_after_ack_skips_delivered(spark, xt, server, sub_store):
         cli2.close()
 
 
+def test_pg_replication_slots_view(xt, server):
+    cli = _cli(server, slot="viewslot")
+    try:
+        cli.create_slot()
+        xt.store.put("vdocs", [{"_id": 1, "name": "v", "n": 0}])
+        rows = xt.sql("SELECT slot_name, plugin, slot_type, lag_txs "
+                      "FROM pg_replication_slots").collect()
+        assert [(r["slot_name"], r["plugin"], r["slot_type"], r["lag_txs"])
+                for r in rows] == [("viewslot", "wal2json", "logical", 1)]
+        cli.drop_slot()
+        assert xt.sql("SELECT * FROM pg_catalog.pg_replication_slots") \
+                 .count() == 0
+    finally:
+        cli.close()
+
+
 def test_redelivery_without_ack(xt, server):
     pub = xt.store
     cli = _cli(server, slot="redeliver")

@@ -390,6 +390,27 @@ def pg_am(spark: SparkSession, store=None) -> DataFrame:
         "oid int, amname string, amhandler string, amtype string")
 
 
+def pg_replication_slots(spark: SparkSession, store=None) -> DataFrame:
+    """`pg_replication_slots`: one row per logical slot served by the
+    walsender (replication.py SlotStore `_slots.json`) — monitoring
+    tools watch confirmed_flush_lsn lag here, exactly as on postgres."""
+    from xtdb_spark.replication import SlotStore, committed_txids, lsn_str
+
+    rows = []
+    if store is not None and getattr(store, "warehouse", None):
+        slots = SlotStore(store.warehouse).load()
+        head = committed_txids(store.warehouse, 0)
+        rows = [(name, s.get("plugin", "wal2json"), "logical", "xtdb",
+                 False, lsn_str(s.get("confirmed_flush", 0)),
+                 sum(1 for t in head if t > s.get("confirmed_flush", 0)))
+                for name, s in sorted(slots.items())]
+    return spark.createDataFrame(
+        rows,
+        "slot_name string, plugin string, slot_type string, "
+        "database string, active boolean, confirmed_flush_lsn string, "
+        "lag_txs long")
+
+
 def pg_stat_user_tables(spark: SparkSession, store=None) -> DataFrame:
     """Row counts per user table from parquet FOOTERS (no scan) —
     the reference serves n_live_tup the same zero-cost way."""
@@ -532,6 +553,8 @@ def register_all(spark: SparkSession, store) -> None:
     pg_am(spark).createOrReplaceTempView("pg_catalog_pg_am")
     pg_stat_user_tables(spark, store).createOrReplaceTempView(
         "pg_catalog_pg_stat_user_tables")
+    pg_replication_slots(spark, store).createOrReplaceTempView(
+        "pg_catalog_pg_replication_slots")
     for fn in (pg_matviews, pg_enum, pg_constraint, pg_extension,
                pg_attrdef, pg_range):
         fn(spark).createOrReplaceTempView(

@@ -229,7 +229,7 @@ _PG_CATALOG_TABLES = ("pg_tables", "pg_type", "pg_namespace", "pg_class",
                       "pg_database", "pg_user", "pg_am",
                       "pg_stat_user_tables", "pg_matviews", "pg_enum",
                       "pg_constraint", "pg_extension", "pg_attrdef",
-                      "pg_range")
+                      "pg_range", "pg_replication_slots")
 
 _SYSTEM_VIEWS = {
     "information_schema.tables": "information_schema_tables",
