@@ -1418,7 +1418,8 @@ class TableStore:
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def scan(self, table: str, valid_time=None, system_time=None,
-             all_valid_time=False, all_system_time=False) -> DataFrame:
+             all_valid_time=False, all_system_time=False,
+             prefilter=None) -> DataFrame:
         """The :scan operator (reference operator/scan.clj:46-368):
         temporal bounds → resolution strategy. Column pruning +
         predicate pushdown on the returned DataFrame reach the parquet
@@ -1427,7 +1428,25 @@ class TableStore:
         additionally prune whole FILES from the manifest before the
         Spark scan is built (`prune_manifest` — the trie-catalog
         walk); `FOR ALL SYSTEM_TIME` needs the full history, so it
-        never prunes."""
+        never prunes.
+
+        `prefilter` (Column or SQL string over the table's columns):
+        sideways candidate pruning for SELECTIVE queries. User
+        predicates applied to the RESULT cannot push below the
+        per-iid resolution window (they see resolved rows), so by
+        default a filtered temporal scan still shuffles every event.
+        A prefilter runs a cheap columnar pass (predicate columns +
+        `_iid` only — pushed to parquet, z-order/footer-prunable) for
+        iids where ANY version matches, then left-semi-joins events
+        before resolution — a SAFE SUPERSET of "current version
+        matches" (every version of a candidate iid is kept, so
+        resolution is unchanged for them; non-candidates can never
+        satisfy the same predicate after resolution). The caller
+        still applies its own `.filter(pred)` on the result:
+        `scan(t, prefilter=p).filter(p) == scan(t).filter(p)`,
+        verified by tests/test_prefilter.py. The reference's bloom
+        "sideways information passing" (join.clj:172-226) plays this
+        role between operators; here it prunes the scan itself."""
         path = self._path(table)
         l0, entries = compactor.live_files(path)
         if not l0 and not entries and os.path.isdir(path):
@@ -1464,6 +1483,11 @@ class TableStore:
                 l0 + [compactor.entry_path(path, e)
                       for e in entries if not e["hist"]]) or None
         ev = self.events(table, files=files)
+        if prefilter is not None:
+            cond = (F.expr(prefilter) if isinstance(prefilter, str)
+                    else prefilter)
+            cand = ev.where(cond).select("_iid").distinct()
+            ev = ev.join(cand, "_iid", "left_semi")
         return self._resolve(ev, valid_time, system_time,
                              all_valid_time, all_system_time)
 
