@@ -328,3 +328,30 @@ def readings_rollup(spark, sf_dir):
                 / F.count("value"), 6).alias("avg_v"),
         F.round(F.min("value"), 6).alias("min_v"),
         F.round(F.max("value"), 6).alias("max_v"))
+
+
+@register(
+    "bitemp_prefilter_scan",
+    _ORACLE_EVENTS + """
+    SELECT _id, value FROM (
+      SELECT _id, value, op,
+             ROW_NUMBER() OVER (PARTITION BY _id
+                                ORDER BY _system_from DESC) AS rn
+      FROM ev)
+    WHERE rn = 1 AND op = 'put' AND value > 50.0
+    """,
+)
+def prefilter_scan(spark, sf_dir):
+    """Candidate-iid prefilter pruning (tx.py scan(prefilter=...)):
+    the predicate runs a cheap columnar candidate pass, events
+    left-semi-join to candidates BEFORE resolution, and the same
+    predicate re-applies on the resolved rows — the oracle is the
+    plain resolved-then-filtered spelling, so the driver checks the
+    superset property (history-only matches must be dropped by the
+    outer filter, not leak past resolution)."""
+    ev = _as_event_log(spark, sf_dir)
+    pred = F.col("value") > 50.0
+    cand = ev.where(pred).select("_iid").distinct()
+    pruned = ev.join(cand, "_iid", "left_semi")
+    return (bitemporal.resolve_asof(pruned)
+            .filter(pred).select("_id", "value"))
