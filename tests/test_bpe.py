@@ -69,3 +69,44 @@ def test_word_freqs_counts(spark):
     got = {r["word"]: r["cnt"]
            for r in bpe.word_freqs(df).collect()}
     assert got == {"ab": 2, ",": 1, "cd": 1}
+
+
+def test_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+          ("123", 4), ("!", 2)]
+    ranks = {p: i for i, p in enumerate(bpe.train_local(wc, 12))}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=24))
+    def check(w):
+        # encode_word operates on a single pre-token; the property
+        # must hold for ARBITRARY unicode words, learned or not
+        toks = bpe.encode_word(w, ranks)
+        assert bpe.decode(toks) == w
+        # merges only ever shrink the symbol count
+        assert len(toks) <= len(w) + 1
+
+    check()
+
+
+def test_train_local_merge_count_bounded():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.text(
+        alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9)), min_size=1,
+        max_size=12))
+    def check(wc):
+        merges = bpe.train_local(wc, 50)
+        assert len(merges) <= 50
+        assert len(set(merges)) == len(merges)  # never re-learn a pair
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w, _ in wc:
+            assert bpe.decode(bpe.encode_word(w, ranks)) == w
+
+    check()

@@ -66,6 +66,29 @@ def test_identify_and_slot_lifecycle(server):
         cli.close()
 
 
+def test_slot_grammar_variants(xt, server):
+    # TEMPORARY keyword, plugin options, physical-slot refusal
+    cli = _cli(server, slot="gram")
+    try:
+        r = cli._query_rows(
+            "CREATE_REPLICATION_SLOT gram TEMPORARY LOGICAL wal2json")[0]
+        assert r[0] == "gram" and r[3] == "wal2json"
+        xt.store.put("gdocs", [{"_id": 1, "name": "g", "n": 1}])
+        cli._send(b"Q", cli._cstr(
+            "START_REPLICATION SLOT gram LOGICAL 0/0 "
+            "(\"format-version\" '2')"))
+        t, _ = cli._recv_frame()
+        assert t == b"W"
+        cli.streaming = True
+        changes = list(cli.poll(max_wait=3.0))
+        assert len(changes) == 1 and '"g"' in changes[0][1]
+        cli.stop()
+        with pytest.raises(ReplicationError, match="LOGICAL"):
+            cli._query_rows("CREATE_REPLICATION_SLOT phys PHYSICAL")
+    finally:
+        cli.close()
+
+
 def test_replicate_e2e(spark, xt, server, sub_store):
     pub = xt.store
     cli = postgres_replication_stream("127.0.0.1", server.port,

@@ -147,8 +147,11 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def decode(tokens: list[str]) -> str:
-    """Inverse of encode at the word level (round-trip property)."""
-    return "".join(tokens).replace(EOW, "")
+    """Inverse of encode at the word level (round-trip property).
+    Only the TRAILING sentinel strips — a word whose own characters
+    spell `</w>` must survive (hypothesis round-trip test)."""
+    s = "".join(tokens)
+    return s[:-len(EOW)] if s.endswith(EOW) else s
 
 
 def encode_counts(docs: DataFrame, merges: list[tuple[str, str]],

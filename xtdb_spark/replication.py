@@ -252,7 +252,13 @@ class WalSender:
         if up.startswith("CREATE_REPLICATION_SLOT"):
             parts = s.split()
             name = parts[1].strip('"')
-            plugin = parts[3] if len(parts) > 3 else "wal2json"
+            # grammar: name [TEMPORARY] LOGICAL plugin [options]
+            # (physical slots aren't meaningful here — no physical WAL)
+            rest = [p for p in parts[2:] if p.upper() != "TEMPORARY"]
+            if not rest or rest[0].upper() != "LOGICAL":
+                raise ValueError("only LOGICAL replication slots are "
+                                 "supported")
+            plugin = rest[1] if len(rest) > 1 else "wal2json"
             head = self._head_lsn()
             self.slots.create(name, plugin, head)
             self._result([("slot_name", name),
@@ -312,8 +318,13 @@ class WalSender:
         slots = self.slots.load()
         if name not in slots:
             raise ValueError(f'replication slot "{name}" does not exist')
+        # grammar: SLOT name LOGICAL X/Y [(opt 'v', ...)] — plugin
+        # options (format-version etc.) are accepted and ignored: the
+        # one emitted format IS wal2json v2 lines
         requested = 0
         for p in parts[3:]:
+            if p.startswith("("):
+                break
             if "/" in p:
                 requested = parse_lsn(p)
                 break
