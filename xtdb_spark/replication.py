@@ -201,6 +201,13 @@ def changes_for_tx(warehouse: str, txid: int,
     return lines
 
 
+import re as _re
+
+_ADVANCE_RE = _re.compile(
+    r"(?i)^\s*SELECT\s+pg_replication_slot_advance\(\s*'([^']+)'\s*,"
+    r"\s*'([^']+)'\s*\)\s*$")
+
+
 class WalSender:
     """The replication-mode command loop for one pgwire connection.
 
@@ -266,6 +273,32 @@ class WalSender:
                           ("snapshot_name", None),
                           ("output_plugin", plugin)],
                          "CREATE_REPLICATION_SLOT")
+            return True
+        if up.startswith("READ_REPLICATION_SLOT"):
+            # PG 15+ command: lets clients learn the slot's position
+            # without opening the stream (the pgrepl streaming
+            # source's initialOffset)
+            name = s.split()[1].strip('"')
+            slots = self.slots.load()
+            if name not in slots:
+                raise ValueError(
+                    f'replication slot "{name}" does not exist')
+            self._result(
+                [("slot_type", "logical"),
+                 ("restart_lsn", lsn_str(slots[name]["confirmed_flush"])),
+                 ("restart_tli", "1")], "READ_REPLICATION_SLOT")
+            return True
+        m = _ADVANCE_RE.match(s)
+        if m:
+            # pg_replication_slot_advance(): the out-of-stream ack —
+            # the pgrepl source commits batch offsets with it
+            name, lsn = m.group(1), parse_lsn(m.group(2))
+            if name not in self.slots.load():
+                raise ValueError(
+                    f'replication slot "{name}" does not exist')
+            self.slots.confirm(name, lsn)
+            self._result([("slot_name", name), ("end_lsn", lsn_str(lsn))],
+                         "SELECT 1")
             return True
         if up.startswith("DROP_REPLICATION_SLOT"):
             self.slots.drop(s.split()[1].strip('"'))

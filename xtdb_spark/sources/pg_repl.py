@@ -179,6 +179,19 @@ class LogicalReplicationClient:
     def drop_slot(self) -> None:
         self._query_rows(f"DROP_REPLICATION_SLOT {self.slot}")
 
+    def read_slot(self) -> str:
+        """READ_REPLICATION_SLOT (PG 15+): the slot's restart LSN
+        (`X/Y`) without opening the stream."""
+        return self._query_rows(f"READ_REPLICATION_SLOT {self.slot}")[0][1]
+
+    def advance(self, lsn: int) -> None:
+        """pg_replication_slot_advance(): ack a position out of
+        stream — everything ≤ lsn is confirmed-flushed."""
+        from xtdb_spark.replication import lsn_str
+
+        self._query_rows("SELECT pg_replication_slot_advance("
+                         f"'{self.slot}', '{lsn_str(lsn)}')")
+
     # ---- CopyBoth streaming
 
     def start(self, start_lsn: str = "0/0") -> None:

@@ -1,0 +1,193 @@
+"""Structured Streaming over a logical-replication slot:
+`readStream.format("pgrepl")` — the replication consumer as a Spark
+4 Python Data Source, the same shape as streaming/kafkalite.py for
+the Kafka protocol.
+
+Offsets are LSNs: `initialOffset` = the slot's restart LSN
+(READ_REPLICATION_SLOT), `latestOffset` = the publisher's xlogpos
+(IDENTIFY_SYSTEM) — both cheap walsender metadata calls, no stream
+opened on the driver. Each micro-batch reads the (start, end] LSN
+range ON THE EXECUTOR through its own replication connection, and
+`commit` advances the slot with pg_replication_slot_advance() — so
+Spark's checkpoint carries exactly-once batch planning while the
+slot itself stays the durable cross-restart resume token (checkpoint
+loss ⇒ replay from confirmed_flush; the LSN-keyed last-write-wins
+apply in sources/cdc.py makes the replay convergent).
+
+Works against any wal2json walsender that also speaks
+READ_REPLICATION_SLOT / pg_replication_slot_advance (Postgres 15+,
+or this repo's publisher, replication.py). Rows are
+`(lsn long, value string)` — `value` is the wal2json v2 line, named
+so sources/cdc.py:parse_wal2json consumes the frame unchanged.
+
+Reference parity: this is the reference's postgres-source module
+surface (PostgresSource.kt:42-220 — slot + LSN resume + ordered
+apply) re-expressed as a first-class Structured Streaming source.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+try:
+    from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                        InputPartition)
+except ImportError:                                      # pragma: no cover
+    DataSource = DataSourceStreamReader = object
+    InputPartition = None
+
+PGREPL_SCHEMA = "lsn long, value string"
+
+
+def _client(host: str, port: int, slot: str, user: str, database: str):
+    from xtdb_spark.sources.pg_repl import LogicalReplicationClient
+
+    return LogicalReplicationClient(host, int(port), slot, user=user,
+                                    database=database).connect()
+
+
+class _LsnRange(InputPartition or object):
+    def __init__(self, host, port, slot, user, database, start, end):
+        self.host, self.port, self.slot = host, port, slot
+        self.user, self.database = user, database
+        self.start, self.end = start, end
+
+
+class PgReplStreamReader(DataSourceStreamReader):
+    """One slot = one ordered stream = one input partition per batch
+    (parallelism belongs to the APPLY side, which shuffles by (table,
+    pk) — sources/cdc.py)."""
+
+    def __init__(self, options: dict):
+        self._host = options["host"]
+        self._port = int(options["port"])
+        self._slot = options["slot"]
+        self._user = options.get("user", "xtdb")
+        self._database = options.get("database", "xtdb")
+        if options.get("create", "true").lower() != "false":
+            cli = self._cli()
+            try:
+                cli.create_slot(if_not_exists=True)
+            finally:
+                cli.close()
+
+    def _cli(self):
+        return _client(self._host, self._port, self._slot,
+                       self._user, self._database)
+
+    def initialOffset(self) -> dict:
+        from xtdb_spark.replication import parse_lsn
+
+        cli = self._cli()
+        try:
+            return {"lsn": parse_lsn(cli.read_slot())}
+        finally:
+            cli.close()
+
+    def latestOffset(self) -> dict:
+        from xtdb_spark.replication import parse_lsn
+
+        cli = self._cli()
+        try:
+            return {"lsn": parse_lsn(cli.identify_system()["xlogpos"])}
+        finally:
+            cli.close()
+
+    def partitions(self, start: dict, end: dict) -> Sequence["_LsnRange"]:
+        s, e = int(start["lsn"]), int(end["lsn"])
+        if e <= s:
+            return []
+        return [_LsnRange(self._host, self._port, self._slot,
+                          self._user, self._database, s, e)]
+
+    def read(self, part: "_LsnRange") -> Iterator[tuple]:
+        """Runs ON THE EXECUTOR: opens its own replication connection
+        at the range start; yields changes with start < lsn ≤ end
+        (changes past the planned end — txs that committed since —
+        stay on the wire for the next batch)."""
+        from xtdb_spark.replication import lsn_str
+
+        cli = _client(part.host, part.port, part.slot,
+                      part.user, part.database)
+        try:
+            cli.start(lsn_str(part.start))
+            for lsn, payload in cli.poll(max_wait=1.5):
+                if lsn > part.end:
+                    break
+                yield (lsn, payload)
+        finally:
+            cli.close()
+
+    def commit(self, end: dict) -> None:
+        cli = self._cli()
+        try:
+            cli.advance(int(end["lsn"]))
+        finally:
+            cli.close()
+
+
+class PgReplDataSource(DataSource):
+    """`spark.dataSource.register(PgReplDataSource)` then
+    `spark.readStream.format("pgrepl").option("host", ...)
+    .option("port", ...).option("slot", ...)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgrepl"
+
+    def schema(self) -> str:
+        return PGREPL_SCHEMA
+
+    def streamReader(self, schema) -> PgReplStreamReader:
+        return PgReplStreamReader(self.options)
+
+
+def pgrepl_change_stream(spark, host: str, port: int, slot: str,
+                         **opts):
+    """Streaming DataFrame of (lsn, value=wal2json line) from a
+    slot."""
+    spark.dataSource.register(PgReplDataSource)
+    r = (spark.readStream.format("pgrepl")
+         .option("host", host).option("port", str(port))
+         .option("slot", slot))
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def replicate_stream(spark, store, host: str, port: int, slot: str,
+                     checkpoint: str, pk: str = "_id") -> None:
+    """Drain the slot into a store via micro-batches (availableNow:
+    drains and terminates — loop it or schedule it for continuous
+    tailing; the checkpoint + slot both carry the resume position).
+
+    The slot is ALSO advanced explicitly after the drain: Spark calls
+    the reader's commit() only when the NEXT batch plans, so an
+    availableNow run ends with the final batch checkpointed but not
+    yet slot-acked — without the explicit advance, a later run on a
+    FRESH checkpoint would replay that one batch (convergent but not
+    minimal)."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.sources.cdc import apply_cdc_batch, parse_wal2json
+
+    stream = pgrepl_change_stream(spark, host, port, slot)
+    applied = {"lsn": 0}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.take(1):
+            apply_cdc_batch(store, parse_wal2json(batch_df), pk)
+            top = batch_df.agg(F.max("lsn")).collect()[0][0]
+            applied["lsn"] = max(applied["lsn"], int(top))
+
+    (stream.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+    if applied["lsn"]:
+        cli = _client(host, port, slot, "xtdb", "xtdb")
+        try:
+            cli.advance(applied["lsn"])
+        finally:
+            cli.close()
