@@ -133,6 +133,43 @@ def committed_txids(warehouse: str, after: int) -> list[int]:
     return sorted(set(out))
 
 
+class LedgerTail:
+    """Incremental `_txs.jsonl` reader for the streaming loop: the
+    ledger is append-only (tx.py `_record_tx` under the commit lock),
+    so the walsender only ever needs the bytes past its last read —
+    a stat + seek per poll, not a full re-parse (at 10⁶ txs the
+    50 ms idle loop would otherwise re-scan MBs each tick). A
+    partial trailing line (appender mid-write) stays buffered until
+    its newline arrives."""
+
+    def __init__(self, warehouse: str):
+        self.path = os.path.join(warehouse, "_txs.jsonl")
+        self.offset = 0
+        self.partial = b""
+
+    def new_committed(self, after: int) -> list[int]:
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return []
+        if size <= self.offset:
+            return []
+        with open(self.path, "rb") as f:
+            f.seek(self.offset)
+            chunk = self.partial + f.read(size - self.offset)
+        self.offset = size
+        lines = chunk.split(b"\n")
+        self.partial = lines.pop()
+        out = []
+        for ln in lines:
+            if not ln.strip():
+                continue
+            r = _json.loads(ln)
+            if r.get("committed") and r["tx_id"] > after:
+                out.append(r["tx_id"])
+        return sorted(set(out))
+
+
 def _value_text(v):
     """Arrow value → the JSON value wal2json prints (numbers/bools
     stay native JSON; timestamps/dates render as pg text)."""
@@ -364,9 +401,10 @@ class WalSender:
         pos = max(slots[name]["confirmed_flush"], requested)
         c = self.conn
         c._send(b"W", struct.pack(">bh", 0, 0))  # CopyBothResponse
+        tail = LedgerTail(self.store.warehouse)
         last_keepalive = time.monotonic()
         while True:
-            for txid in committed_txids(self.store.warehouse, pos):
+            for txid in tail.new_committed(pos):
                 for line in changes_for_tx(self.store.warehouse, txid):
                     self._xlog_data(txid, line.encode())
                 pos = txid
