@@ -110,3 +110,26 @@ def test_train_local_merge_count_bounded():
             assert bpe.decode(bpe.encode_word(w, ranks)) == w
 
     check()
+
+
+def test_ngram_topk_exact_vs_naive(spark):
+    from xtdb_spark.pipeline import text as t
+
+    rows = [(i, f"the quick fox {'jumps high ' * (i % 4)}ends")
+            for i in range(40)] + [(99, None), (100, "x y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # tiny bucket space forces collisions — exactness must survive
+    got = [(r["g"], r["cnt"])
+           for r in t.ngram_topk(df, n=3, k=5, buckets=8).collect()]
+    from pyspark.sql import functions as F
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                  lambda x: x != F.lit(""))
+    cols = [F.slice(F.col("ws"), i + 1, F.size("ws") - 2).alias(f"w{i}")
+            for i in range(3)]
+    naive = (df.select(ws.alias("ws")).filter(F.size("ws") >= 3)
+             .select(F.explode(F.arrays_zip(*cols)).alias("z"))
+             .select(F.concat_ws(" ", *[F.col("z")[f"w{i}"]
+                                        for i in range(3)]).alias("g"))
+             .groupBy("g").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("g")).limit(5).collect())
+    assert got == [(r["g"], r["cnt"]) for r in naive] and len(got) == 5

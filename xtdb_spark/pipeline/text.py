@@ -277,3 +277,50 @@ def normalize_text(col_name: str = "text", form: str = "NFC",
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = pandas_udf(_norm_fn, "string")
     return _norm(F.col(col_name))
+
+
+def ngram_topk(df, n: int = 3, k: int = 50, text_col: str = "text",
+               buckets: int = 1 << 20):
+    """EXACT corpus top-k word n-grams via two-pass bucket pruning —
+    the heavy-hitters shape for 100 TB, where the naive
+    explode+groupBy would shuffle the full n-gram key space (~10¹¹
+    distinct keys at web scale).
+
+    Pass 1 aggregates xxhash64(gram) % `buckets` — a FIXED-width
+    shuffle (2²⁰ keys) with map-side combine. Pass 2a exact-counts
+    grams only in the top-k buckets and takes c_hat = the k-th
+    highest exact count found there. Pass 2b exact-counts grams in
+    every bucket whose total ≥ c_hat — a bucket's count bounds every
+    member's count, so any gram with count ≥ c_hat lives in such a
+    bucket: the final top-k is EXACT (collisions only ever widen
+    bucket counts, keeping the candidate set a superset). Ties break
+    on the gram text for a deterministic result.
+
+    The gram stream is computed once and reused (no UDFs: split +
+    slice/zip column math)."""
+    from pyspark.sql import functions as F
+
+    ws = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                  lambda x: x != F.lit(""))
+    cols = [F.slice(F.col("ws"), i + 1, F.size("ws") - n + 1)
+            .alias(f"w{i}") for i in range(n)]
+    grams = (df.select(ws.alias("ws"))
+             .filter(F.size("ws") >= n)
+             .select(F.explode(F.arrays_zip(*cols)).alias("z"))
+             .select(F.concat_ws(
+                 " ", *[F.col("z").getField(f"w{i}") for i in range(n)])
+                 .alias("g")))
+    bucketed = grams.withColumn(
+        "b", F.pmod(F.xxhash64("g"), F.lit(buckets)))
+    bcnt = bucketed.groupBy("b").agg(F.count("*").alias("bc"))
+    topb = bcnt.orderBy(F.desc("bc"), F.asc("b")).limit(k)
+    # 2a: exact counts inside the heaviest buckets → candidate floor
+    in_top = (bucketed.join(F.broadcast(topb), "b")
+              .groupBy("g").agg(F.count("*").alias("cnt")))
+    c_hat = (in_top.orderBy(F.desc("cnt"), F.asc("g")).limit(k)
+             .agg(F.min("cnt").alias("c")).collect()[0]["c"]) or 1
+    # 2b: exact counts in every bucket that could hold a ≥ c_hat gram
+    cand_b = bcnt.filter(F.col("bc") >= c_hat).select("b")
+    return (bucketed.join(F.broadcast(cand_b), "b")
+            .groupBy("g").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("g")).limit(k))

@@ -1268,3 +1268,28 @@ def bpe_encode(spark, sf_dir):  # merges (iterative); round-trip and
                  F.sum("n_ws").alias("ws_tokens"),
                  F.sum("n_bpe").alias("bpe_tokens"))
             .orderBy("source"))
+
+
+@register(
+    "pipe_ngram_topk",
+    r"""
+    WITH w AS (SELECT list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x != '') AS ws
+               FROM documents),
+    t AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)
+          WHERE len(ws) >= 3)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t GROUP BY g
+    ORDER BY cnt DESC, g LIMIT 50
+    """,
+)
+def ngram_topk(spark, sf_dir):
+    """Exact corpus top-50 trigrams via two-pass bucket-pruned heavy
+    hitters (pipeline/text.py:ngram_topk — fixed 2^20-key shuffle +
+    candidate-only exact pass, never the full n-gram key space). The
+    oracle is the NAIVE exact spelling, so the driver checks the
+    pruning argument end-to-end, ties included."""
+    d = ld(spark, sf_dir, "documents")
+    return text.ngram_topk(d, n=3, k=50)
