@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xtdb_spark.pipeline import bpe, dedup, similarity, text
+from xtdb_spark.pipeline import bpe, classify, dedup, similarity, text
 from xtdb_spark.queries.registry import ld, register
 
 
@@ -1293,3 +1293,83 @@ def ngram_topk(spark, sf_dir):
     pruning argument end-to-end, ties included."""
     d = ld(spark, sf_dir, "documents")
     return text.ngram_topk(d, n=3, k=50)
+
+
+@register(
+    "pipe_quality_lr_step",
+    rf"""
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             1.0 AS f0,
+             ROUND(ln(1 + n_tokens), 6) AS f1,
+             ROUND(nonspace / n_tokens, 6) AS f2,
+             ROUND(n_stop / n_tokens, 6) AS f3,
+             ROUND(punct / (1 + len_text), 6) AS f4
+      FROM (
+        SELECT lang,
+               CAST(len(toks) AS DOUBLE) AS n_tokens,
+               CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                 AS DOUBLE) AS nonspace,
+               CAST(len(list_filter(toks,
+                        t -> list_contains(['{_STOP_SQL}'], t)))
+                 AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '',
+                                          'g')) AS DOUBLE) AS punct,
+               CAST(length(text) AS DOUBLE) AS len_text
+        FROM (SELECT lang, text,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents)))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(0.5 * (SUM(CASE WHEN y = 0 THEN f0 ELSE 0 END
+                                 ::DECIMAL(38,6))
+                           - SUM(CASE WHEN y = 1 THEN f0 ELSE 0 END
+                                 ::DECIMAL(38,6))) AS DOUBLE), 6) AS g0,
+           ROUND(CAST(0.5 * (SUM(CASE WHEN y = 0 THEN f1 ELSE 0 END
+                                 ::DECIMAL(38,6))
+                           - SUM(CASE WHEN y = 1 THEN f1 ELSE 0 END
+                                 ::DECIMAL(38,6))) AS DOUBLE), 6) AS g1,
+           ROUND(CAST(0.5 * (SUM(CASE WHEN y = 0 THEN f2 ELSE 0 END
+                                 ::DECIMAL(38,6))
+                           - SUM(CASE WHEN y = 1 THEN f2 ELSE 0 END
+                                 ::DECIMAL(38,6))) AS DOUBLE), 6) AS g2,
+           ROUND(CAST(0.5 * (SUM(CASE WHEN y = 0 THEN f3 ELSE 0 END
+                                 ::DECIMAL(38,6))
+                           - SUM(CASE WHEN y = 1 THEN f3 ELSE 0 END
+                                 ::DECIMAL(38,6))) AS DOUBLE), 6) AS g3,
+           ROUND(CAST(0.5 * (SUM(CASE WHEN y = 0 THEN f4 ELSE 0 END
+                                 ::DECIMAL(38,6))
+                           - SUM(CASE WHEN y = 1 THEN f4 ELSE 0 END
+                                 ::DECIMAL(38,6))) AS DOUBLE), 6) AS g4
+    FROM f
+    """,
+)
+def quality_lr_step(spark, sf_dir):
+    """Model-based quality filtering, oracle-checked slice: the w=0
+    logistic-regression gradient over the corpus (exact decimal sums
+    — pipeline/classify.py:first_step_gradient). Validates the whole
+    feature pipeline + gradient math against an independent SQL
+    derivation; the iterated training is pipe_quality_lr_train."""
+    d = ld(spark, sf_dir, "documents")
+    return classify.first_step_gradient(classify.features(d))
+
+
+@register("pipe_quality_lr_train")  # rows-only: iterative GD (float
+def quality_lr_train(spark, sf_dir):  # sum order varies at 1e-12);
+    """Full distributed GD (30 one-agg-job iterations over the cached
+    feature frame) predicting `lang = 'en'` from surface quality
+    features, reported with its accuracy vs the majority-class
+    baseline; the exact first step is oracle-checked by
+    pipe_quality_lr_step, convergence/separability by
+    tests/test_classify.py."""
+    d = ld(spark, sf_dir, "documents")
+    feats = classify.features(d)
+    w = classify.train(feats, n_iter=30, lr=0.5)
+    acc = classify.accuracy(feats, w)
+    base = feats.agg(F.avg(F.col("y").cast("double"))).collect()[0][0]
+    base_acc = max(base, 1 - base)
+    return spark.createDataFrame(
+        [(30, round(acc, 4), round(base_acc, 4), acc > base_acc,
+          *[round(x, 3) for x in w])],
+        "n_iter int, acc double, majority_acc double, beats_majority "
+        "boolean, w0 double, w1 double, w2 double, w3 double, w4 double")
