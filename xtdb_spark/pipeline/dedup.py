@@ -369,3 +369,42 @@ def span_pairs(docs: DataFrame, w: int = 12) -> DataFrame:
             .groupBy(F.col("m").alias("doc_a"),
                      F.col("doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_shared_shingles")))
+
+
+def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
+                   id_col: str = "media_id",
+                   hash_col: str = "phash") -> DataFrame:
+    """Near-duplicate IMAGE pairs from 64-bit perceptual hashes
+    (multimodal.phash_images) — the same pigeonhole blocking as the
+    SimHash text path (simhash_duplicates): split the hash into
+    max_hamming+1 bit bands; two hashes within max_hamming Hamming
+    bits agree EXACTLY on at least one band, so a band equi-join
+    finds every candidate (no all-pairs), and bit_count(XOR) verifies
+    exactly. Scale shape: explode ×(max_hamming+1), one shuffle on
+    (band, value), candidate-only verification."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    h = F.col(hash_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftrightunsigned(
+                h, i * width).bitwiseAND(
+                F.lit((1 << (width if i < nb - 1
+                             else 64 - width * (nb - 1))) - 1))
+            .alias("bv"))
+        for i in range(nb)])
+    e = (hashes.select(F.col(id_col), h.alias("_h"),
+                       F.explode(bands).alias("b"))
+         .select(id_col, "_h", "b.bi", "b.bv"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+                     .alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs

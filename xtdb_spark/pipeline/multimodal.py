@@ -376,3 +376,65 @@ def sniff_media(media: DataFrame, batch_size: int | None = 256) -> DataFrame:
             })
 
     return media.mapInPandas(do_sniff, SNIFF_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, phash long, ok boolean"
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash (dHash): grayscale → 8×9 block-mean
+    downsample → horizontal gradient sign bits. The standard
+    perceptual image fingerprint — stable under resize/recompression/
+    small brightness shifts, which is exactly what byte checksums
+    miss. Returned as a SIGNED 64-bit int (Spark long)."""
+    import numpy as np
+
+    a = px.astype("float64")
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    rs = np.linspace(0, h, 9).astype(int)
+    cs = np.linspace(0, w, 10).astype(int)
+    small = np.empty((8, 9))
+    for i in range(8):
+        r0, r1 = rs[i], max(rs[i + 1], rs[i] + 1)
+        for j in range(9):
+            c0, c1 = cs[j], max(cs[j + 1], cs[j] + 1)
+            small[i, j] = a[min(r0, h - 1):min(r1, h),
+                            min(c0, w - 1):min(c1, w)].mean()
+    v = 0
+    for b in (small[:, 1:] > small[:, :-1]).flatten():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_images(media: DataFrame,
+                 batch_size: int | None = 64) -> DataFrame:
+    """media_id → perceptual hash for every row whose bytes decode as
+    an image through the pure-Python codecs (ok=false otherwise —
+    audio, video, corrupt bytes). Arrow-batched mapInPandas, real
+    pixels only (no stub). Pair with dedup.near_dup_phash for the
+    banded near-duplicate join."""
+    spark = media.sparkSession
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
+
+    def do_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xtdb_spark.pipeline import codecs
+
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                decoded = codecs.decode_media(bytes(b)) if b else None
+                if decoded is not None and decoded[0] == "image":
+                    hashes.append(_dhash64(decoded[1]))
+                    oks.append(True)
+                else:
+                    hashes.append(0)
+                    oks.append(False)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes,
+                                "ok": oks})
+
+    return media.mapInPandas(do_hash, PHASH_SCHEMA)

@@ -1373,3 +1373,52 @@ def quality_lr_train(spark, sf_dir):  # sum order varies at 1e-12);
           *[round(x, 3) for x in w])],
         "n_iter int, acc double, majority_acc double, beats_majority "
         "boolean, w0 double, w1 double, w2 double, w3 double, w4 double")
+
+
+@register("pipe_image_phash_dedup")  # rows-only: perceptual hashing
+def image_phash_dedup(spark, sf_dir):  # needs real pixel decode
+    """Multimodal near-dup dedup: REAL PNGs (generated
+    deterministically, encoded/decoded by the pure-Python codecs) →
+    64-bit dHash via Arrow-batched mapInPandas → pigeonhole-banded
+    Hamming self-join (dedup.near_dup_phash — same blocking argument
+    as SimHash, no all-pairs). 12 base patterns × 10 brightness/noise
+    variants: every within-pattern pair is a near-dup, no
+    cross-pattern pair is; the per-pattern pair counts returned here
+    make any blocking miss visible as a row-count change. Exactness
+    of the banding itself is brute-force-verified in
+    tests/test_phash.py."""
+    import numpy as np
+
+    from xtdb_spark.pipeline import multimodal
+    from xtdb_spark.pipeline.codecs import encode_png
+    from xtdb_spark.pipeline.dedup import near_dup_phash
+
+    rows = []
+    for pat in range(12):
+        # distinct 2-D frequencies: min cross-pattern dHash distance
+        # 32 bits (plain gradients would alias — dHash sees gradient
+        # SIGN structure, and all monotone ramps share it)
+        fx, fy = 1 + pat % 4, 1 + pat // 4
+        y, x = np.mgrid[0:32, 0:32]
+        base = (128 + 120 * np.sin(2 * np.pi * fx * x / 32)
+                * np.cos(2 * np.pi * fy * y / 32)) \
+            .clip(0, 255).astype(np.uint8)
+        for v in range(10):
+            px = base.copy()
+            px[v % 32, (v * 7) % 32] ^= 3          # tiny pixel tweak
+            img = np.repeat(px[:, :, None], 3, axis=2)
+            rows.append((pat * 10 + v, encode_png(img)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = multimodal.phash_images(media).filter(F.col("ok"))
+    pairs = near_dup_phash(hashes, max_hamming=3)
+    return (pairs
+            .withColumn("pattern", (F.col("id_a") / 10).cast("int"))
+            .withColumn("same_pattern",
+                        (F.col("id_a") / 10).cast("int")
+                        == (F.col("id_b") / 10).cast("int"))
+            .groupBy("pattern")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.count(F.when(F.col("same_pattern"), 1))
+                 .alias("n_same"),
+                 F.max("hamming").alias("max_ham"))
+            .orderBy("pattern"))
