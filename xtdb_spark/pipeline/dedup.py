@@ -408,3 +408,39 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
              .distinct()
              .filter(F.col("hamming") <= max_hamming))
     return pairs
+
+
+def near_dup_audio(fps: DataFrame, min_ratio: float = 0.35,
+                   max_block_df: int = 200,
+                   id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate AUDIO pairs from exploded fingerprint blocks
+    (multimodal.audio_fingerprints) — the n-gram-Jaccard shape on
+    block words: equi-join on block_hash, shared-block count per
+    pair, ratio against the smaller clip's block count. Guards:
+    blocks appearing in more than `max_block_df` clips are dropped
+    before the self-join (the `max_gram_df` bound from text dedup —
+    silence/constant-tone words would otherwise go quadratic)."""
+    counts = (fps.select(id_col, "block_hash").distinct()
+              .groupBy(id_col).agg(F.count("*").alias("n_blocks")))
+    df_ok = (fps.groupBy("block_hash")
+             .agg(F.countDistinct(id_col).alias("bdf"))
+             .filter(F.col("bdf") <= max_block_df)
+             .select("block_hash"))
+    pruned = fps.join(df_ok, "block_hash").select(id_col, "block_hash") \
+        .distinct()
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (a.join(b, (F.col("a.block_hash") == F.col("b.block_hash"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("n_shared")))
+    ca = counts.select(F.col(id_col).alias("id_a"),
+                       F.col("n_blocks").alias("blocks_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"),
+                       F.col("n_blocks").alias("blocks_b"))
+    return (shared.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("ratio", F.round(
+                F.col("n_shared")
+                / F.least("blocks_a", "blocks_b"), 6))
+            .filter(F.col("ratio") >= min_ratio)
+            .select("id_a", "id_b", "n_shared", "ratio"))

@@ -1422,3 +1422,57 @@ def image_phash_dedup(spark, sf_dir):  # needs real pixel decode
                  .alias("n_same"),
                  F.max("hamming").alias("max_ham"))
             .orderBy("pattern"))
+
+
+@register("pipe_audio_fp_dedup")  # rows-only: needs real WAV decode
+def audio_fp_dedup(spark, sf_dir):
+    """Audio near-dup dedup: REAL WAVs (deterministic tone sequences
+    through the pure-Python codec) → dominant-band contour
+    fingerprints (multimodal.audio_fingerprints, Arrow-batched) →
+    shared-block pair join with the hot-block df guard
+    (dedup.near_dup_audio). 8 melodies × 6 renditions (volume ±,
+    mild noise); within-melody pairs are the near-dups —
+    value-checked invariances in tests/test_audio_fp.py."""
+    import numpy as np
+
+    from xtdb_spark.pipeline import multimodal
+    from xtdb_spark.pipeline.codecs import encode_wav
+    from xtdb_spark.pipeline.dedup import near_dup_audio
+
+    sr = 8000
+    scale = [115, 130, 150, 170, 195, 225, 260, 300, 345, 400,
+             465, 540, 625, 720, 830, 960, 1110, 1280]
+    # permutation seeds chosen so no two melodies share a consecutive
+    # note bigram — a shared run would be a REAL audio near-dup and
+    # blur the expected within/cross split (a formulaic note walk was
+    # observed doing exactly that)
+    seeds = [0, 1, 2, 5, 7, 8, 10, 12]
+    rows = []
+    for m in range(8):
+        rng = np.random.RandomState(100 + m)
+        notes = [scale[i]
+                 for i in np.random.RandomState(seeds[m])
+                 .permutation(18)[:8]]
+        t = np.arange(int(sr * 0.25)) / sr
+        base = np.concatenate(
+            [np.sin(2 * np.pi * f * t) for f in notes])
+        for v in range(6):
+            amp = 3000.0 + 600.0 * v
+            sig = amp * base
+            if v >= 4:
+                sig = sig + rng.normal(0, 0.02 * amp, sig.shape)
+            rows.append((m * 6 + v, encode_wav(
+                np.clip(sig, -32768, 32767).astype(np.int16), sr)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    fps = multimodal.audio_fingerprints(media)
+    pairs = near_dup_audio(fps, min_ratio=0.5)
+    return (pairs
+            .withColumn("melody", (F.col("id_a") / 6).cast("int"))
+            .withColumn("same_melody",
+                        (F.col("id_a") / 6).cast("int")
+                        == (F.col("id_b") / 6).cast("int"))
+            .groupBy("melody")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.count(F.when(F.col("same_melody"), 1)).alias("n_same"),
+                 F.round(F.min("ratio"), 3).alias("min_ratio"))
+            .orderBy("melody"))
