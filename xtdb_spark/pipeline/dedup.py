@@ -385,14 +385,16 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
     nb = max_hamming + 1
     width = 64 // nb
     h = F.col(hash_col)
+
+    def band_val(i: int):
+        shifted = F.shiftrightunsigned(h, i * width)
+        bits = width if i < nb - 1 else 64 - width * (nb - 1)
+        if bits >= 64:          # single-band case — mask would
+            return shifted      # overflow a long literal
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("bi"),
-            F.shiftrightunsigned(
-                h, i * width).bitwiseAND(
-                F.lit((1 << (width if i < nb - 1
-                             else 64 - width * (nb - 1))) - 1))
-            .alias("bv"))
+        F.struct(F.lit(i).alias("bi"), band_val(i).alias("bv"))
         for i in range(nb)])
     e = (hashes.select(F.col(id_col), h.alias("_h"),
                        F.explode(bands).alias("b"))
@@ -444,3 +446,44 @@ def near_dup_audio(fps: DataFrame, min_ratio: float = 0.35,
                 / F.least("blocks_a", "blocks_b"), 6))
             .filter(F.col("ratio") >= min_ratio)
             .select("id_a", "id_b", "n_shared", "ratio"))
+
+
+def near_dup_video(frame_hashes: DataFrame, max_hamming: int = 3,
+                   min_ratio: float = 0.5,
+                   id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate VIDEO pairs: frame-level banded Hamming match
+    (near_dup_phash over the sampled-frame dHashes,
+    multimodal.video_fingerprints), then a clip-level vote — the
+    fraction of the smaller clip's distinct frame hashes that match
+    some frame of the other clip must reach `min_ratio`. Same scale
+    shape as the image path ×frames-per-clip."""
+    hashes = frame_hashes.select(id_col, "phash").distinct() \
+        .withColumn("_fid", F.monotonically_increasing_id())
+    counts = hashes.groupBy(id_col).agg(F.count("*").alias("n_frames"))
+    fp = near_dup_phash(hashes, max_hamming=max_hamming,
+                        id_col="_fid", hash_col="phash")
+    ida = hashes.select(F.col("_fid").alias("id_a"),
+                        F.col(id_col).alias("ma"),
+                        F.col("phash").alias("ha"))
+    idb = hashes.select(F.col("_fid").alias("id_b"),
+                        F.col(id_col).alias("mb"),
+                        F.col("phash").alias("hb"))
+    frame_pairs = (fp.join(ida, "id_a").join(idb, "id_b")
+                   .filter(F.col("ma") != F.col("mb"))
+                   .select(F.least("ma", "mb").alias("id_a"),
+                           F.greatest("ma", "mb").alias("id_b"),
+                           F.when(F.col("ma") < F.col("mb"),
+                                  F.col("ha")).otherwise(F.col("hb"))
+                           .alias("matched_hash"))
+                   .distinct())
+    shared = (frame_pairs.groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("n_matched")))
+    ca = counts.select(F.col(id_col).alias("id_a"),
+                       F.col("n_frames").alias("frames_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"),
+                       F.col("n_frames").alias("frames_b"))
+    return (shared.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("ratio", F.round(
+                F.col("n_matched") / F.least("frames_a", "frames_b"), 6))
+            .filter(F.col("ratio") >= min_ratio)
+            .select("id_a", "id_b", "n_matched", "ratio"))

@@ -513,3 +513,56 @@ def audio_fingerprints(media: DataFrame,
                                 "block_hash": hashes})
 
     return media.mapInPandas(do_fp, AUDIO_FP_SCHEMA)
+
+
+VIDEO_FP_SCHEMA = "media_id long, frame_idx int, phash long"
+
+
+def video_fingerprints(media: DataFrame, n_frames: int = 8,
+                       batch_size: int | None = 16,
+                       on_error: str = "raise") -> DataFrame:
+    """media_id → per-sampled-frame perceptual hash for every row
+    whose bytes decode as a video container (animated GIF /
+    MJPEG-AVI via the pure-Python codecs): up to `n_frames`
+    evenly-spaced frames, each dHashed like a still image
+    (_dhash64). Pair with dedup.near_dup_video — the clip-level
+    shared-frame vote. `on_error="skip"` drops undecodable/corrupt
+    rows (the 100 TB crawl setting, same contract as
+    sample_frames)."""
+    import numpy as np
+
+    spark = media.sparkSession
+    if batch_size is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_size))
+
+    def do_fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xtdb_spark.pipeline import codecs
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    bb = bytes(b) if b else b""
+                    if bb[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = [f for _, f in codecs.decode_gif_frames(bb)]
+                    elif bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
+                        frames = [f for _, f in codecs.decode_avi_frames(bb)]
+                    else:
+                        raise codecs.UnsupportedMedia("not a video")
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                if not frames:
+                    continue
+                pick = np.linspace(0, len(frames) - 1,
+                                   min(n_frames, len(frames))).astype(int)
+                for i, fi in enumerate(dict.fromkeys(pick)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(_dhash64(frames[fi]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "phash": hashes})
+
+    return media.mapInPandas(do_fp, VIDEO_FP_SCHEMA)

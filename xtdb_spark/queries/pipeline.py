@@ -1476,3 +1476,46 @@ def audio_fp_dedup(spark, sf_dir):
                  F.count(F.when(F.col("same_melody"), 1)).alias("n_same"),
                  F.round(F.min("ratio"), 3).alias("min_ratio"))
             .orderBy("melody"))
+
+
+@register("pipe_video_fp_dedup")  # rows-only: needs real frame decode
+def video_fp_dedup(spark, sf_dir):
+    """Video near-dup dedup, completing the multimodal trio: REAL
+    animated GIFs (generated + LZW-encoded by the pure-Python codec)
+    → per-sampled-frame dHash (multimodal.video_fingerprints) →
+    clip-level shared-frame vote (dedup.near_dup_video). 6 motion
+    patterns × 4 renditions (brightness variants); within-pattern
+    pairs are the near-dups."""
+    import numpy as np
+
+    from xtdb_spark.pipeline import multimodal
+    from xtdb_spark.pipeline.codecs import encode_gif
+    from xtdb_spark.pipeline.dedup import near_dup_video
+
+    rows = []
+    for pat in range(6):
+        fx, fy = 1 + pat % 3, 1 + pat // 3
+        y, x = np.mgrid[0:32, 0:32]
+        for v in range(4):
+            frames = []
+            for k in range(6):
+                px = (128 + 110 * np.sin(2 * np.pi
+                                         * (fx * x + 4 * k) / 32)
+                      * np.cos(2 * np.pi * fy * y / 32) + 2 * v) \
+                    .clip(0, 255).astype(np.uint8)
+                frames.append(np.repeat(px[:, :, None], 3, axis=2))
+            rows.append((pat * 4 + v,
+                         encode_gif(frames, delays_ms=[100] * 6)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    fps = multimodal.video_fingerprints(media)
+    pairs = near_dup_video(fps, min_ratio=0.5)
+    return (pairs
+            .withColumn("pattern", (F.col("id_a") / 4).cast("int"))
+            .withColumn("same_pattern",
+                        (F.col("id_a") / 4).cast("int")
+                        == (F.col("id_b") / 4).cast("int"))
+            .groupBy("pattern")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.count(F.when(F.col("same_pattern"), 1)).alias("n_same"),
+                 F.round(F.min("ratio"), 3).alias("min_ratio"))
+            .orderBy("pattern"))
