@@ -153,6 +153,36 @@ def test_pg_replication_slots_view(xt, server):
         cli.close()
 
 
+def test_bootstrap_subscriber_snapshot_then_stream(spark, xt, server,
+                                                   sub_store):
+    from xtdb_spark.sources.cdc import bootstrap_subscriber
+
+    pub = xt.store
+    # pre-slot history: the stream can never deliver these — only the
+    # snapshot can (the reference's initialSnapshot role)
+    pub.put("boot_docs", [{"_id": 1, "name": "a", "n": 10},
+                          {"_id": 2, "name": "b", "n": 20}])
+    pub.put("boot_other", [{"_id": 7, "name": "o", "n": 70}])
+    cli = bootstrap_subscriber(spark, sub_store, "127.0.0.1",
+                               server.port, "bootslot")
+    try:
+        assert _current(sub_store, "boot_docs") == \
+            _current(pub, "boot_docs")
+        assert _current(sub_store, "boot_other") == \
+            _current(pub, "boot_other")
+        # post-snapshot txs arrive via the stream
+        pub.put("boot_docs", [{"_id": 2, "name": "b2", "n": 21}])
+        pub.delete("boot_docs", [1])
+        applied = replicate_slot_to_store(spark, sub_store, cli,
+                                          max_wait=3.0)
+        assert applied >= 2
+        assert _current(sub_store, "boot_docs") == \
+            _current(pub, "boot_docs")
+    finally:
+        cli.stop()
+        cli.close()
+
+
 def test_redelivery_without_ack(xt, server):
     pub = xt.store
     cli = _cli(server, slot="redeliver")

@@ -12,10 +12,12 @@ re-expression splits that into:
   ..., "columns": [...], "identity": [...], "lsn": ...}``) — any
   `pg_recvlogical -o format-version=2` dump, Debezium-ish bridge, or
   live tail that lands files in a directory becomes a Structured
-  Streaming source. A LIVE slot connection needs a Postgres driver
-  the container doesn't ship, so (exactly like the Kafka log source)
-  the JDBC path is env-gated while the file path carries the tested
-  semantics.
+  Streaming source. LIVE slot connections are driver-free: the
+  pure-Python replication client (sources/pg_repl.py) speaks the
+  public protocol against any wal2json walsender (a real Postgres,
+  or this repo's own publisher, replication.py) — see
+  `postgres_replication_stream` / `bootstrap_subscriber` below and
+  the Structured Streaming form in streaming/pgrepl.py.
 - a CDC APPLY operator with the reference's semantics: within each
   micro-batch, changes collapse per (table, primary key) to the
   highest-LSN change (standard batch last-write-wins), inserts and
@@ -178,3 +180,52 @@ def replicate_slot_to_store(spark: SparkSession, store, client,
         applied += len(changes)
         batches += 1
     return applied
+
+
+def bootstrap_subscriber(spark: SparkSession, store, host: str,
+                         port: int, slot: str, username: str = "xtdb",
+                         password: str | None = None,
+                         database: str = "xtdb"):
+    """Initial snapshot + streaming switch-over — the reference
+    postgres-source's bootstrap (PostgresSource.kt:205-240
+    `initialSnapshot`: create the slot FIRST so its consistent point
+    pins the stream, snapshot every table, then stream from the slot
+    LSN):
+
+    1. one replication connection: CREATE_REPLICATION_SLOT (pins the
+       resume point before any snapshot read);
+    2. over the SAME connection (plain SQL is legal on replication
+       connections, as on postgres), discover tables via
+       xt.live_tables and SELECT each one's current rows into the
+       subscriber store — one tx per table, text-format values
+       (identical typing to the wal2json apply path);
+    3. START_REPLICATION and return the streaming client. Txs that
+       committed between slot creation and the snapshot read are BOTH
+       in the snapshot AND redelivered by the stream; the LSN-keyed
+       last-write-wins apply (`apply_cdc_batch`) makes the overlap
+       convergent — the reference tolerates the same overlap
+       at-least-once.
+
+    Returns the connected, streaming client — hand it to
+    `replicate_slot_to_store` (or streaming/pgrepl.py for the
+    Structured Streaming form)."""
+    from xtdb_spark.sources.pg_repl import LogicalReplicationClient
+
+    cli = LogicalReplicationClient(host, port, slot, user=username,
+                                   password=password, database=database)
+    cli.connect()
+    cli.create_slot(if_not_exists=True)
+    _cols, tables = cli.query(
+        "SELECT table_name FROM xt.live_tables "
+        "WHERE schema_name = 'public' ORDER BY table_name")
+    for (tname,) in tables:
+        cols, rows = cli.query(f'SELECT * FROM "{tname}"')
+        if not rows:
+            continue
+        docs = [dict(zip(cols, r)) for r in rows]
+        for d in docs:
+            if "_id" not in d:
+                raise ValueError(f"snapshot of {tname} has no _id")
+        store.put(tname, docs)
+    cli.start()
+    return cli

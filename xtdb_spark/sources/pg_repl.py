@@ -133,11 +133,28 @@ class LogicalReplicationClient:
     # ---- simple-query helpers (walsender statements)
 
     def _query_rows(self, sql: str) -> list[list[str | None]]:
+        return self.query(sql)[1]
+
+    def query(self, sql: str) -> tuple[list[str], list[list[str | None]]]:
+        """Plain simple-query over this connection (replication
+        connections accept ordinary SQL, like postgres): returns
+        (column names, text-format rows). Used by the walsender
+        statements and by the snapshot phase of
+        cdc.bootstrap_subscriber."""
         self._send(b"Q", self._cstr(sql))
+        cols: list[str] = []
         rows, err = [], None
         while True:
             t, data = self._recv_frame()
-            if t == b"D":
+            if t == b"T":
+                (nf,) = struct.unpack(">h", data[:2])
+                off = 2
+                cols = []
+                for _ in range(nf):
+                    end = data.index(b"\x00", off)
+                    cols.append(data[off:end].decode())
+                    off = end + 1 + 18      # fixed per-field tail
+            elif t == b"D":
                 (n,) = struct.unpack(">h", data[:2])
                 off, vals = 2, []
                 for _ in range(n):
@@ -154,8 +171,8 @@ class LogicalReplicationClient:
             elif t == b"Z":
                 if err:
                     raise ReplicationError(err)
-                return rows
-            # T / C / N frames: skip
+                return cols, rows
+            # C / N frames: skip
 
     def identify_system(self) -> dict:
         r = self._query_rows("IDENTIFY_SYSTEM")[0]
