@@ -203,9 +203,15 @@ def test_serve_under_concurrent_spark_load(xt):
         xt.store.put("load_t", [{"_id": 1, "v": 42}],
                      system_from="2024-01-01")
         for i in range(20):
-            server = serve_flight(xt)
-            c = FlightClient(server.port)
-            out = c.sql("SELECT v FROM load_t")
+            # generous timeouts: late in the full suite the shared JVM
+            # carries real load, and 10s listener-ready has flaked; a
+            # first RPC can also race grpc channel setup — retry once
+            server = serve_flight(xt, ready_timeout=30.0)
+            c = FlightClient(server.port, connect_timeout=30.0)
+            try:
+                out = c.sql("SELECT v FROM load_t")
+            except Exception:
+                out = c.sql("SELECT v FROM load_t")
             assert out.num_rows == 1 and out.column("v")[0].as_py() == 42
             c.close()
             server.shutdown()
