@@ -183,6 +183,47 @@ def test_bootstrap_subscriber_snapshot_then_stream(spark, xt, server,
         cli.close()
 
 
+def test_two_independent_subscribers(spark, xt, server, tmp_path):
+    """Two slots, two subscriber stores, interleaved multi-table txs;
+    subscriber B lags (no ack between drains). Both converge to the
+    publisher and the slots track independently in
+    pg_replication_slots."""
+    pub = xt.store
+    sub_a = TableStore(spark, str(tmp_path / "sub_a"))
+    sub_b = TableStore(spark, str(tmp_path / "sub_b"))
+    ca = _cli(server, slot="twin_a")
+    cb = _cli(server, slot="twin_b")
+    ca.create_slot()
+    cb.create_slot()
+    ca.start()
+
+    pub.put("tw_x", [{"_id": 1, "name": "x1", "n": 1}])
+    pub.put("tw_y", [{"_id": 9, "name": "y1", "n": 9}])
+    pub.put("tw_x", [{"_id": 1, "name": "x2", "n": 2}])
+    try:
+        applied_a = replicate_slot_to_store(spark, sub_a, ca,
+                                            max_wait=3.0)
+        assert applied_a >= 3
+        assert _current(sub_a, "tw_x") == _current(pub, "tw_x")
+        assert _current(sub_a, "tw_y") == _current(pub, "tw_y")
+
+        # B hasn't even started streaming: its slot is still parked
+        lags = {r["slot_name"]: r["lag_txs"] for r in xt.sql(
+            "SELECT slot_name, lag_txs FROM pg_replication_slots")
+            .collect()}
+        assert lags["twin_a"] == 0 and lags["twin_b"] >= 3
+
+        cb.start()
+        applied_b = replicate_slot_to_store(spark, sub_b, cb,
+                                            max_wait=3.0)
+        assert applied_b >= 3
+        assert _current(sub_b, "tw_x") == _current(pub, "tw_x")
+        assert _current(sub_b, "tw_y") == _current(pub, "tw_y")
+    finally:
+        ca.stop(); ca.close()
+        cb.stop(); cb.close()
+
+
 def test_redelivery_without_ack(xt, server):
     pub = xt.store
     cli = _cli(server, slot="redeliver")
