@@ -246,3 +246,74 @@ def test_redelivery_without_ack(xt, server):
     finally:
         cli2.stop()
         cli2.close()
+
+
+def test_compaction_retains_unacked_slot_data(spark, xt, server,
+                                              sub_store):
+    """Slot-retained WAL: compaction consumes the tx-stamped event
+    files, but txs a slot hasn't acked must still stream — archived
+    to _wal/ at consumption, trimmed after the ack (the documented
+    slot-vs-compaction caveat, now closed)."""
+    import glob
+    import os
+
+    pub = xt.store
+    cli = _cli(server, slot="retain")
+    cli.create_slot()
+
+    pub.put("rt_docs", [{"_id": 1, "name": "a", "n": 1}])
+    pub.put("rt_docs", [{"_id": 2, "name": "b", "n": 2}])
+    pub.put("rt_docs", [{"_id": 1, "name": "a2", "n": 3}])
+    pub.delete("rt_docs", [2])
+    # FULL rewrite: every part-xt file in the table is consumed
+    pub.optimize("rt_docs", full=True)
+    assert not glob.glob(os.path.join(pub._path("rt_docs"),
+                                      "part-xt*.parquet"))
+    wal = glob.glob(os.path.join(pub.warehouse, "_wal", "*.jsonl"))
+    assert len(wal) == 4
+
+    cli.start()
+    try:
+        applied = replicate_slot_to_store(spark, sub_store, cli,
+                                          max_wait=3.0)
+        assert applied == 4
+        assert _current(sub_store, "rt_docs") == \
+            _current(pub, "rt_docs") == [("1", "a2", "3")]
+        # ack trimmed the archive
+        assert not glob.glob(os.path.join(pub.warehouse, "_wal",
+                                          "*.jsonl"))
+    finally:
+        cli.stop()
+        cli.close()
+
+
+def test_leveled_compaction_also_archives(spark, xt, server):
+    import glob
+    import os
+
+    pub = xt.store
+    cli = _cli(server, slot="lvl")
+    cli.create_slot()
+    for i in range(5):          # past L0_THRESHOLD
+        pub.put("lv_docs", [{"_id": i, "name": f"v{i}", "n": i}])
+    pub.compact("lv_docs")
+    assert glob.glob(os.path.join(pub.warehouse, "_wal", "*.jsonl"))
+    cli.start()
+    try:
+        changes = list(cli.poll(max_wait=3.0))
+        assert len(changes) == 5
+        names = sorted(c for _, c in changes)
+        assert all('"lv_docs"' in c or "lv_docs" in c for c in names)
+    finally:
+        cli.stop()
+        cli.close()
+
+
+def test_no_slots_means_no_wal_overhead(xt):
+    import glob
+    import os
+
+    pub = xt.store
+    pub.put("nw_docs", [{"_id": 1, "name": "x", "n": 1}])
+    pub.optimize("nw_docs", full=True)
+    assert not glob.glob(os.path.join(pub.warehouse, "_wal", "*"))

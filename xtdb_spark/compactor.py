@@ -221,6 +221,15 @@ def run_job(store, table: str, job: dict) -> list[dict]:
     inputs = in_l0 + in_lvl
     out_level = job["out_level"]
 
+    # slot-retained WAL (replication.py): consuming an L0 file erases
+    # its tx attribution, so any tx a replication slot hasn't acked
+    # is archived FIRST (postgres keeps WAL segments for lagging
+    # slots the same way); no slots → no-op
+    from xtdb_spark.replication import archive_unacked, txid_of_l0
+
+    archive_unacked(store.warehouse,
+                    [t for t in map(txid_of_l0, in_l0) if t is not None])
+
     ev = store.events(table, files=inputs)
     ev = _within_input_supersede(ev)
     bucket = F.substring(F.lower(F.hex(F.col("_iid"))), 1, out_level)

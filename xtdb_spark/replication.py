@@ -109,12 +109,14 @@ class SlotStore:
             raise ValueError(f'replication slot "{name}" does not exist')
         del slots[name]
         self._save(slots)
+        trim_wal(os.path.dirname(self.path))
 
     def confirm(self, name: str, flushed: int) -> None:
         slots = self.load()
         if name in slots and flushed > slots[name]["confirmed_flush"]:
             slots[name]["confirmed_flush"] = flushed
             self._save(slots)
+            trim_wal(os.path.dirname(self.path))
 
 
 def committed_txids(warehouse: str, after: int) -> list[int]:
@@ -170,6 +172,83 @@ class LedgerTail:
         return sorted(set(out))
 
 
+def wal_path(warehouse: str) -> str:
+    return os.path.join(warehouse, "_wal")
+
+
+def min_confirmed(warehouse: str) -> int | None:
+    """The laggiest slot's confirmed_flush — everything at or below it
+    is deliverable to nobody and needs no retention. None = no slots
+    (no retention obligation at all)."""
+    slots = SlotStore(warehouse).load()
+    if not slots:
+        return None
+    return min(s.get("confirmed_flush", 0) for s in slots.values())
+
+
+def txid_of_l0(path: str) -> int | None:
+    """tx id from a `part-xt{txid}-…` event-file name (tx.py
+    controlled naming), None for non-tx-stamped files."""
+    name = os.path.basename(path)
+    if not name.startswith("part-xt"):
+        return None
+    try:
+        return int(name[7:].split("-", 1)[0])
+    except ValueError:
+        return None
+
+
+def archive_unacked(warehouse: str, txids) -> int:
+    """Slot-retained WAL (postgres holds WAL segments for lagging
+    slots; our "WAL" is the part-xt file attribution, which compaction
+    consumes): before a compaction eats a tx's event files, persist
+    that tx's wal2json rendering to `_wal/<txid>.jsonl` if ANY slot
+    still needs it. The whole tx (all tables) archives on first touch
+    — archival runs before any input deletion, so every table's files
+    are still present. Returns the number of txs archived. No slots →
+    no work, no overhead."""
+    mc = min_confirmed(warehouse)
+    if mc is None:
+        return 0
+    wdir = wal_path(warehouse)
+    n = 0
+    for txid in sorted(set(txids)):
+        if txid <= mc:
+            continue
+        p = os.path.join(wdir, f"{txid}.jsonl")
+        if os.path.exists(p):
+            continue
+        lines = changes_for_tx(warehouse, txid)
+        if not lines:
+            continue
+        os.makedirs(wdir, exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, p)
+        n += 1
+    return n
+
+
+def trim_wal(warehouse: str) -> None:
+    """Drop archived txs every slot has confirmed (or all of them if
+    no slots remain) — called on slot confirm/drop."""
+    wdir = wal_path(warehouse)
+    if not os.path.isdir(wdir):
+        return
+    mc = min_confirmed(warehouse)
+    for f in _glob.glob(os.path.join(wdir, "*.jsonl")):
+        try:
+            txid = int(os.path.basename(f).split(".", 1)[0])
+        except ValueError:
+            continue
+        if mc is None or txid <= mc:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
 def _value_text(v):
     """Arrow value → the JSON value wal2json prints (numbers/bools
     stay native JSON; timestamps/dates render as pg text)."""
@@ -195,6 +274,14 @@ def changes_for_tx(warehouse: str, txid: int,
     the tx's `part-xt{txid}-` event files with pyarrow — driver-side
     metadata work, no Spark session needed."""
     import pyarrow.parquet as pq
+
+    # slot-retained archive first: once compaction has consumed the
+    # tx's part-xt files, `_wal/<txid>.jsonl` (archive_unacked) is
+    # the surviving attribution
+    wp = os.path.join(wal_path(warehouse), f"{txid}.jsonl")
+    if os.path.exists(wp):
+        with open(wp) as f:
+            return [ln for ln in f.read().splitlines() if ln.strip()]
 
     if tables is None:
         tables = sorted(

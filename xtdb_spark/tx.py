@@ -1055,6 +1055,16 @@ class TableStore:
         if n_files is None and not full and not cluster_by:
             return self.compact(table)
         path = self._path(table)
+        # slot-retained WAL: the full rewrite erases every tx
+        # attribution in this table — archive what lagging
+        # replication slots still need (replication.py; no-op
+        # without slots)
+        from xtdb_spark.replication import archive_unacked, txid_of_l0
+
+        archive_unacked(self.warehouse, [
+            t for t in (txid_of_l0(f) for f in glob.glob(
+                os.path.join(path, "part-xt*.parquet")))
+            if t is not None])
         # physical erase: keep only what an erase didn't wipe
         ev = bitemporal.drop_erased(self.events(table))
         if n_files is None:
