@@ -27,12 +27,14 @@ Kafka protocol):
   last acknowledged tx — the reference's resume-token semantics
   (PostgresSource.kt:199-210) from the publisher side.
 
-Caveat (documented, matching physical reality in Postgres too): the
-stream replays from live event files; `optimize()`/compaction rewrites
-old files under new names, so a slot parked BEFORE the compaction
-horizon loses those txs' file attribution — like a dropped WAL
-segment. Slots should stay near the head; `changes_for_tx` raises a
-clear error when a committed tx's files are gone.
+Compaction interplay (the WAL-retention problem, solved the postgres
+way): the stream replays from live event files, and
+`optimize()`/compaction rewrites them under new names — so both
+compaction paths archive the wal2json rendering of every tx some
+slot hasn't confirmed to `_wal/<txid>.jsonl` BEFORE consuming its
+files (`archive_unacked`; postgres likewise retains WAL segments for
+lagging slots). `changes_for_tx` reads the archive first; acks and
+slot drops trim it; with no slots there is zero overhead.
 
 Scale shape: one slot reader streams metadata + row payloads for ONE
 tx at a time (bounded memory); the apply side
