@@ -309,7 +309,8 @@ def big_input(sf_dir: str, table: str = "lineitem",
 def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
               avgs: dict | None = None,
               counts: dict | None = None,
-              two_level: bool = True) -> DataFrame:
+              two_level: bool = True,
+              round2: set | None = None) -> DataFrame:
     """Two-level exact float aggregation for LOW-cardinality groups:
     stage 1 sums 6dp fixed-point LONGS per (keys, partition) — the
     whole data pass stays in the primitive fast path — stage 2
@@ -325,10 +326,27 @@ def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
     `davg`. `two_level=False` (pass `big_input(sf_dir)` — MB-scale
     inputs don't amortize the extra stage) emits the plain
     wide-decimal single-level aggregate instead; both paths are
-    bit-identical (test_operators asserts it)."""
+    bit-identical (test_operators asserts it).
+
+    `round2` names sum aliases whose EXACT DECIMAL rounds to 2dp
+    (money) before the double cast. Needed when a sum's magnitude
+    pushes 16 significant digits (TPC-H Q1 at sf ≥ 10): engines then
+    disagree by one ulp in the decimal→double cast itself (DuckDB's
+    cast double-rounds via the scaled integer), so the comparable
+    presentation is the 2dp money value — rounded while still exact,
+    never after the lossy cast (found by the sf10 oracle
+    spot-check)."""
     sums, avgs, counts = sums or {}, avgs or {}, counts or {}
+    round2 = round2 or set()
+
+    def _final(dec: Column, a: str) -> Column:
+        if a in round2:
+            dec = F.round(dec, 2)
+        return dec.cast("double").alias(a)
+
     if not two_level:
-        aggs = [dsum(c, a) for a, c in sums.items()]
+        aggs = [_final(F.sum(c.cast("decimal(38,6)")), a)
+                for a, c in sums.items()]
         aggs += [davg(c, a) for a, c in avgs.items()]
         aggs += [(F.count("*") if c is None else F.count(c)).alias(a)
                  for a, c in counts.items()]
@@ -344,7 +362,7 @@ def exact_agg(df: DataFrame, keys: list, sums: dict | None = None,
     g1 = df.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(*s1)
     s2 = []
     for a in sums:
-        s2.append(fx_total(F.col(f"__s_{a}")).cast("double").alias(a))
+        s2.append(_final(fx_total(F.col(f"__s_{a}")), a))
     for a in avgs:
         s2.append((fx_total(F.col(f"__s_{a}")).cast("double")
                    / F.sum(f"__n_{a}").cast("double")).alias(a))
@@ -364,6 +382,14 @@ def davg(col: Column, alias: str, scale: str = "decimal(38,6)") -> Column:
 
 def sql_dsum(expr: str, alias: str, scale: str = "DECIMAL(38,6)") -> str:
     return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum2(expr: str, alias: str) -> str:
+    """`sql_dsum` with the exact decimal rounded to 2dp (money)
+    BEFORE the double cast — pairs with exact_agg(round2=...); see
+    its docstring for the 16-significant-digit rationale."""
+    return (f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,6))), 2) "
+            f"AS DOUBLE) AS {alias}")
 
 
 def sql_davg(expr: str, alias: str, scale: str = "DECIMAL(38,6)") -> str:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from xtdb_spark.queries.registry import (
     big_input, davg, dsum, exact_agg, fx, fxsum, ld, register,
-    sql_davg, sql_dsum,
+    sql_davg, sql_dsum, sql_dsum2,
 )
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -34,9 +34,9 @@ _REV = "l_extendedprice * (1 - l_discount)"
     f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
-           {sql_dsum('l_extendedprice', 'sum_base_price')},
-           {sql_dsum(_REV, 'sum_disc_price')},
-           {sql_dsum(f'{_REV} * (1 + l_tax)', 'sum_charge')},
+           {sql_dsum2('l_extendedprice', 'sum_base_price')},
+           {sql_dsum2(_REV, 'sum_disc_price')},
+           {sql_dsum2(f'{_REV} * (1 + l_tax)', 'sum_charge')},
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            {sql_davg('l_discount', 'avg_disc', 'DECIMAL(38,6)')},
@@ -58,6 +58,7 @@ def q1(spark, sf_dir):
     out = exact_agg(
         filtered, ["l_returnflag", "l_linestatus"],
         two_level=big_input(sf_dir),
+        round2={"sum_base_price", "sum_disc_price", "sum_charge"},
         sums={"sum_qty": F.col("l_quantity"),
               "sum_base_price": F.col("l_extendedprice"),
               "sum_disc_price": rev,
