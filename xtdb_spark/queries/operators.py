@@ -672,8 +672,8 @@ def window_range_frame(spark, sf_dir):
     "op_join_salted",
     """
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value * c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-             AS weighted
+           CAST(ROUND(SUM(CAST(value * c_acctbal AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS weighted
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY event_type ORDER BY event_type
     """,
@@ -690,8 +690,13 @@ def join_salted(spark, sf_dir):
     j = salted_join(e, c, "c_custkey", salt=8)
     return (j.groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.sum((F.col("value") * F.col("c_acctbal"))
-                       .cast("decimal(38,6)")).cast("double").alias("weighted"))
+                 # 2dp on the exact decimal BEFORE the lossy cast:
+                 # at sf10 this sum reaches 16 significant digits and
+                 # the engines' decimal->double casts differ by 1 ulp
+                 # (same find as tpch_q1, sf10 oracle soak)
+                 F.round(F.sum((F.col("value") * F.col("c_acctbal"))
+                               .cast("decimal(38,6)")), 2)
+                 .cast("double").alias("weighted"))
             .orderBy("event_type"))
 
 
