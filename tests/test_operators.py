@@ -144,6 +144,17 @@ def test_exact_agg_paths_bit_identical(spark):
     b = {r["g"]: tuple(r)[1:] for r in
          exact_agg(df, ["g"], two_level=False, **kw).collect()}
     assert a == b
+    # round2 (money presentation, the sf10 ulp fix) holds the
+    # identity too, and actually rounds
+    kw2 = dict(kw, round2={"sx"})
+    a2 = {r["g"]: tuple(r)[1:] for r in
+          exact_agg(df, ["g"], two_level=True, **kw2).collect()}
+    b2 = {r["g"]: tuple(r)[1:] for r in
+          exact_agg(df, ["g"], two_level=False, **kw2).collect()}
+    assert a2 == b2
+    for g, vals in a2.items():
+        assert round(vals[0], 2) == vals[0]          # 2dp
+        assert abs(vals[0] - a[g][0]) <= 0.005 + 1e-9
 
 
 def test_range_join_matches_theta_join(spark):
