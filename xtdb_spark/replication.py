@@ -77,11 +77,24 @@ def _pg_now_us() -> int:
     return int((time.time() - _PG_EPOCH_OFFSET_S) * 1_000_000)
 
 
+import threading as _threading
+
+_SLOT_LOCKS: dict = {}
+_SLOT_LOCKS_GUARD = _threading.Lock()
+
+
+def _slot_lock(path: str) -> "_threading.Lock":
+    with _SLOT_LOCKS_GUARD:
+        return _SLOT_LOCKS.setdefault(path, _threading.Lock())
+
+
 class SlotStore:
     """Replication-slot state, persisted per warehouse in
     `_slots.json` (atomic rewrite, like the manifest files): slot →
     {plugin, confirmed_flush}. The analogue of
-    pg_replication_slots.confirmed_flush_lsn."""
+    pg_replication_slots.confirmed_flush_lsn. Mutations take a
+    per-path lock — concurrent walsender connections (one thread
+    each) would otherwise lose each other's read-modify-write."""
 
     def __init__(self, warehouse: str):
         self.path = os.path.join(warehouse, "_slots.json")
@@ -99,26 +112,33 @@ class SlotStore:
         os.replace(tmp, self.path)
 
     def create(self, name: str, plugin: str, at: int) -> None:
-        slots = self.load()
-        if name in slots:
-            raise ValueError(f'replication slot "{name}" already exists')
-        slots[name] = {"plugin": plugin, "confirmed_flush": at}
-        self._save(slots)
+        with _slot_lock(self.path):
+            slots = self.load()
+            if name in slots:
+                raise ValueError(
+                    f'replication slot "{name}" already exists')
+            slots[name] = {"plugin": plugin, "confirmed_flush": at}
+            self._save(slots)
 
     def drop(self, name: str) -> None:
-        slots = self.load()
-        if name not in slots:
-            raise ValueError(f'replication slot "{name}" does not exist')
-        del slots[name]
-        self._save(slots)
+        with _slot_lock(self.path):
+            slots = self.load()
+            if name not in slots:
+                raise ValueError(
+                    f'replication slot "{name}" does not exist')
+            del slots[name]
+            self._save(slots)
         trim_wal(os.path.dirname(self.path))
 
     def confirm(self, name: str, flushed: int) -> None:
-        slots = self.load()
-        if name in slots and flushed > slots[name]["confirmed_flush"]:
+        with _slot_lock(self.path):
+            slots = self.load()
+            if name not in slots \
+                    or flushed <= slots[name]["confirmed_flush"]:
+                return
             slots[name]["confirmed_flush"] = flushed
             self._save(slots)
-            trim_wal(os.path.dirname(self.path))
+        trim_wal(os.path.dirname(self.path))
 
 
 def committed_txids(warehouse: str, after: int) -> list[int]:
