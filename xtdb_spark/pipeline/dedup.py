@@ -45,9 +45,16 @@ def word_ngrams(text_col, n: int = 3):
 
 def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
                    n: int) -> DataFrame:
-    """(id, n_grams, gram) — one row per distinct shingle per doc."""
+    """(id, n_grams, gram) — one row per distinct shingle per doc.
+
+    Repartitions on the doc id FIRST: the explode multiplies per-row
+    work ~100×, and without the shuffle the downstream aggregation
+    inherits the parquet scan's BYTE-sized partitioning (observed at
+    sf10: a 2-task stage with one straggler spilling for minutes —
+    partition for post-explode work, not bytes scanned)."""
     return (docs.select(F.col(id_col).alias("id"),
                         word_ngrams(F.col(text_col), n).alias("grams"))
+            .repartition(F.col("id"))
             .withColumn("n_grams", F.size("grams"))
             .select("id", "n_grams", F.explode("grams").alias("gram")))
 
