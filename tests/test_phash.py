@@ -74,6 +74,17 @@ def test_banded_join_finds_exactly_near_pairs(spark):
     assert all(k in {(1, 2), (3, 4)} for k in pairs), pairs
 
 
+def test_hot_band_guard(spark):
+    # near-constant corpus (solid-color thumbnails): every image
+    # shares every band — the df cap must keep the self-join from
+    # going quadratic, mirroring the audio path's max_block_df
+    rows = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    assert near_dup_phash(df, max_band_df=5).count() == 0
+    # guard off: exhaustive small-corpus mode finds all C(12,2) pairs
+    assert near_dup_phash(df, max_band_df=None).count() == 66
+
+
 def test_banded_join_matches_brute_force(spark):
     # random-ish hashes straight in (no decode): banding must find
     # EVERY pair within the radius that brute force finds

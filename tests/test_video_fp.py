@@ -48,6 +48,34 @@ def test_video_fp_raises_on_bad_bytes_by_default(spark):
             _media(spark, [(1, b"GIF89a-truncated")])).collect()
 
 
+def test_frame_identity_deterministic_under_perturbation(spark):
+    # _fid must be CONTENT-derived: the same input partitioned
+    # differently (and therefore recomputed with different intra-
+    # partition row orders by the three join branches) must produce
+    # identical pairs — a positional id (monotonically_increasing_id)
+    # fails this on a cluster
+    rows = []
+    for clip in range(1, 5):
+        for k in range(4):
+            base = (clip * 1013904223 + k * 2654435761) & ((1 << 63) - 1)
+            rows.append((clip, k, base))
+            # a near-twin clip: same hashes, one low bit flipped
+            rows.append((clip + 10, k, base ^ 1))
+    fps = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, phash long")
+    runs = []
+    for df in (fps, fps.repartition(7, "phash"),
+               fps.repartition(3, "media_id")):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["n_matched"], r["ratio"])
+            for r in near_dup_video(df, max_hamming=2,
+                                    min_ratio=0.5).collect())
+        runs.append(got)
+    assert runs[0] == runs[1] == runs[2]
+    assert {(a, b) for a, b, _, _ in runs[0]} == {
+        (c, c + 10) for c in range(1, 5)}
+
+
 def test_vote_math_on_bare_hashes(spark):
     rows = [(10, 0, 111), (10, 1, 222), (10, 2, 333), (10, 3, 444),
             (20, 0, 111), (20, 1, 222), (20, 2, 900), (20, 3, 901),

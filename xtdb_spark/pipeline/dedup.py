@@ -380,7 +380,8 @@ def span_pairs(docs: DataFrame, w: int = 12) -> DataFrame:
 
 def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
                    id_col: str = "media_id",
-                   hash_col: str = "phash") -> DataFrame:
+                   hash_col: str = "phash",
+                   max_band_df: int | None = 200) -> DataFrame:
     """Near-duplicate IMAGE pairs from 64-bit perceptual hashes
     (multimodal.phash_images) — the same pigeonhole blocking as the
     SimHash text path (simhash_duplicates): split the hash into
@@ -388,7 +389,16 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
     bits agree EXACTLY on at least one band, so a band equi-join
     finds every candidate (no all-pairs), and bit_count(XOR) verifies
     exactly. Scale shape: explode ×(max_hamming+1), one shuffle on
-    (band, value), candidate-only verification."""
+    (band, value), candidate-only verification.
+
+    `max_band_df` is the hot-band quadratic guard (the audio path's
+    `max_block_df`, the text path's `max_gram_df`): a (band, value)
+    bucket shared by more than `max_band_df` images is dropped
+    before the self-join — a crawl full of near-constant thumbnails
+    would otherwise make one bucket O(n²). Any hash that common is
+    exact-duplicate territory (`exact_duplicates` handles it); a pair
+    is only missed if EVERY band it agrees on is that hot. Pass None
+    to disable (exhaustive small-corpus mode)."""
     nb = max_hamming + 1
     width = 64 // nb
     h = F.col(hash_col)
@@ -406,6 +416,12 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
     e = (hashes.select(F.col(id_col), h.alias("_h"),
                        F.explode(bands).alias("b"))
          .select(id_col, "_h", "b.bi", "b.bv"))
+    if max_band_df is not None:
+        band_ok = (e.groupBy("bi", "bv")
+                   .agg(F.countDistinct(id_col).alias("bdf"))
+                   .filter(F.col("bdf") <= max_band_df)
+                   .select("bi", "bv"))
+        e = e.join(band_ok, ["bi", "bv"])
     a, b = e.alias("a"), e.alias("b")
     pairs = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
                     & (F.col("a.bv") == F.col("b.bv"))
@@ -457,18 +473,29 @@ def near_dup_audio(fps: DataFrame, min_ratio: float = 0.35,
 
 def near_dup_video(frame_hashes: DataFrame, max_hamming: int = 3,
                    min_ratio: float = 0.5,
-                   id_col: str = "media_id") -> DataFrame:
+                   id_col: str = "media_id",
+                   max_band_df: int | None = 200) -> DataFrame:
     """Near-duplicate VIDEO pairs: frame-level banded Hamming match
     (near_dup_phash over the sampled-frame dHashes,
     multimodal.video_fingerprints), then a clip-level vote — the
     fraction of the smaller clip's distinct frame hashes that match
     some frame of the other clip must reach `min_ratio`. Same scale
-    shape as the image path ×frames-per-clip."""
+    shape as the image path ×frames-per-clip.
+
+    The frame identity `_fid` is CONTENT-derived (xxhash64 of the
+    distinct (clip, hash) pair), never positional: this frame is
+    re-computed by three join branches (the banded self-join plus the
+    ida/idb back-joins), and a positional id such as
+    `monotonically_increasing_id` is not stable across recomputation
+    of a post-shuffle subplan (fetch-order races, task retries, AQE),
+    which would silently attribute frame matches to the wrong clips
+    on a cluster."""
     hashes = frame_hashes.select(id_col, "phash").distinct() \
-        .withColumn("_fid", F.monotonically_increasing_id())
+        .withColumn("_fid", F.xxhash64(F.col(id_col), F.col("phash")))
     counts = hashes.groupBy(id_col).agg(F.count("*").alias("n_frames"))
     fp = near_dup_phash(hashes, max_hamming=max_hamming,
-                        id_col="_fid", hash_col="phash")
+                        id_col="_fid", hash_col="phash",
+                        max_band_df=max_band_df)
     ida = hashes.select(F.col("_fid").alias("id_a"),
                         F.col(id_col).alias("ma"),
                         F.col("phash").alias("ha"))
