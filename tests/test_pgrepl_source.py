@@ -66,6 +66,51 @@ def test_read_slot_and_advance(xt, server):
         cli.close()
 
 
+def test_slow_publisher_does_not_truncate_batch(spark, xt, server,
+                                                sub_store, tmp_path,
+                                                monkeypatch):
+    """A publisher that takes longer than the old 1.5 s idle window
+    to render ONE tx's wal2json must not cause the batch to return
+    early (which would let commit() advance the slot past unread
+    changes, losing them forever). The reader now requires positive
+    proof — a keepalive at/past the range end — before finishing.
+    The walsender runs in THIS process, so delaying changes_for_tx
+    here slows the publisher while the executor-side reader is
+    untouched."""
+    import time
+
+    import xtdb_spark.replication as repl
+
+    pub = xt.store
+    c = _cli(server, "slowslot")
+    c.create_slot()
+    c.close()
+
+    pub.put("wdocs", [{"_id": 1, "name": "a", "n": 1}])
+    pub.put("wdocs", [{"_id": 2, "name": "b", "n": 2}])
+    pub.put("wdocs", [{"_id": 3, "name": "c", "n": 3}])
+
+    real = repl.changes_for_tx
+
+    def slow(warehouse, txid, tables=None):
+        time.sleep(2.2)          # > the reader's 1.5 s poll window
+        return real(warehouse, txid, tables)
+
+    monkeypatch.setattr(repl, "changes_for_tx", slow)
+    replicate_stream(spark, sub_store, "127.0.0.1", server.port,
+                     "slowslot", str(tmp_path / "ck_slow"))
+    monkeypatch.setattr(repl, "changes_for_tx", real)
+
+    # every tx arrived — nothing was dropped behind the slot advance
+    assert _current(sub_store, "wdocs") == _current(pub, "wdocs") == [
+        ("1", "a", "1"), ("2", "b", "2"), ("3", "c", "3")]
+    # and a fresh checkpoint replays nothing (slot fully advanced)
+    n_events = sub_store.events("wdocs").count()
+    replicate_stream(spark, sub_store, "127.0.0.1", server.port,
+                     "slowslot", str(tmp_path / "ck_slow2"))
+    assert sub_store.events("wdocs").count() == n_events
+
+
 def test_pgrepl_stream_end_to_end(spark, xt, server, sub_store,
                                   tmp_path):
     pub = xt.store

@@ -309,6 +309,38 @@ def test_leveled_compaction_also_archives(spark, xt, server):
         cli.close()
 
 
+def test_vacuum_retains_unacked_slot_data(spark, xt, server):
+    """Vacuum is the third path that destroys part-xt event files
+    (after leveled compaction and full optimize) — it must archive
+    txs a replication slot hasn't acked the same way, or a lagging
+    subscriber silently loses committed changes."""
+    import glob
+    import os
+
+    pub = xt.store
+    cli = _cli(server, slot="vac")
+    cli.create_slot()
+
+    pub.put("vc_docs", [{"_id": 1, "name": "a", "n": 1}],
+            valid_from="2024-01-01", system_from="2024-01-01")
+    pub.put("vc_docs", [{"_id": 1, "name": "a2", "n": 2}],
+            valid_from="2024-01-01", system_from="2024-02-01")
+    deleted = pub.vacuum("vc_docs")   # horizon = now: v1 file dies
+    assert len(deleted) == 1
+    assert glob.glob(os.path.join(pub.warehouse, "_wal", "*.jsonl"))
+
+    cli.start()
+    try:
+        changes = list(cli.poll(max_wait=3.0))
+        # BOTH puts still stream — the vacuumed tx from the archive
+        assert len(changes) == 2
+        assert any('"a"' in c for _, c in changes)
+        assert any('"a2"' in c for _, c in changes)
+    finally:
+        cli.stop()
+        cli.close()
+
+
 def test_no_slots_means_no_wal_overhead(xt):
     import glob
     import os

@@ -527,6 +527,9 @@ class WalSender:
                 _written, flushed, _applied, _ts = struct.unpack(
                     ">qqqq", body[1:33])
                 self.slots.confirm(name, flushed)
+                if body[33:34] == b"\x01":         # reply requested:
+                    self._keepalive(pos)           # report position now
+                    last_keepalive = time.monotonic()
             elif t == b"d" and body[:1] == b"k":
                 pass
             elif t in (b"c", b"X"):                # CopyDone / Terminate

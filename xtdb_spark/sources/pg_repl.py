@@ -57,6 +57,11 @@ class LogicalReplicationClient:
         self.buf = b""
         self.streaming = False
         self.last_lsn = 0
+        # highest server position observed on the wire (XLogData
+        # wal_start or keepalive walEnd): proof of how far the sender
+        # has caught up — a reader draining to a target LSN needs
+        # this to distinguish "caught up" from "sender busy"
+        self.last_wal_end = 0
 
     # ---- framing
 
@@ -224,10 +229,17 @@ class LogicalReplicationClient:
             raise ReplicationError(f"expected CopyBothResponse, got {t!r}")
         self.streaming = True
 
-    def poll(self, max_wait: float = 1.0, max_changes: int | None = None):
+    def poll(self, max_wait: float = 1.0, max_changes: int | None = None,
+             until_lsn: int | None = None):
         """Yield (lsn:int, payload:str) changes for up to `max_wait`
         seconds of wire idleness; answers keepalives. Returns when
-        the wire goes quiet (batch boundary for the apply loop)."""
+        the wire goes quiet (batch boundary for the apply loop) — or,
+        with `until_lsn`, as soon as a keepalive proves the sender
+        has caught up to it (the sender emits a tx's lines BEFORE
+        advancing its reported position, so position ≥ until_lsn
+        means everything ≤ until_lsn was already delivered; an
+        XLogData lsn alone is NOT proof — a multi-line tx shares one
+        lsn across lines)."""
         if not self.streaming:
             raise ReplicationError("call start() first")
         n = 0
@@ -242,20 +254,37 @@ class LogicalReplicationClient:
                 (wal_start,) = struct.unpack(">q", data[1:9])
                 payload = data[25:].decode()
                 self.last_lsn = max(self.last_lsn, wal_start)
+                self.last_wal_end = max(self.last_wal_end, wal_start)
                 n += 1
                 yield wal_start, payload
             elif kind == b"k":
+                (wal_end,) = struct.unpack(">q", data[1:9])
+                self.last_wal_end = max(self.last_wal_end, wal_end)
                 reply_requested = data[17:18] == b"\x01"
                 if reply_requested:
                     self.ack(self.last_lsn)
+                if until_lsn is not None \
+                        and self.last_wal_end >= until_lsn:
+                    return
 
-    def ack(self, flushed_lsn: int) -> None:
+    def ack(self, flushed_lsn: int, reply: bool = False) -> None:
         """Standby Status Update: everything ≤ flushed_lsn is applied
         — the server persists it as the slot's confirmed_flush, so a
-        reconnect resumes strictly after it (exactly-once)."""
+        reconnect resumes strictly after it (exactly-once). `reply`
+        sets the protocol's final byte asking the server to answer
+        with a keepalive immediately."""
         self._send(b"d", b"r" + struct.pack(
             ">qqqq", flushed_lsn, flushed_lsn, flushed_lsn,
-            _pg_now_us()) + b"\x00")
+            _pg_now_us()) + (b"\x01" if reply else b"\x00"))
+
+    def request_keepalive(self) -> None:
+        """Prompt an immediate server keepalive WITHOUT moving the
+        slot: a status update with position 0 (confirm is monotone —
+        0 never regresses confirmed_flush) and the reply flag set.
+        Lets a reader learn the sender's current position on demand
+        instead of waiting out the periodic keepalive interval."""
+        self._send(b"d", b"r" + struct.pack(
+            ">qqqq", 0, 0, 0, _pg_now_us()) + b"\x01")
 
     def stop(self) -> None:
         """End the copy cleanly (CopyDone handshake)."""

@@ -47,10 +47,12 @@ def _client(host: str, port: int, slot: str, user: str, database: str):
 
 
 class _LsnRange(InputPartition or object):
-    def __init__(self, host, port, slot, user, database, start, end):
+    def __init__(self, host, port, slot, user, database, start, end,
+                 read_timeout=60.0):
         self.host, self.port, self.slot = host, port, slot
         self.user, self.database = user, database
         self.start, self.end = start, end
+        self.read_timeout = read_timeout
 
 
 class PgReplStreamReader(DataSourceStreamReader):
@@ -64,6 +66,7 @@ class PgReplStreamReader(DataSourceStreamReader):
         self._slot = options["slot"]
         self._user = options.get("user", "xtdb")
         self._database = options.get("database", "xtdb")
+        self._read_timeout = float(options.get("readTimeout", "60"))
         if options.get("create", "true").lower() != "false":
             cli = self._cli()
             try:
@@ -98,23 +101,52 @@ class PgReplStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         return [_LsnRange(self._host, self._port, self._slot,
-                          self._user, self._database, s, e)]
+                          self._user, self._database, s, e,
+                          self._read_timeout)]
 
     def read(self, part: "_LsnRange") -> Iterator[tuple]:
         """Runs ON THE EXECUTOR: opens its own replication connection
         at the range start; yields changes with start < lsn ≤ end
         (changes past the planned end — txs that committed since —
-        stay on the wire for the next batch)."""
+        stay on the wire for the next batch).
+
+        The range is only complete on POSITIVE proof the sender has
+        passed `end`: a change with lsn > end (lines arrive in LSN
+        order), or a keepalive / XLogData position ≥ end (the sender
+        emits lines for a tx BEFORE advancing its reported position,
+        so position ≥ end means everything ≤ end was already sent).
+        Wire idleness is never treated as completion — a sender busy
+        rendering a large tx looks idle, and returning early would
+        let commit() advance the slot past unread changes, losing
+        them. If proof doesn't arrive within `readTimeout` seconds
+        the task FAILS (Spark retries it); failure is recoverable,
+        silent loss is not."""
+        import time as _time
+
         from xtdb_spark.replication import lsn_str
 
         cli = _client(part.host, part.port, part.slot,
                       part.user, part.database)
         try:
             cli.start(lsn_str(part.start))
-            for lsn, payload in cli.poll(max_wait=1.5):
-                if lsn > part.end:
-                    break
-                yield (lsn, payload)
+            deadline = _time.monotonic() + part.read_timeout
+            cli.request_keepalive()
+            while True:
+                for lsn, payload in cli.poll(max_wait=1.5,
+                                             until_lsn=part.end):
+                    if lsn > part.end:
+                        return
+                    yield (lsn, payload)
+                if cli.last_wal_end >= part.end:
+                    return
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"pgrepl: no proof of reaching LSN {part.end} "
+                        f"within {part.read_timeout}s (sender at "
+                        f"{cli.last_wal_end}); failing the task so "
+                        "the batch retries instead of committing an "
+                        "incomplete range")
+                cli.request_keepalive()
         finally:
             cli.close()
 

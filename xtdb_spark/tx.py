@@ -1186,6 +1186,17 @@ class TableStore:
                       for (f,) in live.select("__file").distinct().collect()}
         deletable = [f for f in candidates
                      if _norm(os.path.abspath(f)) not in live_files]
+        if deletable:
+            # slot-retained WAL (replication.py): a lagging
+            # replication slot must still be able to render these
+            # txs' changes after their part-xt files are gone —
+            # archive BEFORE deletion, exactly like both compaction
+            # paths (compactor.run_job, full-optimize rewrite)
+            from xtdb_spark.replication import archive_unacked, txid_of_l0
+
+            archive_unacked(self.warehouse,
+                            [t for t in map(txid_of_l0, deletable)
+                             if t is not None])
         for f in deletable:
             os.remove(f)
         if deletable:
