@@ -74,6 +74,49 @@ def test_prefilter_historical_match_survives_resolution(store):
     assert unfiltered[4] == 8
 
 
+def test_prefilter_rejects_temporal_predicates(store):
+    import pytest
+
+    _setup(store)
+    for pred in [F.col("_valid_to") > "2024-01-01",
+                 F.col("_system_from") >= "2024-01-01",
+                 "_valid_from < TIMESTAMP'2024-06-01'",
+                 (F.col("x") < 5) & F.col("_valid_to").isNull()]:
+        with pytest.raises(ValueError, match="document columns"):
+            store.scan("pf", prefilter=pred)
+    # a plain typo still gets Spark's own missing-column error
+    with pytest.raises(Exception, match="(?i)nope|resolve|exist"):
+        store.scan("pf", prefilter=F.col("nope") < 5)
+
+
+def test_prefilter_auto_enables_on_selective_skips_on_broad(store):
+    _setup(store)
+    selective = F.col("_id") == 7          # ~1.7% (1 of 60 ids)
+    broad = F.col("x") >= 0                # everything
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # footer-stats estimate ≈ 2.2% for the equality (weighted over
+    # the three version files): below a 5% threshold the semi-join
+    # engages, above the default 0.5% it does not
+    for pred, thresh, expect_semi in [(selective, 0.05, True),
+                                      (selective, 0.005, False),
+                                      (broad, 0.05, False)]:
+        auto = store.scan("pf", prefilter=pred, prefilter_mode="auto",
+                          prefilter_threshold=thresh)
+        assert ("LeftSemi" in plan(auto)) == expect_semi, (pred, thresh)
+        assert _rows(auto.filter(pred)) == \
+            _rows(store.scan("pf").filter(pred))
+    # a predicate the stats parser can't bound (string equality)
+    # falls back to the sampling estimator and still decides
+    s_pred = F.col("s") == "s1"            # 1/3 of rows → broad
+    auto = store.scan("pf", prefilter=s_pred, prefilter_mode="auto")
+    assert "LeftSemi" not in plan(auto)
+    assert _rows(auto.filter(s_pred)) == \
+        _rows(store.scan("pf").filter(s_pred))
+
+
 def test_prefilter_pushes_to_parquet(store):
     _setup(store)
     plan = store.scan("pf", prefilter=F.col("x") < 5) \

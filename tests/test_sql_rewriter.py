@@ -374,6 +374,91 @@ def test_setting_default_system_time(spark, tmp_path):
     assert [r["name"] for r in ws] == ["v1"]
 
 
+def test_setting_snapshot_token_repeatable_read(spark, tmp_path):
+    """SETTING SNAPSHOT_TOKEN / SNAPSHOT_TIME (Sql.g4:84-85;
+    reference basis.clj, query.clj:429-440): re-running a query with
+    the token captured BEFORE later writes returns the original rows
+    — repeatable read. Our token is the tx id = commit system time
+    in epoch microseconds, so it lowers to a DEFAULT SYSTEM_TIME AS
+    OF bound."""
+    import json
+    import os
+
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("sn_docs", [{"_id": 1, "name": "v1"}])
+
+    def latest_token():
+        with open(os.path.join(xt.store.warehouse, "_txs.jsonl")) as f:
+            return str(json.loads(f.read().splitlines()[-1])["tx_id"])
+
+    tok = latest_token()
+    before = rewrite_and_run(
+        xt, "SELECT name FROM sn_docs ORDER BY _id").collect()
+    assert [r["name"] for r in before] == ["v1"]
+
+    xt.store.put("sn_docs", [{"_id": 1, "name": "v2"},
+                             {"_id": 2, "name": "new"}])
+
+    # pinned: identical to the pre-write read
+    pinned = rewrite_and_run(
+        xt, f"SETTING SNAPSHOT_TOKEN TO '{tok}' "
+            "SELECT name FROM sn_docs ORDER BY _id").collect()
+    assert [r["name"] for r in pinned] == ["v1"]
+    # = spelling and parameter binding both parse
+    eq = rewrite_and_run(
+        xt, f"SETTING SNAPSHOT_TOKEN = {tok} "
+            "SELECT COUNT(*) AS n FROM sn_docs").collect()
+    assert eq[0]["n"] == 1
+    par = rewrite_and_run(
+        xt, "SETTING SNAPSHOT_TOKEN TO ? "
+            "SELECT COUNT(*) AS n FROM sn_docs", [tok]).collect()
+    assert par[0]["n"] == 1
+    # unpinned sees the new state
+    cur = rewrite_and_run(
+        xt, "SELECT COUNT(*) AS n FROM sn_docs").collect()
+    assert cur[0]["n"] == 2
+
+    # SNAPSHOT_TIME: a timestamp basis works the same way
+    from datetime import datetime, timedelta, timezone
+
+    ts = (datetime(1970, 1, 1) + timedelta(microseconds=int(tok))) \
+        .isoformat(sep=" ")
+    st = rewrite_and_run(
+        xt, f"SETTING SNAPSHOT_TIME TO TIMESTAMP '{ts}' "
+            "SELECT name FROM sn_docs ORDER BY _id").collect()
+    assert [r["name"] for r in st] == ["v1"]
+
+
+def test_setting_clock_time_pins_now(spark, tmp_path):
+    """SETTING CLOCK_TIME (Sql.g4:86; query.clj:429 expr/*clock*):
+    CURRENT_TIMESTAMP / CURRENT_DATE / NOW() evaluate at the pinned
+    instant, and a column named `now` is NOT clobbered."""
+    from xtdb_spark.sql.rewriter import apply_clock, rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    r = rewrite_and_run(
+        xt, "SETTING CLOCK_TIME TO TIMESTAMP '2024-05-04 12:30:00' "
+            "SELECT CURRENT_TIMESTAMP AS ts, CURRENT_DATE AS d, "
+            "NOW() AS n").collect()[0]
+    assert str(r["ts"]) == "2024-05-04 12:30:00"
+    assert str(r["d"]) == "2024-05-04"
+    assert str(r["n"]) == "2024-05-04 12:30:00"
+    # combined with a DEFAULT option after a comma
+    xt.store.put("ck_docs", [{"_id": 1, "name": "a"}],
+                 system_from="2024-01-01")
+    r2 = rewrite_and_run(
+        xt, "SETTING CLOCK_TIME TO TIMESTAMP '2024-05-04 12:30:00', "
+            "DEFAULT SYSTEM_TIME TO AS OF '2024-06-01' "
+            "SELECT name, CURRENT_DATE AS d FROM ck_docs").collect()[0]
+    assert (r2["name"], str(r2["d"])) == ("a", "2024-05-04")
+    # identifier `now` without parens is left alone
+    assert "now" in apply_clock("SELECT now FROM t", "2024-05-04")
+    assert "TIMESTAMP" in apply_clock("SELECT now() FROM t",
+                                      "2024-05-04 00:00:00")
+
+
 def test_create_table_and_roles(spark, tmp_path):
     """CREATE [OR ALTER] TABLE (Sql.g4:61 — catalog metadata; types
     arrive with the first INSERT) and GRANT/REVOKE role membership

@@ -47,21 +47,28 @@ def main():
         ("50%",  F.col("x") >= 0),
     ]
 
-    def run(pred, prefilter):
-        d = store.scan("pf", prefilter=pred if prefilter else None) \
-            .filter(pred)
+    def run(pred, mode):
         t0 = time.perf_counter()
+        if mode == "plain":
+            d = store.scan("pf")
+        else:
+            d = store.scan("pf", prefilter=pred, prefilter_mode=mode)
+        d = d.filter(pred)
         out = d.agg(F.count("*"), F.sum(F.length("payload"))).collect()[0]
         return time.perf_counter() - t0, out[0]
 
+    # auto must track best-of-both: the decision overhead (bounded
+    # Arrow-batch sample + a few local jobs) is timed INSIDE run()
     for _ in range(2):                               # warm + measured
         for name, pred in probes:
-            tp, rp = run(pred, True)
-            tb, rb = run(pred, False)
-            assert rp == rb, (name, rp, rb)
+            tp, rp = run(pred, "force")
+            tb, rb = run(pred, "plain")
+            ta, ra = run(pred, "auto")
+            assert rp == rb == ra, (name, rp, rb, ra)
             print(f"sel={name:5s} rows={rb:>9,}  plain={tb:6.2f}s  "
-                  f"prefilter={tp:6.2f}s  speedup={tb / tp:4.2f}x",
-                  flush=True)
+                  f"prefilter={tp:6.2f}s  auto={ta:6.2f}s  "
+                  f"speedup={tb / tp:4.2f}x  auto_vs_best="
+                  f"{ta / min(tb, tp):4.2f}x", flush=True)
 
 
 if __name__ == "__main__":

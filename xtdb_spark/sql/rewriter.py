@@ -153,6 +153,69 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
     return out
 
 
+def _token_to_ts(tok) -> str:
+    """Snapshot token → its system-time basis. Our token IS the tx
+    id (SHOW SNAPSHOT_TOKEN, pgwire.py), and a tx id IS its commit
+    system time in epoch MICROSECONDS (tx.py _next_system_time /
+    _record_tx) — so the basis timestamp is exact, no ledger lookup
+    needed (reference basis.clj encodes per-db system times in its
+    token the same way)."""
+    from datetime import datetime, timedelta
+
+    try:
+        us = int(str(tok).strip())
+    except ValueError:
+        raise ValueError(f"invalid snapshot token: {tok!r}")
+    return (datetime(1970, 1, 1)
+            + timedelta(microseconds=us)).isoformat(sep=" ")
+
+
+_CLOCK_FNS = ("CURRENT_TIMESTAMP", "LOCALTIMESTAMP", "NOW",
+              "CURRENT_DATE", "CURRENT_TIME", "LOCALTIME")
+
+
+def apply_clock(sql: str, clock: str) -> str:
+    """Pin the query's wall clock (reference query.clj:429
+    expr/*clock*; SETTING CLOCK_TIME, Sql.g4:86): every now-valued
+    function call in the emitted text becomes a literal at `clock`,
+    so the whole query — including subqueries and defaults that
+    expanded to CURRENT_TIMESTAMP — evaluates at one fixed instant.
+    Token-level, so strings/comments/identifiers are untouched."""
+    clock = str(clock).strip()
+    date_part = clock.split(" ")[0].split("T")[0]
+    time_part = clock.split(" ")[-1].split("T")[-1] \
+        if (" " in clock or "T" in clock) else "00:00:00"
+    out = []
+    toks = _tokenize(sql)
+    i = 0
+    while i < len(toks):
+        k, t = toks[i]
+        up = t.upper() if k == "word" else ""
+        if up in _CLOCK_FNS:
+            # swallow an optional empty () call suffix
+            j = i + 1
+            while j < len(toks) and toks[j][0] in ("ws", "comment"):
+                j += 1
+            has_call = (j + 1 < len(toks)
+                        and toks[j] == ("punct", "(")
+                        and toks[j + 1] == ("punct", ")"))
+            if up == "NOW" and not has_call:
+                out.append(t)     # `now` is a valid identifier; only
+                i += 1            # the function call form is a clock
+                continue
+            i = j + 2 if has_call else i + 1
+            if up == "CURRENT_DATE":
+                out.append(f"DATE {_std_str(date_part)}")
+            elif up in ("CURRENT_TIME", "LOCALTIME"):
+                out.append(_std_str(time_part))
+            else:
+                out.append(f"TIMESTAMP {_std_str(clock)}")
+        else:
+            out.append(t)
+            i += 1
+    return "".join(out)
+
+
 def _unquote(tok: tuple[str, str]) -> str:
     kind, text = tok
     if kind == "qident":
@@ -303,20 +366,42 @@ class _Rewriter:
             else:
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
-        return spark_escape_strings("".join(self.out)), remaining
+        sql = "".join(self.out)
+        if getattr(self, "clock_time", None) is not None:
+            sql = apply_clock(sql, self.clock_time)
+        return spark_escape_strings(sql), remaining
+
+    _SETTING_VARS = ("DEFAULT", "SNAPSHOT_TOKEN", "SNAPSHOT_TIME",
+                     "CLOCK_TIME")
 
     def _setting_prefix(self):
-        """`SETTING DEFAULT VALID_TIME [TO] <spec>[, DEFAULT
-        SYSTEM_TIME [TO] <spec>]` query prefix (reference Sql.g4:79-83
-        settingQueryVariables; applied as scan defaults in
-        plan/QueryOpts): parsed into per-dimension default bounds
-        applied to every table reference that doesn't carry its own
-        FOR clause for that dimension. The prefix tokens are consumed,
-        not emitted — Spark SQL never sees them."""
+        """`SETTING <option>[, <option>]*` query prefix (reference
+        Sql.g4:79-86 settingQueryVariables). Options:
+
+        - `DEFAULT VALID_TIME/SYSTEM_TIME [TO] <spec>`: per-dimension
+          default bounds applied to every table reference that
+          doesn't carry its own FOR clause for that dimension
+          (plan/QueryOpts in the reference).
+        - `SNAPSHOT_TOKEN (TO|=) <expr>` / `SNAPSHOT_TIME (TO|=)
+          <expr>` (basis.clj, query.clj:429-440): pin the query's
+          system-time basis — repeatable read. Our snapshot token IS
+          the latest committed tx id, and a tx id IS its commit
+          system time in epoch MICROSECONDS (tx.py _record_tx /
+          _next_system_time), so both lower to a `DEFAULT
+          SYSTEM_TIME AS OF <ts>` bound — which also gets the
+          historical-manifest FILE pruning in scan() for free.
+        - `CLOCK_TIME (TO|=) <expr>` (query.clj:429 expr/*clock*):
+          fix the query's wall clock — every CURRENT_TIMESTAMP /
+          LOCALTIMESTAMP / NOW() / CURRENT_DATE in the emitted text
+          becomes a literal at that instant (`apply_clock`).
+
+        The prefix tokens are consumed, not emitted — Spark SQL
+        never sees them."""
         self.defaults = TemporalBounds()
+        self.clock_time = None
         if not (self._peek()[0] == "word"
                 and self._peek()[1].upper() == "SETTING"
-                and self._peek(1)[1].upper() == "DEFAULT"):
+                and self._peek(1)[1].upper() in self._SETTING_VARS):
             return
         sink: list[str] = []
         self._cap = sink          # swallow the prefix
@@ -335,7 +420,35 @@ class _Rewriter:
         cap_take()  # SETTING
         while True:
             cap_skip_ws()
-            if self._peek()[1].upper() != "DEFAULT":
+            var = self._peek()[1].upper()
+            if var in ("SNAPSHOT_TOKEN", "SNAPSHOT_TIME", "CLOCK_TIME"):
+                cap_take()
+                cap_skip_ws()
+                if self._peek()[1].upper() == "TO" \
+                        or self._peek() == ("punct", "="):
+                    cap_take()
+                    cap_skip_ws()
+                if var == "SNAPSHOT_TOKEN":
+                    v = self._scalar_arg(cap_take, cap_skip_ws)
+                    if v is _FAIL:
+                        raise ValueError(
+                            "malformed SETTING SNAPSHOT_TOKEN value")
+                    self.defaults.system_asof = _token_to_ts(v)
+                else:
+                    v = self._temporal_arg(cap_take, cap_skip_ws)
+                    if v is _FAIL or v is None:
+                        raise ValueError(
+                            f"malformed SETTING {var} value")
+                    if var == "SNAPSHOT_TIME":
+                        self.defaults.system_asof = v
+                    else:
+                        self.clock_time = v
+                cap_skip_ws()
+                if self._peek() == ("punct", ","):
+                    cap_take()
+                    continue
+                break
+            if var != "DEFAULT":
                 break
             cap_take()  # DEFAULT
             cap_skip_ws()
@@ -625,6 +738,27 @@ class _Rewriter:
                 if self._peek() == ("punct", ")"):
                     cap_take()
             return None  # "as of now" = the default bound
+        return _FAIL
+
+    def _scalar_arg(self, cap_take, cap_skip_ws):
+        """'x' | 123 | ? — a snapshot-token value (Sql.g4:84 takes an
+        expr; tokens travel as strings or numbers)."""
+        cap_skip_ws()
+        k, t = self._peek()
+        if k == "str":
+            cap_take()
+            return t[1:-1].replace("''", "'")
+        if k == "num":
+            cap_take()
+            return t
+        if k == "param":
+            ord_ = self.param_ord
+            cap_take()
+            if ord_ >= len(self.args):
+                raise ValueError(
+                    "SETTING parameter ? has no bound argument")
+            self.consumed.add(ord_)
+            return self.args[ord_]
         return _FAIL
 
     # -- alias

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextlib
 import glob as _glob
+import re
 import json as _json
 import os
 import threading
@@ -49,6 +50,143 @@ from pyspark.sql import functions as F
 from xtdb_spark import bitemporal, compactor
 
 FORBIDDEN_SCHEMAS = ("xt", "information_schema", "pg_catalog")
+
+# tokens of a Column/SQL predicate rendering; Spark prints Column
+# expressions in call style (`and(>=(x, -50), <=(x, 49))`) while
+# F.expr keeps the raw SQL infix text (`x < 3`, `x between 1 and 5`)
+_PRED_TOK = re.compile(
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<id>[A-Za-z_][\w]*)"
+    r"|(?P<op>>=|<=|!=|=|<|>)|(?P<lp>\()|(?P<rp>\))|(?P<comma>,))")
+
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+
+def _parse_numeric_conjunction(text: str):
+    """Parse a predicate rendering into per-column [lo, hi] interval
+    bounds — ONLY when it is a pure conjunction of numeric
+    comparisons (col <op> literal, either operand order, call-style
+    or infix, BETWEEN included). Anything else (OR, NOT, strings,
+    function calls, IS NULL, …) returns None: the caller then falls
+    back to sample-based estimation rather than risk a wrong
+    metadata-only guess."""
+    toks = []
+    i = 0
+    while i < len(text):
+        m = _PRED_TOK.match(text, i)
+        if m is None or m.end() == i:
+            if text[i:].strip():
+                return None       # unrecognized token (string, !, …)
+            break                 # trailing whitespace
+        i = m.end()
+        toks.append((m.lastgroup, m.group(m.lastgroup)))
+    pos = 0
+    bounds: dict[str, list] = {}
+
+    def peek(k=0):
+        return toks[pos + k] if pos + k < len(toks) else (None, "")
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def add(col, op, num):
+        lo_hi = bounds.setdefault(col, [float("-inf"), float("inf")])
+        if op in (">", ">="):
+            lo_hi[0] = max(lo_hi[0], num)
+        elif op in ("<", "<="):
+            lo_hi[1] = min(lo_hi[1], num)
+        elif op == "=":
+            lo_hi[0] = max(lo_hi[0], num)
+            lo_hi[1] = min(lo_hi[1], num)
+        else:                     # != carries ~no range information
+            raise ValueError
+
+    def operand():
+        k, v = peek()
+        if k in ("num", "id"):
+            take()
+            return k, v
+        raise ValueError
+
+    def expr():
+        k, v = peek()
+        if k == "id" and v.lower() == "and" and peek(1)[0] == "lp":
+            take(); take()                       # and (
+            expr()
+            if take() != ("comma", ","):
+                raise ValueError
+            expr()
+            if take()[0] != "rp":
+                raise ValueError
+            return
+        if k == "op" and peek(1)[0] == "lp":     # >=(x, -50)
+            take(); take()
+            ka, va = operand()
+            if take() != ("comma", ","):
+                raise ValueError
+            kb, vb = operand()
+            if take()[0] != "rp":
+                raise ValueError
+            _cmp(ka, va, v, kb, vb)
+            return
+        if k == "lp":                            # ( infix )
+            take()
+            expr()
+            if take()[0] != "rp":
+                raise ValueError
+            _tail()
+            return
+        # infix comparison / BETWEEN
+        ka, va = operand()
+        nk, nv = peek()
+        if nk == "id" and nv.lower() == "between":
+            take()
+            if ka != "id":
+                raise ValueError
+            lk, lv = operand()
+            bk, bv = peek()
+            if not (bk == "id" and bv.lower() == "and"):
+                raise ValueError
+            take()
+            hk, hv = operand()
+            if lk != "num" or hk != "num":
+                raise ValueError
+            add(va, ">=", float(lv))
+            add(va, "<=", float(hv))
+        elif nk == "op":
+            take()
+            kb, vb = operand()
+            _cmp(ka, va, nv, kb, vb)
+        else:
+            raise ValueError
+        _tail()
+
+    def _tail():
+        k, v = peek()
+        if k == "id" and v.lower() == "and":
+            take()
+            expr()
+        elif k is not None and k != "rp" and k != "comma":
+            raise ValueError
+
+    def _cmp(ka, va, op, kb, vb):
+        if ka == "id" and kb == "num":
+            add(va, op, float(vb))
+        elif ka == "num" and kb == "id":
+            add(vb, _FLIP[op], float(va))
+        else:
+            raise ValueError
+
+    try:
+        expr()
+        _tail()
+        if pos != len(toks):
+            return None
+    except (ValueError, KeyError, IndexError):
+        return None
+    return bounds or None
 
 
 class TableStore:
@@ -1438,9 +1576,133 @@ class TableStore:
                 .parquet(self._path(table))
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
+    # columns a prefilter predicate must NOT reference: resolution
+    # rewrites them (later versions clip _valid_to/_system_to, range
+    # resolution re-derives _valid_from), so "any raw event matches"
+    # is not a superset of "some resolved row matches" for them
+    _PREFILTER_NONDOC = ("_valid_from", "_valid_to", "_system_from",
+                         "_system_to", "op")
+
+    def _stats_selectivity(self, files, cond, max_footers: int = 8):
+        """Footer-statistics selectivity for predicates that are pure
+        conjunctions of numeric comparisons (col <op> literal) — the
+        reference derives its automatic bloom sideways pushdown from
+        metadata the same way (join.clj:172-226). Reads a bounded
+        number of parquet FOOTERS only (no data): per row group,
+        clamp the predicate's implied [lo,hi] per column against the
+        column's [min,max] under a uniform assumption and multiply
+        across conjuncts, weighting by row count. Returns None for
+        any predicate shape it can't parse (caller falls back to the
+        Arrow-batch sampling estimator)."""
+        import pyarrow.parquet as pq
+
+        text = str(cond)
+        m = re.match(r"^Column<'(.*)'>$", text, re.DOTALL)
+        if m:
+            text = m.group(1)
+        bounds = _parse_numeric_conjunction(text)
+        if not bounds:
+            return None
+        fs = sorted(files or [])
+        if not fs:
+            return None
+        step = max(1, len(fs) // max_footers)
+        est_rows = tot_rows = 0.0
+        for f in fs[::step][:max_footers]:
+            try:
+                meta = pq.ParquetFile(f).metadata
+            except Exception:
+                continue
+            names = {meta.schema.column(i).name: i
+                     for i in range(meta.num_columns)}
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                frac = 1.0
+                for col, (lo, hi) in bounds.items():
+                    idx = names.get(col)
+                    st = (rg.column(idx).statistics
+                          if idx is not None else None)
+                    if st is None or not st.has_min_max \
+                            or not isinstance(st.min, (int, float)) \
+                            or isinstance(st.min, bool):
+                        continue       # unknown → assume broad (safe)
+                    cmin, cmax = float(st.min), float(st.max)
+                    if cmax <= cmin:           # constant column
+                        ov = 1.0 if lo <= cmin <= hi else 0.0
+                    elif lo == hi:             # point (equality):
+                        #                        discrete-uniform mass
+                        ov = (1.0 / (cmax - cmin + 1)
+                              if cmin <= lo <= cmax else 0.0)
+                    else:
+                        ov = max(0.0, (min(hi, cmax) - max(lo, cmin))
+                                 / (cmax - cmin))
+                    frac *= min(1.0, ov)
+                est_rows += frac * rg.num_rows
+                tot_rows += rg.num_rows
+        return (est_rows / tot_rows) if tot_rows else None
+
+    def _prefilter_selectivity(self, files, cond, max_files: int = 3,
+                               rows_per_file: int = 4096):
+        """Cheap selectivity estimate for a document-column predicate:
+        the first Arrow batch of a few spread-out event files,
+        evaluated with the SAME Spark expression on one tiny local
+        DataFrame. Footer min/max alone can't bound arbitrary
+        predicates (strings, IN-lists, function calls); a bounded
+        sample evaluated by the real expression handles any of them
+        at fixed cost — ≤ max_files × rows_per_file rows and one
+        local job per distinct sampled schema, noise next to the
+        scan being sized. Returns matched/total in [0,1], or None
+        when nothing could be sampled (caller falls back to the
+        plain scan)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fs = sorted(files or [])
+        if not fs:
+            return None
+        picks = list(dict.fromkeys(
+            [fs[0], fs[len(fs) // 2], fs[-1]]))[:max_files] \
+            if len(fs) > max_files else fs
+        drop = set(self._PREFILTER_NONDOC) | {"_iid"}
+        tables = []
+        for f in picks:
+            try:
+                pf = pq.ParquetFile(f)
+                batch = next(pf.iter_batches(batch_size=rows_per_file),
+                             None)
+            except Exception:
+                continue          # unreadable file — skip it
+            if batch is None or batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            tables.append(t.drop_columns(
+                [c for c in t.schema.names if c in drop]))
+        if not tables:
+            return None
+        # one evaluation over the union (promote fills schema drift
+        # with nulls); per-table fallback if a sample won't convert
+        groups = [tables]
+        try:
+            merged = pa.concat_tables(tables,
+                                      promote_options="permissive")
+            groups = [[merged]]
+        except Exception:
+            groups = [[t] for t in tables]
+        matched = total = 0
+        for g in groups:
+            try:
+                pdf = g[0].to_pandas()
+                matched += self.spark.createDataFrame(pdf) \
+                    .where(cond).count()
+                total += g[0].num_rows
+            except Exception:
+                continue
+        return (matched / total) if total > 0 else None
+
     def scan(self, table: str, valid_time=None, system_time=None,
              all_valid_time=False, all_system_time=False,
-             prefilter=None) -> DataFrame:
+             prefilter=None, prefilter_mode: str = "force",
+             prefilter_threshold: float = 0.005) -> DataFrame:
         """The :scan operator (reference operator/scan.clj:46-368):
         temporal bounds → resolution strategy. Column pruning +
         predicate pushdown on the returned DataFrame reach the parquet
@@ -1451,9 +1713,9 @@ class TableStore:
         walk); `FOR ALL SYSTEM_TIME` needs the full history, so it
         never prunes.
 
-        `prefilter` (Column or SQL string over the table's columns):
-        sideways candidate pruning for SELECTIVE queries. User
-        predicates applied to the RESULT cannot push below the
+        `prefilter` (Column or SQL string over the table's DOCUMENT
+        columns): sideways candidate pruning for SELECTIVE queries.
+        User predicates applied to the RESULT cannot push below the
         per-iid resolution window (they see resolved rows), so by
         default a filtered temporal scan still shuffles every event.
         A prefilter runs a cheap columnar pass (predicate columns +
@@ -1465,9 +1727,25 @@ class TableStore:
         satisfy the same predicate after resolution). The caller
         still applies its own `.filter(pred)` on the result:
         `scan(t, prefilter=p).filter(p) == scan(t).filter(p)`,
-        verified by tests/test_prefilter.py. The reference's bloom
-        "sideways information passing" (join.clj:172-226) plays this
-        role between operators; here it prunes the scan itself."""
+        verified by tests/test_prefilter.py. Predicates referencing
+        the temporal columns are REJECTED (ValueError): resolution
+        rewrites them, so the superset argument only holds for
+        document columns. The reference's bloom "sideways information
+        passing" (join.clj:172-226) plays this role between
+        operators; here it prunes the scan itself.
+
+        `prefilter_mode="auto"` decides whether the candidate pass
+        pays for itself (it wins 1.8-2.2× on selective predicates,
+        costs ~25% on broad ones — BENCH_NOTES round 7): parquet
+        FOOTER min/max statistics estimate the predicate's
+        selectivity for simple numeric conjunctions (metadata only,
+        no I/O jobs), a bounded Arrow-batch sample covers every
+        other predicate shape, and the semi-join is applied only
+        at/below `prefilter_threshold` (calibrated from the 20M-row
+        A/B grid: the win at 0.1% selectivity flips to a loss by
+        2%). The reference injects its bloom pushdown automatically
+        the same way (join.clj:172-226). "force" (default) always
+        applies it — existing callers unchanged."""
         path = self._path(table)
         l0, entries = compactor.live_files(path)
         if not l0 and not entries and os.path.isdir(path):
@@ -1505,10 +1783,43 @@ class TableStore:
                       for e in entries if not e["hist"]]) or None
         ev = self.events(table, files=files)
         if prefilter is not None:
+            if prefilter_mode not in ("force", "auto"):
+                raise ValueError("prefilter_mode must be 'force' or "
+                                 f"'auto', got {prefilter_mode!r}")
             cond = (F.expr(prefilter) if isinstance(prefilter, str)
                     else prefilter)
-            cand = ev.where(cond).select("_iid").distinct()
-            ev = ev.join(cand, "_iid", "left_semi")
+            # guard probe: a Project over the doc-only view — .schema
+            # forces analysis (transforms analyze lazily), and select
+            # (unlike where, whose missing refs Spark resolves back
+            # through the drop lineage) genuinely rejects dropped
+            # columns. Probed on the FULL ev first so a typo'd column
+            # surfaces Spark's own missing-column error, not ours.
+            ev.select(cond.alias("_p")).schema
+            nondoc = [c for c in self._PREFILTER_NONDOC
+                      if c in ev.columns]
+            try:
+                ev.drop(*nondoc).select(cond.alias("_p")).schema
+            except Exception as e:
+                raise ValueError(
+                    "scan(prefilter=...) predicates may reference "
+                    "document columns only: resolution rewrites the "
+                    "temporal columns (_valid_to/_system_to are "
+                    "clipped by later versions, range resolution "
+                    "re-derives _valid_from), so an any-event-matches "
+                    "candidate pass is not a superset for them — "
+                    "filter the resolved result instead") from e
+            cand_src = ev.where(cond)
+            use = True
+            if prefilter_mode == "auto":
+                efiles = (files if files is not None
+                          else self.table_files(table))
+                est = self._stats_selectivity(efiles, cond)
+                if est is None:
+                    est = self._prefilter_selectivity(efiles, cond)
+                use = est is not None and est <= prefilter_threshold
+            if use:
+                cand = cand_src.select("_iid").distinct()
+                ev = ev.join(cand, "_iid", "left_semi")
         return self._resolve(ev, valid_time, system_time,
                              all_valid_time, all_system_time)
 
