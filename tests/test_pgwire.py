@@ -735,6 +735,61 @@ def test_set_show_current_setting(xt, client):
     assert res[0][1] == [["America/New_York"]]
 
 
+def test_set_time_zone_honored_in_evaluation(client):
+    """SET TIME ZONE is applied, not just recorded (reference pgwire
+    session params + query.clj:429 expr/*clock*): current_timestamp /
+    current_date render at the session zone's wall clock; the Spark
+    session stays UTC underneath."""
+    from datetime import datetime, timedelta, timezone
+
+    def now_ts():
+        res, _ = client.query("SELECT current_timestamp AS ts")
+        return datetime.fromisoformat(res[0][1][0][0])
+
+    utc0 = now_ts()
+    assert abs((utc0 - datetime.now(timezone.utc).replace(tzinfo=None))
+               .total_seconds()) < 120
+
+    client.query("SET TIME ZONE '+05:30'")
+    ahead = now_ts()
+    delta = (ahead - datetime.now(timezone.utc).replace(tzinfo=None)) \
+        .total_seconds()
+    assert abs(delta - 5.5 * 3600) < 120
+
+    client.query("SET TIME ZONE 'UTC-3'")
+    behind = now_ts()
+    delta = (behind - datetime.now(timezone.utc).replace(tzinfo=None)) \
+        .total_seconds()
+    assert abs(delta + 3 * 3600) < 120
+
+    # IANA names resolve when zoneinfo has data; otherwise the query
+    # must still answer (UTC-pinned fallback), never error
+    client.query("SET TIME ZONE 'America/New_York'")
+    ny = now_ts()
+    delta = (ny - datetime.now(timezone.utc).replace(tzinfo=None)) \
+        .total_seconds()
+    try:
+        from zoneinfo import ZoneInfo
+
+        off = datetime.now(ZoneInfo("America/New_York"))\
+            .utcoffset().total_seconds()
+    except Exception:
+        off = 0.0
+    assert abs(delta - off) < 120
+
+    # back to UTC: pinning restored; current_date follows the zone too
+    client.query("SET TIME ZONE 'UTC'")
+    back = now_ts()
+    assert abs((back - datetime.now(timezone.utc).replace(tzinfo=None))
+               .total_seconds()) < 120
+    client.query("SET TIME ZONE '+05:30'")
+    res, _ = client.query("SELECT current_date AS d")
+    want = (datetime.now(timezone.utc)
+            + timedelta(hours=5, minutes=30)).date().isoformat()
+    assert res[0][1][0][0] == want
+    client.query("SET TIME ZONE 'UTC'")
+
+
 def test_reset_and_discard(xt, client):
     client.query("SET a.one = '1'")
     client.query("SET a.two = '2'")

@@ -278,6 +278,36 @@ class _ResyncAfterError(Exception):
     error recovery)."""
 
 
+_ZONE_OFFSET_RE = re.compile(
+    r"^(?:UTC|GMT)?\s*(?P<sign>[+-])\s*(?P<h>\d{1,2})(?::?(?P<m>\d{2}))?$")
+
+
+def _session_zone_now(zone: str):
+    """Current wall-clock instant rendered in a session time zone, as
+    a NAIVE datetime (the engine's timestamps are naive-UTC-valued;
+    rendering in-zone at the boundary is the pg-compatible part).
+    IANA names resolve through zoneinfo; fixed offsets ('+05:30',
+    'UTC-3') parse directly; an unknown zone returns None (caller
+    leaves the query untouched — UTC-pinned, the previous
+    behavior)."""
+    import datetime as _dt
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+    z = (zone or "").strip().strip("'\"")
+    m = _ZONE_OFFSET_RE.match(z)
+    if m:
+        off = _dt.timedelta(hours=int(m.group("h")),
+                            minutes=int(m.group("m") or 0))
+        sign = 1 if m.group("sign") == "+" else -1
+        return (now + sign * off).replace(tzinfo=None)
+    try:
+        from zoneinfo import ZoneInfo
+
+        return now.astimezone(ZoneInfo(z)).replace(tzinfo=None)
+    except Exception:
+        return None
+
+
 class _Conn:
     """One client connection (runs on its own thread)."""
 
@@ -735,7 +765,8 @@ class _Conn:
             self._copy_in(m_copy.group("table"),
                           m_copy.group("opts") or "")
             return
-        sql = self._apply_setting_fns(self._compat_sql(sql))
+        sql = self._apply_session_zone(
+            self._apply_setting_fns(self._compat_sql(sql)))
         m = _TAG_RE.match(sql)
         kw = m.group(1).upper() if m else None
         if self.tx_failed and kw not in ("COMMIT", "ROLLBACK"):
@@ -836,6 +867,31 @@ class _Conn:
             return "'" + val.replace("'", "''") + "'"
 
         return self._CURSET_RE.sub(repl, sql)
+
+    _CLOCK_PREFIX_RE = re.compile(r"(?is)^\s*SETTING\b.*?\bCLOCK_TIME\b")
+
+    def _apply_session_zone(self, sql: str) -> str:
+        """Honor `SET TIME ZONE` in evaluation (reference pgwire
+        session params + query.clj:429 expr/*clock*: the session zone
+        fixes the per-query clock): when the session zone differs
+        from UTC, the now-valued functions are pinned to the current
+        instant RENDERED IN THAT ZONE, through the same `apply_clock`
+        the SETTING CLOCK_TIME prefix uses. The Spark session itself
+        stays UTC — conversion happens only at this boundary, exactly
+        like the reference renders timestamptz per session zone. An
+        explicit SETTING CLOCK_TIME prefix wins (the user pinned the
+        clock; we must not substitute underneath it)."""
+        zone = self.settings.get("timezone")
+        if not zone or zone.upper() in ("UTC", "GMT", "ETC/UTC"):
+            return sql
+        if self._CLOCK_PREFIX_RE.match(sql):
+            return sql
+        now = _session_zone_now(zone)
+        if now is None:
+            return sql
+        from xtdb_spark.sql.rewriter import apply_clock
+
+        return apply_clock(sql, now.isoformat(sep=" "))
 
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(?P<table>[\w.]+|\"(?:[^\"]|\"\")*\")\s+FROM\s+STDIN"
@@ -1115,7 +1171,8 @@ class _Conn:
             # inside BEGIN — so suspension must work there
             from pyspark.sql import DataFrame as _DF
 
-            sql = self._apply_setting_fns(self._compat_sql(p["sql"]))
+            sql = self._apply_session_zone(
+                self._apply_setting_fns(self._compat_sql(p["sql"])))
             df = self.xt.sql(sql)
             if isinstance(df, _DF):
                 oids = [_oid_of(f.dataType.simpleString())
