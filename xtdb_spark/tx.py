@@ -1355,16 +1355,49 @@ class TableStore:
 
     _EXPORT_META = ("_txs.jsonl", "_databases.json", "_roles.json")
 
-    def export_warehouse(self, dest: str) -> str:
-        """Portable point-in-time snapshot of the WHOLE warehouse:
-        every table's live data files, compaction manifests and
-        declared schemas, plus the tx ledger — taken under the commit
-        lock so no transaction is in flight (reference export.clj
-        exports the block + catalog the same way). The snapshot is a
-        plain directory tree `import_warehouse` can open; bookkeeping
-        state that must NOT travel (journal, quarantine, lock, pins)
-        is excluded. Driver-side file copy — at 100 TB this becomes a
-        parallel object-store copy (distcp), same manifest."""
+    @staticmethod
+    def _snapshot_data_files(root: str) -> set[str]:
+        """Relative paths of the IMMUTABLE data files under a
+        warehouse/snapshot's table dirs (parquet files carry
+        content-unique names and are never rewritten in place, so
+        name identity == content identity; mutable metadata —
+        `_manifest.json`, `_schema.json` — is excluded and always
+        re-copied by delta export)."""
+        out: set[str] = set()
+        for d in os.listdir(root):
+            sp = os.path.join(root, d)
+            if not os.path.isdir(sp) or d.startswith(("_", ".")):
+                continue
+            for base_dir, dirs, files in os.walk(sp):
+                dirs[:] = [x for x in dirs if not x.startswith(".")]
+                for fn in files:
+                    if fn.startswith((".", "_")) or ".tmp-" in fn:
+                        continue
+                    out.add(os.path.relpath(
+                        os.path.join(base_dir, fn), root))
+        return out
+
+    def export_warehouse(self, dest: str, base: str | None = None) -> str:
+        """Portable snapshot of the WHOLE warehouse: every table's
+        live data files, compaction manifests and declared schemas,
+        plus the tx ledger — taken under the commit lock so no
+        transaction is in flight (reference export.clj exports the
+        block + catalog the same way). The snapshot is a plain
+        directory tree `import_warehouse` can open; bookkeeping state
+        that must NOT travel (journal, quarantine, lock, pins) is
+        excluded.
+
+        `base` (a previous snapshot directory) switches to an
+        INCREMENTAL export: only data files the base doesn't have are
+        copied (data files are content-named and immutable, so name
+        diff == content diff — compaction/vacuum replace files, never
+        rewrite them), mutable metadata (ledger, manifests, schemas)
+        is always refreshed, and `_delta.json` records the full
+        current live-file list so import can prune base files that
+        died since (compaction inputs, vacuumed versions). Importing
+        base + deltas in order reproduces a full export exactly.
+        Driver-side file copy — at 100 TB this becomes a parallel
+        object-store copy (distcp) driven by the same name diff."""
         import shutil
 
         with self._ipc_lock():
@@ -1373,24 +1406,64 @@ class TableStore:
                 src = os.path.join(self.warehouse, f)
                 if os.path.exists(src):
                     shutil.copy2(src, os.path.join(dest, f))
+            if base is None:
+                for d in os.listdir(self.warehouse):
+                    sp = os.path.join(self.warehouse, d)
+                    if not os.path.isdir(sp) or d.startswith(("_", ".")):
+                        continue
+                    dp = os.path.join(dest, d)
+                    shutil.copytree(
+                        sp, dp, dirs_exist_ok=True,
+                        ignore=shutil.ignore_patterns(".stage-*",
+                                                      "*.tmp-*"))
+                return dest
+            if not os.path.isdir(base):
+                raise ValueError(f"no base snapshot at {base!r}")
+            live = self._snapshot_data_files(self.warehouse)
+            bj = os.path.join(base, "_delta.json")
+            if os.path.isfile(bj):
+                # chaining off a previous DELTA: its live list IS the
+                # warehouse state at that snapshot's point in time
+                with open(bj) as f:
+                    have = set(_json.load(f)["live"])
+            else:
+                have = self._snapshot_data_files(base)
+            for rel in sorted(live - have):
+                dst = os.path.join(dest, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(os.path.join(self.warehouse, rel), dst)
+            # mutable per-table metadata: always refreshed
             for d in os.listdir(self.warehouse):
                 sp = os.path.join(self.warehouse, d)
                 if not os.path.isdir(sp) or d.startswith(("_", ".")):
                     continue
-                dp = os.path.join(dest, d)
-                shutil.copytree(
-                    sp, dp, dirs_exist_ok=True,
-                    ignore=shutil.ignore_patterns(".stage-*", "*.tmp-*"))
+                for meta in ("_manifest.json", "_schema.json"):
+                    mp = os.path.join(sp, meta)
+                    if os.path.exists(mp):
+                        dd = os.path.join(dest, d)
+                        os.makedirs(dd, exist_ok=True)
+                        shutil.copy2(mp, os.path.join(dd, meta))
+            with open(os.path.join(dest, "_delta.json"), "w") as f:
+                _json.dump({"live": sorted(live)}, f)
         return dest
 
     @classmethod
     def import_warehouse(cls, spark: SparkSession, snapshot: str,
-                         warehouse: str) -> "TableStore":
+                         warehouse: str,
+                         deltas: list[str] | tuple = ()) -> "TableStore":
         """Open an exported snapshot as a NEW store at `warehouse`:
         the snapshot tree is copied in (so the original stays a
         backup), then opened with the normal recovery path — tx
         history, as-of queries, and compaction state all carry over
-        (round-trip test: xt.txs + as-of results identical)."""
+        (round-trip test: xt.txs + as-of results identical).
+
+        `deltas`: incremental snapshots (export_warehouse(base=...)),
+        applied IN ORDER on top of the base — each delta's new files
+        copy in, its refreshed metadata overwrites, and files absent
+        from its `_delta.json` live list are pruned (they were
+        consumed by compaction or vacuumed after the base). The
+        result is file-identical to a full export taken at the last
+        delta's point in time."""
         import shutil
 
         if not os.path.isdir(snapshot):
@@ -1401,6 +1474,19 @@ class TableStore:
             raise ValueError(
                 f"import target {warehouse!r} is not empty")
         shutil.copytree(snapshot, warehouse, dirs_exist_ok=True)
+        for delta in deltas:
+            dj = os.path.join(delta, "_delta.json")
+            if not os.path.isfile(dj):
+                raise ValueError(
+                    f"{delta!r} is not an incremental snapshot "
+                    "(missing _delta.json)")
+            shutil.copytree(
+                delta, warehouse, dirs_exist_ok=True,
+                ignore=shutil.ignore_patterns("_delta.json"))
+            with open(dj) as f:
+                live = set(_json.load(f)["live"])
+            for rel in cls._snapshot_data_files(warehouse) - live:
+                os.remove(os.path.join(warehouse, rel))
         return cls(spark, warehouse)
 
     def tables(self) -> list[str]:
