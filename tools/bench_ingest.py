@@ -69,6 +69,38 @@ def main():
         merged = store.optimize("bench_oltp")
         opt_s = time.perf_counter() - t0
 
+        # -- log→indexer sustained throughput over the LIVE kafkalite
+        # broker (reference ingest_tx_overhead.clj's production
+        # shape: records through the log, applied by the indexer) —
+        # the wire produce and the stream→store apply are timed
+        # separately so the broker and the ingest path each get a
+        # number comparable to the walsender's changes/s --
+        from xtdb_spark.streaming.ingest import ingest_tx_log
+        from xtdb_spark.streaming.kafkalite import (
+            KafkaLiteBroker, KafkaLiteClient, kafkalite_tx_log_stream)
+
+        n_log = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+        broker = KafkaLiteBroker().start()
+        broker.create_topic("txs", 1)
+        try:
+            recs = [(1_700_000_000_000 + i, None,
+                     json.dumps({"_id": i, "v": i % 97}).encode())
+                    for i in range(n_log)]
+            t0 = time.perf_counter()
+            with KafkaLiteClient(broker.bootstrap) as c:
+                for i in range(0, n_log, 1000):
+                    c.produce("txs", 0, recs[i:i + 1000])
+            produce_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ingest_tx_log(
+                kafkalite_tx_log_stream(spark, broker.bootstrap, "txs"),
+                store, "bench_log", wh + "/_ck_kafkalite")
+            ingest_s = time.perf_counter() - t0
+            n_applied = store.scan("bench_log").count()
+            assert n_applied == n_log, (n_applied, n_log)
+        finally:
+            broker.stop()
+
         print(json.dumps({
             "metric": "ingest_scan_micro",
             "unit": "mixed",
@@ -79,6 +111,9 @@ def main():
             "scan_rows_per_s": round(n_bulk / scan_s),
             "optimize_s": round(opt_s, 2),
             "optimize_merged_files": merged,
+            "kafka_produce_msgs_per_s": round(n_log / produce_s),
+            "kafka_ingest_changes_per_s": round(n_log / ingest_s),
+            "kafka_log_msgs": n_log,
         }))
     finally:
         shutil.rmtree(wh, ignore_errors=True)
