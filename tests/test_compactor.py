@@ -221,3 +221,44 @@ def test_lookup_unsupported_id_type(store):
     put_n(store, "lu", range(3), "x")
     with pytest.raises(ValueError, match="point lookup"):
         store.lookup("lu", 1.5)
+
+
+def test_supersede_deterministic_under_perturbation(spark):
+    """_within_input_supersede keys per-event supersession by the
+    content temporal key (never a positional id): the same events
+    partitioned differently must classify identically — the
+    monotonically_increasing_id it used to carry is not stable
+    across subplan recomputation on a cluster."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(200):
+        rows.append((bytes([i % 256, i // 256]),
+                     datetime(2024, 1, 1 + i % 20), datetime(2024, 1, 1),
+                     None if i % 3 else datetime(2025, 1, 1), "put", i))
+        if i % 4 == 0:            # superseding later version
+            rows.append((bytes([i % 256, i // 256]),
+                         datetime(2024, 2, 1 + i % 20),
+                         datetime(2024, 1, 1),
+                         None if i % 3 else datetime(2025, 1, 1),
+                         "put", i + 1000))
+        if i % 10 == 0:           # an erase marker
+            rows.append((bytes([i % 256, i // 256]),
+                         datetime(2024, 3, 1), datetime(2024, 1, 1),
+                         None, "erase", -1))
+    ev = spark.createDataFrame(
+        rows, "_iid binary, _system_from timestamp, "
+              "_valid_from timestamp, _valid_to timestamp, "
+              "op string, v long")
+    outs = []
+    for df in (ev, ev.repartition(7, "_system_from"),
+               ev.repartition(3, "v")):
+        got = sorted(
+            (bytes(r["_iid"]).hex(), str(r["_system_from"]), r["v"],
+             r["__hist"])
+            for r in compactor._within_input_supersede(df).collect())
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    assert any(h for *_, h in outs[0]) and any(not h for *_, h in outs[0])

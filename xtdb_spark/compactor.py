@@ -185,28 +185,38 @@ def _within_input_supersede(ev: DataFrame) -> DataFrame:
                   | ((F.col("op") == "erase")
                      & (F.col("_system_from") == F.col("__e"))))
           .drop("__e"))
-    ev = ev.withColumn("__rid", F.monotonically_increasing_id())
+    # per-event supersession keyed by the CONTENT temporal key, not a
+    # positional id: this frame fans out into three branches (a, b,
+    # and the back-join), and `monotonically_increasing_id` is not
+    # stable across recomputation of a post-shuffle subplan (fetch-
+    # order races, task retries, AQE) — a positional key could
+    # attribute __sup to the wrong event on a cluster. Events sharing
+    # the full temporal key have identical covers-sets, so grouping
+    # by it is lossless (the back-join fans each __sup to every twin).
     max_ts = F.lit(_MAX_TS).cast("timestamp")
+    ev = ev.withColumn("__vt", F.coalesce(F.col("_valid_to"), max_ts))
     a = ev.alias("a")
     b = (ev.filter(F.col("op") != "erase")
-         .select("_iid", "_system_from", "_valid_from", "_valid_to")
+         .select("_iid", "_system_from", "_valid_from", "__vt")
          .alias("b"))
     covers = ((F.col("b._iid") == F.col("a._iid"))
               & (F.col("b._system_from") > F.col("a._system_from"))
               & (F.col("b._valid_from") <= F.col("a._valid_from"))
-              & (F.coalesce(F.col("b._valid_to"), max_ts)
-                 >= F.coalesce(F.col("a._valid_to"), max_ts)))
+              & (F.col("b.__vt") >= F.col("a.__vt")))
     sup = (a.join(b, covers, "left")
-           .groupBy(F.col("a.__rid").alias("__rid"))
+           .groupBy(F.col("a._iid").alias("_iid"),
+                    F.col("a._system_from").alias("_system_from"),
+                    F.col("a._valid_from").alias("_valid_from"),
+                    F.col("a.__vt").alias("__vt"))
            .agg(F.min(F.col("b._system_from")).alias("__sup")))
-    out = ev.join(sup, "__rid", "left")
+    out = ev.join(sup, ["_iid", "_system_from", "_valid_from", "__vt"],
+                  "left")
     job_time = out.agg(F.max("_system_from")).collect()[0][0]
-    rec = F.least(F.coalesce(F.col("_valid_to"), max_ts),
-                  F.coalesce(F.col("__sup"), max_ts))
+    rec = F.least(F.col("__vt"), F.coalesce(F.col("__sup"), max_ts))
     hist = ((F.col("op") != "erase")
             & (rec <= F.lit(job_time).cast("timestamp")))
     return (out.withColumn("__hist", F.coalesce(hist, F.lit(False)))
-            .drop("__rid", "__sup"))
+            .drop("__vt", "__sup"))
 
 
 def run_job(store, table: str, job: dict) -> list[dict]:
