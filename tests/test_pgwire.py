@@ -735,6 +735,55 @@ def test_set_show_current_setting(xt, client):
     assert res[0][1] == [["America/New_York"]]
 
 
+def test_begin_read_only_with_basis_options(xt, client):
+    """Transaction-level basis (Sql.g4:837-860 readOnlyTxOption;
+    reference basis.clj): BEGIN READ ONLY WITH (SNAPSHOT_TOKEN …)
+    pins every query in the block to that snapshot — repeatable read
+    across statements — CLOCK_TIME pins the block's clock, DML is
+    rejected with 25006, and COMMIT restores normal reads."""
+    xt.store.put("txb", [{"_id": 1, "name": "v1"}])
+    res, _ = client.query("SHOW SNAPSHOT_TOKEN")
+    tok = res[0][1][0][0]
+
+    xt.store.put("txb", [{"_id": 1, "name": "v2"},
+                         {"_id": 2, "name": "new"}])
+
+    _, tags = client.query(
+        f"BEGIN READ ONLY WITH (SNAPSHOT_TOKEN = '{tok}', "
+        "CLOCK_TIME = TIMESTAMP '2024-05-04 12:00:00')")
+    assert tags == ["BEGIN"]
+    res, _ = client.query("SELECT name FROM txb ORDER BY _id")
+    assert res[0][1] == [["v1"]]           # pinned: pre-write state
+    res, _ = client.query("SELECT current_timestamp AS ts")
+    assert res[0][1] == [["2024-05-04 12:00:00"]]
+    # repeatable across statements, even after ANOTHER write
+    xt.store.put("txb", [{"_id": 3, "name": "late"}])
+    res, _ = client.query("SELECT COUNT(*) AS n FROM txb")
+    assert res[0][1] == [["1"]]
+    # DML is rejected in a read-only block
+    with pytest.raises(RuntimeError, match="read-only"):
+        client.query("INSERT INTO txb (_id, name) VALUES (9, 'x')")
+    client.query("ROLLBACK")
+
+    # outside the block: current state, live clock
+    res, _ = client.query("SELECT COUNT(*) AS n FROM txb")
+    assert res[0][1] == [["3"]]
+
+    # READ WRITE WITH (SYSTEM_TIME …): the block's DML commits at
+    # the given system time
+    client.query("BEGIN READ WRITE WITH "
+                 "(SYSTEM_TIME = TIMESTAMP '2030-01-01 00:00:00')")
+    client.query("INSERT INTO txw (_id, v) VALUES (1, 10)")
+    _, tags = client.query("COMMIT")
+    assert tags == ["COMMIT"]
+    rows = xt.store.events("txw").select("_system_from").collect()
+    assert [str(r["_system_from"]) for r in rows] == \
+        ["2030-01-01 00:00:00"]
+    # basis options on a read-write block are rejected at BEGIN
+    with pytest.raises(RuntimeError, match="READ ONLY"):
+        client.query("BEGIN READ WRITE WITH (SNAPSHOT_TOKEN = '123')")
+
+
 def test_set_time_zone_honored_in_evaluation(client):
     """SET TIME ZONE is applied, not just recorded (reference pgwire
     session params + query.clj:429 expr/*clock*): current_timestamp /

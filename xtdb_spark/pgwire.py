@@ -325,6 +325,7 @@ class _Conn:
         # BEGIN…COMMIT accumulates and commits as ONE atomic tx)
         self.tx: list | None = None
         self.tx_failed = False
+        self.tx_opts: dict = {}
         # session settings: SET name = value / SET name TO value is
         # remembered per connection so SHOW and current_setting()
         # reflect it (reference pgwire session parameters; the
@@ -774,23 +775,46 @@ class _Conn:
                         "commands ignored until end of transaction block")
             return
         if kw in ("BEGIN", "START"):
-            # BEGIN [TRANSACTION] | START TRANSACTION (Sql.g4:41)
+            # BEGIN [TRANSACTION] | START TRANSACTION with
+            # characteristics (Sql.g4:41,837-860): READ ONLY WITH
+            # (SNAPSHOT_TOKEN/SNAPSHOT_TIME/CLOCK_TIME/AWAIT_TOKEN/
+            # TIMEZONE …) pins the whole block's basis — every query
+            # inside runs at that snapshot/clock (repeatable read);
+            # READ WRITE WITH (SYSTEM_TIME …) commits the block's
+            # DML at the given system time (reference tx-options,
+            # basis.clj). ASYNC/METADATA are accepted (appends are
+            # synchronous here, so ASYNC=false semantics hold).
             if self.tx is None:
+                try:
+                    opts = self._parse_tx_options(sql)
+                except ValueError as e:
+                    self._error("42601", str(e))
+                    return
                 self.tx, self.tx_failed = [], False
+                self.tx_opts = opts
+                if opts.get("timezone") is not None:
+                    self._tz_saved = self.settings.get("timezone")
+                    self.settings["timezone"] = opts["timezone"]
             self._send(b"C", self._cstr("BEGIN"))
             return
         if kw == "ROLLBACK":
             self.tx, self.tx_failed = None, False
+            self._end_tx_opts()
             self._send(b"C", self._cstr("ROLLBACK"))
             return
         if kw == "COMMIT":
             if self.tx_failed:          # postgres: COMMIT of a failed
                 self.tx, self.tx_failed = None, False   # tx rolls back
+                self._end_tx_opts()
                 self._send(b"C", self._cstr("ROLLBACK"))
                 return
             ops, self.tx = self.tx, None
+            sys_t = self.tx_opts.get("system_time")
+            self._end_tx_opts()
             if ops:
-                self.xt.submit_tx(ops)  # raises → wire error upstream
+                # raises → wire error upstream
+                self.xt.submit_tx(ops, **({"system_from": sys_t}
+                                          if sys_t else {}))
             self._send(b"C", self._cstr("COMMIT"))
             return
         if kw in _NOOP:
@@ -810,6 +834,11 @@ class _Conn:
             self._send(b"C", self._cstr(kw))
             return
         if self.tx is not None and kw is not None:
+            if self.tx_opts.get("read_only"):
+                self.tx_failed = True
+                self._error("25006", f"cannot execute {kw} in a "
+                            "read-only transaction")
+                return
             # DML inside an explicit block: record, don't execute
             from xtdb_spark.sql.dml import record_dml_ops
 
@@ -820,6 +849,8 @@ class _Conn:
             else:
                 self._send(b"n")
             return
+        if self.tx is not None:
+            sql = self._with_tx_basis(sql)
         df = self.xt.sql(sql)
         from pyspark.sql import DataFrame as _DF
 
@@ -851,6 +882,92 @@ class _Conn:
             return
         n = self._send_rows(df, result_formats)
         self._send(b"C", self._cstr(f"SELECT {n}"))
+
+    _BEGIN_RE = re.compile(
+        r"(?is)^\s*(?:BEGIN|START)\s*(?:TRANSACTION\b\s*)?"
+        r"(?P<body>.*?);?\s*$")
+    _TXOPT_RE = re.compile(
+        r"(?is)\b(?P<name>SNAPSHOT_TOKEN|SNAPSHOT_TIME|CLOCK_TIME|"
+        r"AWAIT_TOKEN|SYSTEM_TIME|ASYNC|METADATA|TIMEZONE|"
+        r"TIME\s+ZONE)\s*=?\s*(?:(?:TIMESTAMP|DATE)\s*)?"
+        r"(?P<val>'(?:[^']|'')*'|[\w.+:-]+)")
+
+    def _parse_tx_options(self, sql: str) -> dict:
+        """BEGIN/START TRANSACTION characteristics (Sql.g4:837-860):
+        access mode, isolation (recorded), and the WITH (…) basis
+        options. Returns {} for a bare BEGIN."""
+        body = self._BEGIN_RE.match(sql).group("body") or ""
+        opts: dict = {}
+        if re.search(r"(?i)\bREAD\s+ONLY\b", body):
+            opts["read_only"] = True
+            self.settings["transaction_read_only"] = "on"
+        elif re.search(r"(?i)\bREAD\s+WRITE\b", body):
+            self.settings["transaction_read_only"] = "off"
+        iso = re.search(r"(?i)ISOLATION\s+LEVEL\s+"
+                        r"([A-Za-z]+(?:\s+[A-Za-z]+)?)", body)
+        if iso:
+            self.settings["transaction_isolation"] = \
+                " ".join(iso.group(1).lower().split())
+        wm = re.search(r"(?is)\bWITH\s*\((?P<opts>.*)\)", body)
+        if not wm:
+            return opts
+        for om in self._TXOPT_RE.finditer(wm.group("opts")):
+            name = "_".join(om.group("name").lower().split())
+            name = {"time_zone": "timezone"}.get(name, name)
+            val = om.group("val")
+            if val and val[0] == "'":
+                val = val[1:-1].replace("''", "'")
+            if name == "snapshot_token":
+                from xtdb_spark.sql.rewriter import _token_to_ts
+
+                opts["snapshot_time"] = _token_to_ts(val)
+            elif name in ("snapshot_time", "clock_time",
+                          "system_time", "timezone"):
+                opts[name] = val
+            elif name == "await_token":
+                # appends are synchronous: everything ≤ any token is
+                # already indexed — record it, nothing to wait for
+                self.settings["await_token"] = val
+            # ASYNC / METADATA: accepted; commit is synchronous and
+            # metadata travels in the ledger line, nothing to do
+        if (opts.get("snapshot_time") or opts.get("clock_time")) \
+                and not opts.get("read_only"):
+            raise ValueError("SNAPSHOT_TOKEN/SNAPSHOT_TIME/CLOCK_TIME "
+                             "require a READ ONLY transaction")
+        if opts.get("system_time") and opts.get("read_only"):
+            raise ValueError("SYSTEM_TIME requires a READ WRITE "
+                             "transaction")
+        return opts
+
+    def _end_tx_opts(self) -> None:
+        if getattr(self, "_tz_saved", None) is not None \
+                or "timezone" in self.tx_opts:
+            saved = getattr(self, "_tz_saved", None)
+            if saved is None:
+                self.settings.pop("timezone", None)
+            else:
+                self.settings["timezone"] = saved
+            self._tz_saved = None
+        self.tx_opts = {}
+
+    def _with_tx_basis(self, sql: str) -> str:
+        """Inside a basis-pinned block, queries get the block's
+        SETTING prefix (reference: the tx basis fixes snapshot and
+        clock for every statement in the tx). An explicit user
+        SETTING prefix on the statement wins."""
+        snap, clock = (self.tx_opts.get("snapshot_time"),
+                       self.tx_opts.get("clock_time"))
+        if (snap is None and clock is None) \
+                or re.match(r"(?is)^\s*SETTING\b", sql):
+            return sql
+        parts = []
+        if snap is not None:
+            parts.append("SNAPSHOT_TIME TO TIMESTAMP '"
+                         + snap.replace("'", "''") + "'")
+        if clock is not None:
+            parts.append("CLOCK_TIME TO TIMESTAMP '"
+                         + clock.replace("'", "''") + "'")
+        return "SETTING " + ", ".join(parts) + " " + sql
 
     _CURSET_RE = re.compile(r"current_setting\s*\(\s*'([^']*)'\s*\)",
                             re.IGNORECASE)
@@ -886,6 +1003,8 @@ class _Conn:
             return sql
         if self._CLOCK_PREFIX_RE.match(sql):
             return sql
+        if self.tx is not None and self.tx_opts.get("clock_time"):
+            return sql            # the tx basis pins the clock
         now = _session_zone_now(zone)
         if now is None:
             return sql
@@ -1173,6 +1292,8 @@ class _Conn:
 
             sql = self._apply_session_zone(
                 self._apply_setting_fns(self._compat_sql(p["sql"])))
+            if self.tx is not None:
+                sql = self._with_tx_basis(sql)
             df = self.xt.sql(sql)
             if isinstance(df, _DF):
                 oids = [_oid_of(f.dataType.simpleString())
