@@ -735,6 +735,23 @@ def test_set_show_current_setting(xt, client):
     assert res[0][1] == [["America/New_York"]]
 
 
+def test_snapshot_token_function(xt, client):
+    """SNAPSHOT_TOKEN() (Sql.g4:379 SnapshotTokenFunction): the
+    current basis token as a scalar — same value SHOW SNAPSHOT_TOKEN
+    reports, usable inside a query."""
+    xt.store.put("stf", [{"_id": 1}])
+    res, _ = client.query("SHOW SNAPSHOT_TOKEN")
+    tok = res[0][1][0][0]
+    res, _ = client.query("SELECT SNAPSHOT_TOKEN() AS t")
+    assert res[0][1] == [[tok]]
+    res, _ = client.query("SELECT SNAPSHOT_TOKEN AS t")   # bare form
+    assert res[0][1] == [[tok]]
+    # a new tx moves the token
+    xt.store.put("stf", [{"_id": 2}])
+    res, _ = client.query("SELECT SNAPSHOT_TOKEN() AS t")
+    assert int(res[0][1][0][0]) > int(tok)
+
+
 def test_begin_read_only_with_basis_options(xt, client):
     """Transaction-level basis (Sql.g4:837-860 readOnlyTxOption;
     reference basis.clj): BEGIN READ ONLY WITH (SNAPSHOT_TOKEN …)

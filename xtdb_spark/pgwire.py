@@ -971,11 +971,18 @@ class _Conn:
 
     _CURSET_RE = re.compile(r"current_setting\s*\(\s*'([^']*)'\s*\)",
                             re.IGNORECASE)
+    _SNAPTOK_FN_RE = re.compile(r"\bSNAPSHOT_TOKEN\s*(?:\(\s*\))?"
+                                r"(?!\s*(?:\(|TO\b|=))",
+                                re.IGNORECASE)
 
     def _apply_setting_fns(self, sql: str) -> str:
         """current_setting('name') (reference Sql.g4:364
         CurrentSettingFunction) → the session's value as a literal —
-        SET-set values first, then the static defaults, else NULL."""
+        SET-set values first, then the static defaults, else NULL.
+        SNAPSHOT_TOKEN [()] (Sql.g4:379 SnapshotTokenFunction) → the
+        current basis token as a literal (same value SHOW
+        SNAPSHOT_TOKEN reports); the SETTING/tx-option spellings
+        (followed by TO/=/value) are left for their own parsers."""
         def repl(m):
             name = m.group(1).lower()
             val = self.settings.get(name, self._SHOW_VALUES.get(name))
@@ -983,7 +990,11 @@ class _Conn:
                 return "CAST(NULL AS STRING)"
             return "'" + val.replace("'", "''") + "'"
 
-        return self._CURSET_RE.sub(repl, sql)
+        sql = self._CURSET_RE.sub(repl, sql)
+        if self._SNAPTOK_FN_RE.search(sql):
+            tok = str(self._latest_tx_id() or "")
+            sql = self._SNAPTOK_FN_RE.sub("'" + tok + "'", sql)
+        return sql
 
     _CLOCK_PREFIX_RE = re.compile(r"(?is)^\s*SETTING\b.*?\bCLOCK_TIME\b")
 
