@@ -138,15 +138,27 @@ def lang_id(spark, sf_dir):
             FROM documents)
     ),
     eg AS MATERIALIZED (SELECT doc_id, UNNEST(grams) AS gram FROM g),
-    -- gram-blocked intersection COUNT (LOSSLESS: jaccard >= 0.05 > 0
-    -- requires a shared gram; grams are list_distinct so the join
-    -- count IS |intersection|) — the all-pairs list_intersect
-    -- spelling was O(N^2) and took the sf0.1 gate from seconds to
-    -- hours (round 7)
+    -- df-filtered blocking, mirroring max_gram_df Spark-side: only
+    -- RARE shingles (df <= 100) generate candidate pairs — common
+    -- shingles ("of the and") otherwise make the blocking join
+    -- quadratic (the uncapped spelling filled 69 GB of shuffle spill
+    -- at sf10, round 8). Jaccard for the surviving candidates is
+    -- still computed over ALL shingles (exact).
+    rare AS MATERIALIZED (
+      SELECT gram FROM eg GROUP BY gram HAVING COUNT(*) <= 100
+    ),
+    bl AS MATERIALIZED (SELECT e.doc_id, e.gram
+                        FROM eg e JOIN rare r ON e.gram = r.gram),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bl x JOIN bl y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    ),
     inter AS (
-      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS k
-      FROM eg x JOIN eg y ON x.gram = y.gram AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS k
+      FROM cand c
+      JOIN eg x ON x.doc_id = c.id_a
+      JOIN eg y ON y.doc_id = c.id_b AND y.gram = x.gram
+      GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
            ROUND(CAST(i.k AS DOUBLE)
@@ -159,11 +171,15 @@ def lang_id(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-trigram Jaccard near-dup pairs (blocked on shared
-    shingles Spark-side; the oracle brute-forces all pairs — same
-    result since jaccard > 0 ⇒ shared shingle)."""
+    """Exact word-trigram Jaccard near-dup pairs with df-filtered
+    blocking (the 100 TB knob, ngram_jaccard_pairs.max_gram_df):
+    candidates must share a RARE shingle (df ≤ 100), jaccard is then
+    exact over all shingles. The oracle mirrors the same blocking —
+    the uncapped spelling is quadratic in the hottest shingle's df
+    and exhausted local disk at sf10 (500k docs)."""
     d = ld(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05,
+                                      max_gram_df=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
