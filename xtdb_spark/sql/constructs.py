@@ -1171,7 +1171,9 @@ class _Translator:
                 "single Spark interval type — split it into an "
                 "INTERVAL 'PnYnM' + INTERVAL 'PnDTnH…' sum at the "
                 "use site")
-        neg = "-" if sign == "-" else ""
+        # a zero duration has no sign (-PT0S == PT0S; a '-0' literal
+        # is cosmetically wrong and trips strict parsers)
+        neg = "-" if sign == "-" and (ym or has_dt) else ""
         if ym:
             return f"INTERVAL '{neg}{ym // 12}-{ym % 12}' YEAR TO MONTH"
         if "." in s:
