@@ -524,3 +524,13 @@ def test_temperature_mix_flattens_sources(spark, tmp_path):
     total_kept = crawl["n_kept"] + books["n_kept"]
     assert 0.35 < total_kept / 1000 < 0.65        # near the 0.5 budget
     assert abs(crawl["w"] + books["w"] - 1.0) < 1e-5
+
+
+def test_simhash_hot_band_guard(spark):
+    # identical docs -> identical fingerprints -> every band hot; the
+    # df cap must keep the self-join from going quadratic (exact
+    # dedup owns that cluster), and None restores exhaustive mode
+    rows = [(i, "same words in every single document") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.simhash_near_pairs(df, max_band_df=5).count() == 0
+    assert dedup.simhash_near_pairs(df, max_band_df=None).count() == 66

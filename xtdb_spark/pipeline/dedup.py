@@ -181,29 +181,57 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     g = toks.groupBy("id").agg(F.count("*").alias("n_toks"), *ones)
     sim = None
     for i in range(bits):
-        bit = (F.col(f"ones_{i}") * 2 > F.col("n_toks")).cast("long") * (2 ** i)
-        sim = bit if sim is None else sim + bit
+        # shiftleft, not * 2**i: bit 63 of a 64-bit fingerprint lands
+        # in the long's sign bit, which multiplication can't reach
+        bit = F.shiftleft((F.col(f"ones_{i}") * 2
+                           > F.col("n_toks")).cast("long"), i)
+        sim = bit if sim is None else sim.bitwiseOR(bit)
     return g.select("id", "n_toks", sim.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on any equal byte of the
-    fingerprint (pigeonhole: hamming ≤ 3 over 4 bytes ⇒ ≥1 byte
-    equal), verify Hamming distance with bit_count."""
-    sh = simhash(docs, id_col, text_col, bits=32)
-    bytes_ = sh.select(
-        "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("byte_idx"),
-                     F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255))
-                     .alias("byte_val"))
-            for i in range(4)])).alias("b")) \
-        .select("id", "simhash", "b.byte_idx", "b.byte_val")
-    cand = (bytes_.alias("x")
-            .join(bytes_.alias("y"),
-                  (F.col("x.byte_idx") == F.col("y.byte_idx"))
-                  & (F.col("x.byte_val") == F.col("y.byte_val"))
+                       text_col: str = "text", max_hamming: int = 3,
+                       bits: int = 64,
+                       max_band_df: int | None = 200) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole-block on the
+    fingerprint's max_hamming+1 bit bands (hamming ≤ h over h+1
+    bands ⇒ ≥1 band equal), verify Hamming distance with bit_count.
+
+    `bits` sizes the band space — THE scale knob: 32-bit hashes give
+    8-bit bands (256 values), so at 500k docs every bucket holds
+    ~2k docs and the self-join is quadratic (it exhausted local disk
+    at sf10, round 8); 64-bit hashes give 16-bit bands (65k values)
+    and corpus-sized inputs block cleanly. `max_band_df` is the
+    degenerate-corpus guard on top (the phash/audio cap): a band
+    value shared by more docs than the cap is dropped before the
+    join — that hot a band means a giant exact/near-identical
+    cluster, which exact dedup already handles."""
+    nb = max_hamming + 1
+    width = bits // nb
+    sh = simhash(docs, id_col, text_col, bits=bits)
+
+    def band_val(i: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        bw = width if i < nb - 1 else bits - width * (nb - 1)
+        if bw >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bw) - 1))
+
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("bi"), band_val(i).alias("bv"))
+        for i in range(nb)])
+    e = (sh.select("id", "simhash", F.explode(bands).alias("b"))
+         .select("id", "simhash", "b.bi", "b.bv"))
+    if max_band_df is not None:
+        ok = (e.groupBy("bi", "bv")
+              .agg(F.countDistinct("id").alias("bdf"))
+              .filter(F.col("bdf") <= max_band_df)
+              .select("bi", "bv"))
+        e = e.join(ok, ["bi", "bv"])
+    cand = (e.alias("x")
+            .join(e.alias("y"),
+                  (F.col("x.bi") == F.col("y.bi"))
+                  & (F.col("x.bv") == F.col("y.bv"))
                   & (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
                     F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))

@@ -195,7 +195,9 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register("pipe_dedup_simhash")  # rows-only
 def dedup_simhash(spark, sf_dir):
-    """SimHash(32-bit) near-dup pairs, Hamming ≤ 3, byte-blocked."""
+    """SimHash(64-bit) near-dup pairs, Hamming ≤ 3, blocked on
+    16-bit bands (the 32-bit/8-bit-band spelling went quadratic at
+    sf10 — 256 band values can't block 500k docs)."""
     d = ld(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, max_hamming=3)
 
