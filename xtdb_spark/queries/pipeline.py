@@ -279,30 +279,45 @@ def embedding_norms(spark, sf_dir):
     "pipe_dedup_embedding_cosine",
     """
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev
-               FROM embeddings)
+               FROM embeddings),
+    s AS (SELECT vec_id, label, ev,
+                 list_sum([CASE WHEN ev[i+1] >= 0 THEN 1 << i ELSE 0 END
+                           for i in generate_series(0, 15)]) AS sig
+          FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM s a JOIN s b ON a.label = b.label AND a.sig = b.sig
+                     AND a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 6) >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked on `label` — the
-    blocking key bounds the pair blowup exactly like an LSH bucket
-    join would at 100 TB (pairs only form inside a block, so the
-    self-join shuffles on the block key instead of going quadratic).
-    Threshold 0.3 is calibrated to the synthetic embeddings (random
-    vectors: intra-label max cos ≈ 0.47); real near-dup corpora use
-    ≥0.9. Rounded to 6dp in both engines so last-ulp float noise
-    can't flip the threshold comparison."""
+    """Embedding-cosine near-dup pairs, blocked on (label, 16-dim
+    SIGN SIGNATURE) — deterministic sign-hyperplane LSH both engines
+    can spell exactly, so the blocking is part of the checked
+    semantics. Label alone stopped being a block at sf10 (10 labels
+    × 20k vectors ⇒ 2.2 G candidate pairs — effectively quadratic);
+    the sign signature splits each label into ~200-doc buckets
+    (hottest bucket 200 at sf10), the 100 TB shape. Near-identical
+    vectors share the signature except on near-zero dims — the same
+    recall trade every random-hyperplane LSH makes (the multiprobe
+    variant is pipe_ann_lsh). Threshold 0.3 is calibrated to the
+    synthetic embeddings; rounded to 6dp in both engines so last-ulp
+    float noise can't flip the comparison."""
     e = ld(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label",
-                 similarity.as_double_array(F.col("embedding")).alias("ev"))
+    sig = sum(
+        (F.when(F.element_at(F.col("ev"), i + 1) >= 0,
+                F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)),
+        F.lit(0))
+    v = (e.select("vec_id", "label",
+                  similarity.as_double_array(F.col("embedding")).alias("ev"))
+         .withColumn("sig", sig))
     a = v.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"),
-                 F.col("ev").alias("ev_a"))
+                 F.col("sig").alias("sig_a"), F.col("ev").alias("ev_a"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"),
-                 F.col("ev").alias("ev_b"))
+                 F.col("sig").alias("sig_b"), F.col("ev").alias("ev_b"))
     return (a.join(b, (F.col("lbl_a") == F.col("lbl_b"))
+                   & (F.col("sig_a") == F.col("sig_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b",
                     F.round(similarity.cosine(F.col("ev_a"), F.col("ev_b")), 6)
