@@ -574,12 +574,24 @@ def sequence_packing(spark, sf_dir):
             FROM documents)
     ),
     eg AS MATERIALIZED (SELECT doc_id, UNNEST(grams) AS gram FROM g),
-    -- gram-blocked intersection COUNT (LOSSLESS, see
-    -- pipe_dedup_ngram_jaccard — same pair derivation)
+    -- df-filtered blocking + exact jaccard, mirroring
+    -- pipe_dedup_ngram_jaccard's capped pair derivation (max_gram_df
+    -- = 100 — the uncapped join is quadratic in hot shingles)
+    rare AS MATERIALIZED (
+      SELECT gram FROM eg GROUP BY gram HAVING COUNT(*) <= 100
+    ),
+    bl AS MATERIALIZED (SELECT e.doc_id, e.gram
+                        FROM eg e JOIN rare r ON e.gram = r.gram),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bl x JOIN bl y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    ),
     inter AS (
-      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS k
-      FROM eg x JOIN eg y ON x.gram = y.gram AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS k
+      FROM cand c
+      JOIN eg x ON x.doc_id = c.id_a
+      JOIN eg y ON y.doc_id = c.id_b AND y.gram = x.gram
+      GROUP BY c.id_a, c.id_b
     ),
     pairs AS MATERIALIZED (
       SELECT i.id_a, i.id_b
@@ -610,7 +622,8 @@ def dedup_clusters(spark, sf_dir):
     node-id shuffle per round, diameter-bounded); oracle: WITH
     RECURSIVE transitive closure + MIN over reachable ids."""
     d = ld(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05,
+                                      max_gram_df=100)
     return (dedup.duplicate_clusters(pairs)
             .select(F.col("id").alias("doc_id"), "cluster_id"))
 
