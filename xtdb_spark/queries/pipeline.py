@@ -703,7 +703,8 @@ def pii_redact_scan(spark, sf_dir):
     WITH aug AS (
       SELECT doc_id,
              text || CASE WHEN doc_id % 50 = 0 OR doc_id % 97 = 0
-                          THEN ' the quick brown fox jumps over the lazy dog near the riverbank at dawn'
+                          THEN replace(' alphaQQ bravoQQ charlieQQ deltaQQ echoQQ foxtrotQQ golfQQ hotelQQ',
+                                       'QQ', CAST(doc_id - doc_id % 97 AS VARCHAR))
                           ELSE '' END AS text
       FROM documents
     ),
@@ -715,11 +716,13 @@ def pii_redact_scan(spark, sf_dir):
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
             FROM aug)
     ),
-    b AS (SELECT doc_id AS bench_id, grams FROM g WHERE doc_id % 97 = 0)
-    SELECT t.doc_id, b.bench_id,
-           CAST(len(list_intersect(t.grams, b.grams)) AS BIGINT) AS n_shared
-    FROM g t JOIN b ON t.doc_id != b.bench_id
-    WHERE len(list_intersect(t.grams, b.grams)) >= 3
+    eg AS MATERIALIZED (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    bg AS MATERIALIZED (SELECT doc_id AS bench_id, UNNEST(grams) AS gram
+                        FROM g WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM eg t JOIN bg b ON t.gram = b.gram AND t.doc_id != b.bench_id
+    GROUP BY t.doc_id, b.bench_id
+    HAVING COUNT(*) >= 3
     """,
 )
 def contamination_check(spark, sf_dir):
@@ -729,19 +732,28 @@ def contamination_check(spark, sf_dir):
     deterministic slice (doc_id % 97 = 0) standing in for an external
     eval suite. Scale shape: the benchmark shingle table is tiny →
     BROADCAST to the training shingle scan, candidate counts fall out
-    of one gram-equality join — never an all-pairs document join."""
+    of one gram-equality join — never an all-pairs document join (the
+    oracle's original list_intersect spelling WAS all-pairs: 2.6 G
+    intersections at sf10). The planted "leaked eval passage" is
+    TAGGED with the target bench id (doc_id - doc_id % 97) so each
+    plant hits exactly one benchmark doc — an identical passage on 2%
+    of docs × every bench doc was a dense bipartite clique, i.e. a
+    quadratic OUTPUT by construction at sf10."""
     d = ld(spark, sf_dir, "documents")
     # a deterministic "leaked eval passage" planted on some training
     # docs AND every benchmark doc, so the oracle proves detection
     # fires (not just that both engines agree on zero)
-    passage = (" the quick brown fox jumps over the lazy dog near the"
-               " riverbank at dawn")
+    tag = (F.col("doc_id") - F.col("doc_id") % 97).cast("string")
+    passage = F.concat(*[
+        F.concat(F.lit(" " + w), tag)
+        for w in ("alpha", "bravo", "charlie", "delta",
+                  "echo", "foxtrot", "golf", "hotel")])
     d = d.select(
         "doc_id",
         F.concat(F.col("text"),
                  F.when((F.col("doc_id") % 50 == 0)
                         | (F.col("doc_id") % 97 == 0),
-                        passage).otherwise("")).alias("text"))
+                        passage).otherwise(F.lit(""))).alias("text"))
     sh = dedup._shingle_table(d, "doc_id", "text", 5)
     bench = (sh.filter(F.col("id") % 97 == 0)
              .select(F.col("id").alias("bench_id"),
