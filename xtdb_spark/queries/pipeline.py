@@ -1190,9 +1190,16 @@ def dedup_semantic(spark, sf_dir):
     real corpora use ~0.95). The exact verification stage — pairwise
     cosine values — is oracle-checked via pipe_dedup_embedding_cosine
     and pipe_ann_cosine_topk; the k-means assignment via the
-    pipe_embedding_kmeans rows-only entry's pytest blob test."""
+    pipe_embedding_kmeans rows-only entry's pytest blob test.
+
+    k scales with the corpus (~400 vectors/cluster, SemDeDup's own
+    regime — the paper runs 50k clusters on LAION): the within-
+    cluster join is quadratic in cluster size, so a FIXED k turns it
+    all-pairs as the corpus grows (k=8 at 200k vectors = 2.5 G
+    cosine pairs, caught by the sf10 soak)."""
     e = ld(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(e, k=8, tau=0.3)
+    k = max(8, e.count() // 400)
+    return similarity.semantic_dedup(e, k=k, tau=0.3)
 
 
 @register(
