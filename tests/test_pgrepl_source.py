@@ -111,6 +111,35 @@ def test_slow_publisher_does_not_truncate_batch(spark, xt, server,
     assert sub_store.events("wdocs").count() == n_events
 
 
+def test_reader_times_out_rather_than_truncating(xt, server):
+    """If proof of reaching the range end never arrives, the reader
+    must FAIL (Spark then retries the task) — never return early and
+    let commit() advance the slot past unread changes. Exercised by
+    asking for a range end beyond anything the publisher will ever
+    reach."""
+    from xtdb_spark.streaming.pgrepl import PgReplStreamReader, _LsnRange
+
+    c = _cli(server, "toslot")
+    c.create_slot()
+    c.close()
+    xt.store.put("todocs", [{"_id": 1, "name": "x", "n": 1}])
+
+    rdr = PgReplStreamReader({"host": "127.0.0.1",
+                              "port": str(server.port),
+                              "slot": "toslot", "create": "false",
+                              "readTimeout": "4"})
+    start = rdr.initialOffset()["lsn"]
+    part = _LsnRange("127.0.0.1", server.port, "toslot", "xtdb",
+                     "xtdb", start, 2**62, read_timeout=4.0)
+    rows = []
+    with pytest.raises(TimeoutError, match="no proof"):
+        for r in rdr.read(part):
+            rows.append(r)
+    # the committed change WAS delivered before the failure — nothing
+    # is silently dropped, the range just can't complete
+    assert len(rows) == 1
+
+
 def test_pgrepl_stream_end_to_end(spark, xt, server, sub_store,
                                   tmp_path):
     pub = xt.store
