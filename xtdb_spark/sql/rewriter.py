@@ -266,6 +266,111 @@ def scan_with_bounds(store, table: str, b: TemporalBounds):
     )
 
 
+# ------------------------------------- WHERE-conjunct extraction
+# (for automatic prefilter injection — conservative by design)
+
+_WHERE_STOP = {"GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION",
+               "INTERSECT", "EXCEPT", "WINDOW", "FETCH", "QUALIFY",
+               "RETURNING"}
+_CONJ_BAD = {"OR", "NOT", "IN", "EXISTS", "CASE", "BETWEEN", "SELECT",
+             "LIKE", "ILIKE", "IS", "ANY", "ALL", "SOME", "OVERLAPS",
+             "CONTAINS", "EQUALS", "PRECEDES", "SUCCEEDS"}
+
+
+def _where_conjuncts(toks):
+    """Top-level conjuncts of the query's ONE WHERE clause, as token
+    slices — or None when the shape is unsafe to reason about (zero
+    or several WHEREs anywhere, so subquery scoping can't confuse
+    attribution; an OR at conjunction level)."""
+    idxs = [i for i, (k, t) in enumerate(toks)
+            if k == "word" and t.upper() == "WHERE"]
+    if len(idxs) != 1:
+        return None
+    i = idxs[0] + 1
+    depth = 0
+    parts, cur = [], []
+    while i < len(toks):
+        k, t = toks[i]
+        up = t.upper() if k == "word" else ""
+        if k == "punct" and t == "(":
+            depth += 1
+        elif k == "punct" and t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif k == "punct" and t == ";":
+            break
+        if depth == 0 and up in _WHERE_STOP:
+            break
+        if depth == 0 and up == "OR":
+            return None
+        if depth == 0 and up == "AND":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append((k, t))
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+def _simple_conjunct(part):
+    """(qualifier|None, column, 'col <op> literal' SQL) for a
+    conjunct of shape [alias.]col <op> literal or literal <op>
+    [alias.]col — plain/signed numbers, strings, TIMESTAMP/DATE
+    literals. None for anything else (function calls, 3VL operators,
+    subqueries, quoted identifiers…)."""
+    sig = [(k, t) for k, t in part if k not in ("ws", "comment")]
+    if any(k == "word" and t.upper() in _CONJ_BAD for k, t in sig):
+        return None
+
+    def ident(j):
+        if j < len(sig) and sig[j][0] == "word":
+            name = sig[j][1]
+            if j + 2 < len(sig) and sig[j + 1] == ("punct", ".") \
+                    and sig[j + 2][0] == "word":
+                return name, sig[j + 2][1], j + 3
+            return None, name, j + 1
+        return None, None, j
+
+    def literal(j):
+        if j + 1 < len(sig) and sig[j][0] == "word" \
+                and sig[j][1].upper() in ("TIMESTAMP", "DATE") \
+                and sig[j + 1][0] == "str":
+            return sig[j][1].upper() + " " + sig[j + 1][1], j + 2
+        if j < len(sig) and sig[j][0] in ("num", "str"):
+            return sig[j][1], j + 1
+        if j + 1 < len(sig) and sig[j] == ("punct", "-") \
+                and sig[j + 1][0] == "num":
+            return "-" + sig[j + 1][1], j + 2
+        return None, j
+
+    def cmp_op(j):
+        s = ""
+        while j < len(sig) and sig[j][0] == "punct" \
+                and sig[j][1] in "<>=":
+            s += sig[j][1]
+            j += 1
+        return (s, j) if s in ("<", ">", "=", "<=", ">=") else (None, j)
+
+    qual, col, j = ident(0)
+    if col is not None:
+        op, j = cmp_op(j)
+        if op is not None:
+            lit, j = literal(j)
+            if lit is not None and j == len(sig):
+                return qual, col, f"{col} {op} {lit}"
+        return None
+    lit, j = literal(0)
+    if lit is not None:
+        op, j = cmp_op(j)
+        if op is not None:
+            qual, col, j = ident(j)
+            if col is not None and j == len(sig):
+                return qual, col, f"{lit} {op} {col}"
+    return None
+
+
 # ------------------------------------------------------------ rewriter
 
 # words that cannot be a table alias (so `FROM t WHERE …` never reads
@@ -357,6 +462,8 @@ class _Rewriter:
     # -- main walk
 
     def run(self) -> tuple[str, list]:
+        self._scan_refs: list = []
+        self._ref_aliases: list = []
         self._setting_prefix()
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
@@ -366,6 +473,7 @@ class _Rewriter:
             else:
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
+        self._inject_auto_prefilters()
         sql = "".join(self.out)
         if getattr(self, "clock_time", None) is not None:
             sql = apply_clock(sql, self.clock_time)
@@ -578,6 +686,7 @@ class _Rewriter:
             # the queryable tx log (reference xt.txs system table)
             self.xt.store.txs().createOrReplaceTempView("xt_txs")
             alias = self._alias(cap_take, cap_skip_ws) or "txs"
+            self._ref_aliases.append(alias)
             lead_ws = captured[0] if captured and captured[0].isspace() else " "
             self.out.append(f"{lead_ws}xt_txs AS {alias}")
             self._cap = None
@@ -589,6 +698,7 @@ class _Rewriter:
 
             register_all(self.xt.spark, self.xt.store)
             alias = self._alias(cap_take, cap_skip_ws) or table.split(".")[-1]
+            self._ref_aliases.append(alias)
             lead_ws = captured[0] if captured and captured[0].isspace() else " "
             self.out.append(f"{lead_ws}{sysview} AS {alias}")
             self._cap = None
@@ -598,12 +708,16 @@ class _Rewriter:
         bounds = self._apply_defaults(bounds)
         alias = self._alias(cap_take, cap_skip_ws)
 
+        eff_alias = alias or table.split(".")[-1]
+        self._ref_aliases.append(eff_alias)
         if not self._store_table_exists(table):
             return flush_verbatim(True)
         view = f"xt__{table.replace('.', '_')}__{bounds.view_suffix()}"
         view = re.sub(r"\W", "_", view)
         df = scan_with_bounds(self.xt.store, table, bounds)
         df.createOrReplaceTempView(view)
+        self._scan_refs.append({"table": table, "bounds": bounds,
+                                "view": view, "alias": eff_alias})
         # preserve an explicit alias; otherwise alias back to the bare
         # table name so qualified column refs keep resolving
         alias = alias or table.split(".")[-1]
@@ -613,6 +727,63 @@ class _Rewriter:
         self.out.append(f"{lead_ws}{view} AS {alias}")
         self._cap = None
         return True
+
+    def _inject_auto_prefilters(self) -> None:
+        """Automatic sideways pushdown for temporal-store scans in
+        SQL (the reference injects its bloom pushdown automatically,
+        join.clj:172-226): conservatively extract the query's
+        top-level WHERE conjuncts of the form [alias.]col <op>
+        literal, attribute each to a scanned store table by alias
+        (or to a single-relation query's one table), and re-register
+        that scan's view with scan(prefilter=...,
+        prefilter_mode="auto-stats") — parquet footer statistics
+        decide in ~ms whether the candidate semi-join pays; anything
+        unparseable, ambiguous, temporal-column, or non-selective
+        leaves the plain scan. SAFE BY CONSTRUCTION: the semi-join is
+        a result superset and the same conjunct still runs in the
+        WHERE, so results are unchanged either way
+        (tests/test_sql_auto_prefilter.py). Kill switch:
+        store.sql_auto_prefilter = False."""
+        if not getattr(self.xt.store, "sql_auto_prefilter", True):
+            return
+        refs = [r for r in self._scan_refs
+                if r["bounds"].valid_range is None
+                and r["bounds"].system_range is None]
+        if not refs:
+            return
+        parts = _where_conjuncts(self.toks)
+        if not parts:
+            return
+        conjs = [c for c in (_simple_conjunct(p) for p in parts) if c]
+        if not conjs:
+            return
+        single = len(self._ref_aliases) == 1
+        views = [r2["view"] for r2 in self._scan_refs]
+        for r in refs:
+            if self._ref_aliases.count(r["alias"]) > 1:
+                continue          # self-join / shadowed alias
+            if views.count(r["view"]) > 1:
+                continue          # same table+bounds twice: the refs
+                #                   share one view — filtering it for
+                #                   one alias would filter the other
+            mine = [c for c in conjs
+                    if c[0] == r["alias"] or (c[0] is None and single)]
+            if not mine:
+                continue
+            pred = spark_escape_strings(
+                " AND ".join(f"({c[2]})" for c in mine))
+            b = r["bounds"]
+            try:
+                df = self.xt.store.scan(
+                    r["table"], valid_time=b.valid_asof,
+                    system_time=b.system_asof,
+                    all_valid_time=b.all_valid,
+                    all_system_time=b.all_system,
+                    prefilter=pred, prefilter_mode="auto-stats")
+            except Exception:
+                continue          # temporal/unknown column etc. —
+                #                   the plain view stays registered
+            df.createOrReplaceTempView(r["view"])
 
     def _store_table_exists(self, table: str) -> bool:
         import os

@@ -1869,9 +1869,10 @@ class TableStore:
                       for e in entries if not e["hist"]]) or None
         ev = self.events(table, files=files)
         if prefilter is not None:
-            if prefilter_mode not in ("force", "auto"):
-                raise ValueError("prefilter_mode must be 'force' or "
-                                 f"'auto', got {prefilter_mode!r}")
+            if prefilter_mode not in ("force", "auto", "auto-stats"):
+                raise ValueError("prefilter_mode must be 'force', "
+                                 "'auto' or 'auto-stats', got "
+                                 f"{prefilter_mode!r}")
             cond = (F.expr(prefilter) if isinstance(prefilter, str)
                     else prefilter)
             # guard probe: a Project over the doc-only view — .schema
@@ -1896,11 +1897,15 @@ class TableStore:
                     "filter the resolved result instead") from e
             cand_src = ev.where(cond)
             use = True
-            if prefilter_mode == "auto":
+            if prefilter_mode in ("auto", "auto-stats"):
                 efiles = (files if files is not None
                           else self.table_files(table))
                 est = self._stats_selectivity(efiles, cond)
-                if est is None:
+                if est is None and prefilter_mode == "auto":
+                    # "auto-stats" skips the Arrow-batch sampling
+                    # fallback: metadata-only cost (~ms), for callers
+                    # that inject prefilters speculatively (the SQL
+                    # rewriter) and can't afford a per-query sample
                     est = self._prefilter_selectivity(efiles, cond)
                 use = est is not None and est <= prefilter_threshold
             if use:
