@@ -534,3 +534,13 @@ def test_simhash_hot_band_guard(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert dedup.simhash_near_pairs(df, max_band_df=5).count() == 0
     assert dedup.simhash_near_pairs(df, max_band_df=None).count() == 66
+
+
+def test_minhash_hot_bucket_guard(spark):
+    # identical docs -> identical signatures -> every LSH bucket hot;
+    # the optional df cap drops them (exact dedup owns the cluster)
+    rows = [(i, "exactly the same words every time here") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_lsh_pairs(df, threshold=0.9,
+                                   max_bucket_df=5).count() == 0
+    assert dedup.minhash_lsh_pairs(df, threshold=0.9).count() == 66

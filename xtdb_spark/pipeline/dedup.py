@@ -140,10 +140,20 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 32,
-                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, threshold: float = 0.5,
+                      max_bucket_df: int | None = None) -> DataFrame:
     """MinHash LSH: band the signature (k/bands rows per band), bucket
     docs by (band_idx, band_hash), self-join buckets for candidates,
-    then verify with exact Jaccard. Returns verified pairs."""
+    then verify with exact Jaccard. Returns verified pairs.
+
+    `max_bucket_df` is the degenerate-corpus quadratic guard (the
+    phash/simhash/audio cap): an LSH bucket shared by more docs than
+    the cap — a giant exact/near-identical cluster, which
+    exact_duplicates already owns — is dropped before the self-join.
+    None (the default) keeps exhaustive banding: unlike the other
+    banded joins, LSH buckets are already sized by the full band hash,
+    so the cap is only needed against adversarially-duplicated
+    corpora."""
     sigs = minhash_signatures(docs, id_col, text_col, n, k)
     rows_per_band = k // bands
     band_cols = [
@@ -154,6 +164,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     ]
     buckets = (sigs.select("id", F.explode(F.array(*band_cols)).alias("b"))
                .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")))
+    if max_bucket_df is not None:
+        ok = (buckets.groupBy("band", "bh")
+              .agg(F.countDistinct("id").alias("bdf"))
+              .filter(F.col("bdf") <= max_bucket_df)
+              .select("band", "bh"))
+        buckets = buckets.join(ok, ["band", "bh"])
     cand = (buckets.alias("x")
             .join(buckets.alias("y"),
                   (F.col("x.band") == F.col("y.band"))
