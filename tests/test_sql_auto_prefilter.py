@@ -68,11 +68,34 @@ def test_unsafe_shapes_bail_out(xt):
     assert "LeftSemi" not in _plan(
         xt.sql("SELECT a._id FROM ap a JOIN ap_dim d ON a._id = d._id "
                "WHERE grp = 2"))
-    # self-join: the shared view must stay unfiltered
+    # self-join with DISTINCT aliases: safe since the race fix —
+    # each ref rewrites to its own query-unique __pf view, so a's
+    # selective conjunct injects without touching b's scan (before
+    # unique names, both refs shared one view and injection had to
+    # bail). Results unchanged either way.
     df = xt.sql("SELECT a._id AS ia, b._id AS ib FROM ap a, ap b "
                 "WHERE a._id = 7 AND b._id >= 0")
-    assert "LeftSemi" not in _plan(df)
+    assert "LeftSemi" in _plan(df)
     assert df.count() == 300
+
+
+def test_prefilter_views_are_query_unique_no_interleave_race(xt):
+    """Regression (round-9 ADVICE): an interleaved second rewrite of
+    the same table+bounds must not replace the first query's
+    prefiltered view. Rewrite A, then rewrite+run B with a different
+    predicate, then run A's emitted SQL — before the query-unique
+    __pf names, B's registration clobbered the shared view and A
+    silently returned B's rows."""
+    from xtdb_spark.sql.rewriter import rewrite
+
+    sql_a = rewrite(xt, "SELECT _id FROM ap WHERE _id = 7")
+    # interleaved query B on the same table+bounds, different filter
+    assert _ids(xt.sql("SELECT _id FROM ap WHERE _id = 9")) == [9]
+    df_a = xt.spark.sql(sql_a)
+    assert "__pf" in sql_a
+    assert _ids(df_a) == [7]
+    # the shared plain view stays a full scan for non-injected users
+    assert len(_ids(xt.sql("SELECT _id FROM ap WHERE x >= 0"))) == 300
 
 
 def test_qualified_conjuncts_attribute_per_table(xt):

@@ -31,6 +31,30 @@ def test_salted_join_matches_plain_join(spark):
                     salted_join(facts, dim, "k", salt=4).collect())
     assert plain == salted
     assert len(salted) == 100
+    # left outer: unmatched FACT rows are fine (fact side carries one
+    # salt value each)
+    facts2 = facts.union(spark.createDataFrame([(9, "orphan")],
+                                               "k long, payload string"))
+    plain2 = sorted((r["k"], r["payload"], r["name"]) for r in
+                    facts2.join(dim, "k", "left").collect())
+    salted2 = sorted((r["k"], r["payload"], r["name"]) for r in
+                     salted_join(facts2, dim, "k", salt=4,
+                                 how="left").collect())
+    assert plain2 == salted2
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    """Round-9 verdict item: under right/full an unmatched dim row
+    would appear once per salt value — the API must refuse rather
+    than silently duplicate."""
+    import pytest
+
+    facts = spark.createDataFrame([(0, "x")], "k long, payload string")
+    dim = spark.createDataFrame([(0, "a"), (5, "unmatched")],
+                                "k long, name string")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="dim-preserving"):
+            salted_join(facts, dim, "k", salt=4, how=how)
 
 
 def test_reput_after_erase_is_visible(store):

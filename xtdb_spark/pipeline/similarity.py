@@ -154,6 +154,55 @@ def ivf_centroids(c: DataFrame, n_cells: int,
     return spark.createDataFrame(rows, "cell int, cv array<double>")
 
 
+def _assign_cells(df: DataFrame, id_name: str, vec_name: str,
+                  cents_rows: list, n_keep: int) -> DataFrame:
+    """Nearest-cell assignment, vectorized: the (cell, centroid)
+    rows broadcast as a numpy matrix and each Arrow batch does one
+    X @ Cᵀ matmul + top-n_keep — the input is touched exactly once,
+    nothing shuffles, nothing amplifies. Ties (equal cosine) resolve
+    to the smallest cell id via a stable argsort, matching the
+    windowed (DESC sim, ASC cell) order this replaces. Returns
+    (id, vec, cell) with n_keep rows per input row (capped at the
+    number of cells)."""
+    import numpy as np
+
+    cells = np.array([cl for cl, _ in cents_rows], dtype="int32")
+    C = np.array([cv for _, cv in cents_rows], dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((cells, Cn))
+
+    def gen(batches):
+        import pandas as pd
+
+        cells_, cn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_name].tolist(), dtype="float64")
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = xn @ cn.T
+            if n_keep == 1:
+                j = sims.argmax(axis=1)   # first max = smallest cell
+                yield pd.DataFrame({id_name: pdf[id_name],
+                                    vec_name: pdf[vec_name],
+                                    "cell": cells_[j]})
+            else:
+                # stable sort on -sims: ties keep ascending column
+                # index = ascending cell id
+                order = np.argsort(-sims, axis=1,
+                                   kind="stable")[:, :n_keep]
+                reps = np.repeat(np.arange(len(pdf)), order.shape[1])
+                yield pd.DataFrame({
+                    id_name: pdf[id_name].values[reps],
+                    vec_name: pdf[vec_name].values[reps],
+                    "cell": cells_[order.ravel()]})
+
+    id_t = df.schema[id_name].dataType.simpleString()
+    return df.mapInPandas(
+        gen, schema=f"{id_name} {id_t}, {vec_name} array<double>, cell int")
+
+
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
                  nprobe: int = 2, k: int = 10, id_col: str = "vec_id",
                  vec_col: str = "embedding", q_id_col: str = "q_id",
@@ -168,9 +217,12 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     inside them.
 
     Scale shape: the centroid table broadcasts (tiny), assignment is
-    a broadcast-join + argmin (narrow), and the candidate join
-    shuffles on cell id — corpus rows are touched once, queries only
-    touch ~nprobe/n_cells of the corpus."""
+    a broadcast-numpy argmax over Arrow batches (one X @ Cᵀ matmul
+    per batch — NO shuffle, NO row amplification; the crossJoin +
+    window spelling it replaces materialized n_cells rows per corpus
+    vector and shuffled them, a scale-killer at realistic n_cells),
+    and the candidate join shuffles on cell id — corpus rows are
+    touched once, queries only touch ~nprobe/n_cells of the corpus."""
     c = corpus.select(F.col(id_col).alias("nn_id"),
                       as_double_array(F.col(vec_col)).alias("v"))
     if centroids == "kmeans":
@@ -180,20 +232,12 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         cents = (c.orderBy("nn_id").limit(n_cells)
                  .select(F.row_number().over(w_id).alias("cell"),
                          F.col("v").alias("cv")))
+    crows = sorted((r["cell"], r["cv"]) for r in cents.collect())
 
-    def assign(df, vcol, n_keep):
-        id_c = df.columns[0]  # partition by the id, not the vector
-        scored = (df.crossJoin(F.broadcast(cents))
-                  .withColumn("sim", cosine(F.col(vcol), F.col("cv"))))
-        w = Window.partitionBy(id_c).orderBy(F.desc("sim"), F.asc("cell"))
-        return (scored.withColumn("crnk", F.row_number().over(w))
-                .filter(F.col("crnk") <= n_keep)
-                .drop("cv", "sim", "crnk"))
-
-    c_cells = assign(c, "v", 1)
+    c_cells = _assign_cells(c, "nn_id", "v", crows, 1)
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        as_double_array(F.col(q_vec_col)).alias("qv"))
-    q_cells = assign(q, "qv", nprobe)
+    q_cells = _assign_cells(q, "q_id", "qv", crows, nprobe)
     scored = (q_cells.join(c_cells, "cell")
               .select("q_id", "nn_id",
                       cosine(F.col("qv"), F.col("v")).alias("cos_sim")))

@@ -35,7 +35,10 @@ through to Spark SQL untouched — Catalyst plans it.
 
 from __future__ import annotations
 
+import itertools
 import re
+import threading
+from collections import deque
 from dataclasses import dataclass
 
 # ---------------------------------------------------------------- tokens
@@ -58,6 +61,31 @@ _TOKEN_RE = re.compile(
 
 _C_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
               "\\": "\\", "'": "'", '"': '"'}  # \0.. handled as octal
+
+# Query-unique auto-prefilter view bookkeeping (see
+# _inject_auto_prefilters): a process-wide counter makes each
+# prefiltered registration collision-free across concurrent
+# sessions/threads; a FIFO cap bounds temp-view catalog growth in
+# long-lived servers. The cap is generous (a view is a tiny logical
+# plan) so a view can't be evicted before the very next spark.sql
+# call analyzes it.
+_PF_SEQ = itertools.count(1)
+_PF_VIEWS: deque = deque()
+_PF_LOCK = threading.Lock()
+_PF_VIEW_CAP = 1024
+
+
+def _pf_evict(spark, new_view: str) -> None:
+    with _PF_LOCK:
+        _PF_VIEWS.append(new_view)
+        stale = []
+        while len(_PF_VIEWS) > _PF_VIEW_CAP:
+            stale.append(_PF_VIEWS.popleft())
+    for v in stale:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
 
 
 def _decode_c_escapes(body: str) -> str:
@@ -717,7 +745,8 @@ class _Rewriter:
         df = scan_with_bounds(self.xt.store, table, bounds)
         df.createOrReplaceTempView(view)
         self._scan_refs.append({"table": table, "bounds": bounds,
-                                "view": view, "alias": eff_alias})
+                                "view": view, "alias": eff_alias,
+                                "out_idx": len(self.out)})
         # preserve an explicit alias; otherwise alias back to the bare
         # table name so qualified column refs keep resolving
         alias = alias or table.split(".")[-1]
@@ -743,7 +772,18 @@ class _Rewriter:
         a result superset and the same conjunct still runs in the
         WHERE, so results are unchanged either way
         (tests/test_sql_auto_prefilter.py). Kill switch:
-        store.sql_auto_prefilter = False."""
+        store.sql_auto_prefilter = False.
+
+        CONCURRENCY: the prefiltered scan registers under a
+        query-UNIQUE view name (__pf<n> suffix) and the emitted SQL
+        is rewritten to reference it. The shared deterministic
+        xt__<table>__<bounds> name is race-safe only because its
+        content is always the identical plain scan; replacing it
+        with query-specific pruned content would let a concurrent
+        session's spark.sql analysis silently pick up ANOTHER
+        query's prefilter and drop rows. Unique pf views are evicted
+        FIFO past a generous cap so a long-lived pgwire server
+        doesn't leak catalog entries."""
         if not getattr(self.xt.store, "sql_auto_prefilter", True):
             return
         refs = [r for r in self._scan_refs
@@ -758,14 +798,11 @@ class _Rewriter:
         if not conjs:
             return
         single = len(self._ref_aliases) == 1
-        views = [r2["view"] for r2 in self._scan_refs]
         for r in refs:
             if self._ref_aliases.count(r["alias"]) > 1:
                 continue          # self-join / shadowed alias
-            if views.count(r["view"]) > 1:
-                continue          # same table+bounds twice: the refs
-                #                   share one view — filtering it for
-                #                   one alias would filter the other
+            # (same table+bounds twice is fine now: each ref rewrites
+            #  its own out slot to its own query-unique __pf view)
             mine = [c for c in conjs
                     if c[0] == r["alias"] or (c[0] is None and single)]
             if not mine:
@@ -783,7 +820,11 @@ class _Rewriter:
             except Exception:
                 continue          # temporal/unknown column etc. —
                 #                   the plain view stays registered
-            df.createOrReplaceTempView(r["view"])
+            uview = f"{r['view']}__pf{next(_PF_SEQ)}"
+            df.createOrReplaceTempView(uview)
+            self.out[r["out_idx"]] = self.out[r["out_idx"]].replace(
+                r["view"], uview, 1)
+            _pf_evict(df.sparkSession, uview)
 
     def _store_table_exists(self, table: str) -> bool:
         import os
