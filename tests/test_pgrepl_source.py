@@ -111,6 +111,51 @@ def test_slow_publisher_does_not_truncate_batch(spark, xt, server,
     assert sub_store.events("wdocs").count() == n_events
 
 
+def test_mid_tx_stall_at_boundary_lsn_does_not_truncate(
+        spark, xt, server, sub_store, tmp_path, monkeypatch):
+    """Round-9 ADVICE regression: an XLogData wal_start == range-end
+    is NOT completion proof — a multi-line tx shares one lsn across
+    lines. A boundary tx that stalls >1.5 s BETWEEN its own lines
+    used to make poll() go quiet with last_wal_end == end; read()
+    returned the partial tx and commit() advanced the slot past the
+    missing lines — silent loss. Only a keepalive walEnd ≥ end may
+    complete the range now. The walsender runs in this process, so
+    stalling changes_for_tx mid-iteration stalls the sender only."""
+    import time
+
+    import xtdb_spark.replication as repl
+
+    pub = xt.store
+    c = _cli(server, "midslot")
+    c.create_slot()
+    c.close()
+
+    pub.put("mdocs", [{"_id": 1, "name": "a", "n": 1}])
+    # boundary tx: several rows = several wal2json lines, ONE lsn
+    pub.put("mdocs", [{"_id": 2, "name": "b", "n": 2},
+                      {"_id": 3, "name": "c", "n": 3}])
+
+    real = repl.changes_for_tx
+
+    def stalling(warehouse, txid, tables=None):
+        lines = list(real(warehouse, txid, tables))
+
+        def gen():
+            yield lines[0]
+            if len(lines) > 1:
+                time.sleep(2.2)   # > the reader's 1.5 s poll window
+                yield from lines[1:]
+        return gen()
+
+    monkeypatch.setattr(repl, "changes_for_tx", stalling)
+    replicate_stream(spark, sub_store, "127.0.0.1", server.port,
+                     "midslot", str(tmp_path / "ck_mid"))
+    monkeypatch.setattr(repl, "changes_for_tx", real)
+
+    assert _current(sub_store, "mdocs") == _current(pub, "mdocs") == [
+        ("1", "a", "1"), ("2", "b", "2"), ("3", "c", "3")]
+
+
 def test_reader_times_out_rather_than_truncating(xt, server):
     """If proof of reaching the range end never arrives, the reader
     must FAIL (Spark then retries the task) — never return early and

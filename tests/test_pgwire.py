@@ -803,9 +803,10 @@ def test_begin_read_only_with_basis_options(xt, client):
 
 def test_set_time_zone_honored_in_evaluation(client):
     """SET TIME ZONE is applied, not just recorded (reference pgwire
-    session params + query.clj:429 expr/*clock*): current_timestamp /
-    current_date render at the session zone's wall clock; the Spark
-    session stays UTC underneath."""
+    session params + query.clj:429 expr/*clock*): current_timestamp
+    RENDERS at the session zone's wall clock (the shift happens at
+    the wire boundary, like postgres renders timestamptz); the Spark
+    session and the evaluated instant stay UTC underneath."""
     from datetime import datetime, timedelta, timezone
 
     def now_ts():
@@ -822,11 +823,13 @@ def test_set_time_zone_honored_in_evaluation(client):
         .total_seconds()
     assert abs(delta - 5.5 * 3600) < 120
 
+    # POSIX zone spec: the UTC/GMT prefix makes the sign WEST-
+    # positive — postgres resolves 'UTC-3' to UTC+03 (round-9 ADVICE)
     client.query("SET TIME ZONE 'UTC-3'")
-    behind = now_ts()
-    delta = (behind - datetime.now(timezone.utc).replace(tzinfo=None)) \
+    posix = now_ts()
+    delta = (posix - datetime.now(timezone.utc).replace(tzinfo=None)) \
         .total_seconds()
-    assert abs(delta + 3 * 3600) < 120
+    assert abs(delta - 3 * 3600) < 120
 
     # IANA names resolve when zoneinfo has data; otherwise the query
     # must still answer (UTC-pinned fallback), never error
@@ -853,6 +856,40 @@ def test_set_time_zone_honored_in_evaluation(client):
     want = (datetime.now(timezone.utc)
             + timedelta(hours=5, minutes=30)).date().isoformat()
     assert res[0][1][0][0] == want
+    client.query("SET TIME ZONE 'UTC'")
+
+
+def test_session_zone_is_rendering_only_not_evaluation(xt, client):
+    """Round-9 ADVICE regression: the session zone must NOT move the
+    instant now-valued functions evaluate at. Before the fix, SET
+    TIME ZONE '+05:30' substituted a zone-rendered naive literal, so
+    `x <= current_timestamp` compared against a value 5.5 h in the
+    future and DML stored a local-rendered instant."""
+    from datetime import datetime, timedelta, timezone
+
+    client.query("SET TIME ZONE '+05:30'")
+    utc = datetime.now(timezone.utc).replace(tzinfo=None)
+    ahead = (utc + timedelta(hours=2)).isoformat(sep=" ")
+    behind = (utc - timedelta(hours=2)).isoformat(sep=" ")
+    res, _ = client.query(
+        f"SELECT current_timestamp > TIMESTAMP '{ahead}' AS a, "
+        f"current_timestamp > TIMESTAMP '{behind}' AS b")
+    assert res[0][1] == [["f", "t"]]
+
+    # DML through now() stores the UTC instant: read back in UTC,
+    # the stored value is within minutes of utc-now, not 5.5 h ahead
+    client.query("INSERT INTO zdml (_id, ts) VALUES (1, NOW())")
+    client.query("SET TIME ZONE 'UTC'")
+    res, _ = client.query("SELECT ts FROM zdml WHERE _id = 1")
+    stored = datetime.fromisoformat(res[0][1][0][0])
+    assert abs((stored - utc).total_seconds()) < 300
+
+    # rendering shift applies to STORED timestamps too (timestamptz
+    # semantics): the same row reads 5.5 h later under the zone
+    client.query("SET TIME ZONE '+05:30'")
+    res, _ = client.query("SELECT ts FROM zdml WHERE _id = 1")
+    shifted = datetime.fromisoformat(res[0][1][0][0])
+    assert abs((shifted - stored).total_seconds() - 5.5 * 3600) < 5
     client.query("SET TIME ZONE 'UTC'")
 
 

@@ -279,31 +279,35 @@ class _ResyncAfterError(Exception):
 
 
 _ZONE_OFFSET_RE = re.compile(
-    r"^(?:UTC|GMT)?\s*(?P<sign>[+-])\s*(?P<h>\d{1,2})(?::?(?P<m>\d{2}))?$")
+    r"^(?P<posix>UTC|GMT)?\s*(?P<sign>[+-])\s*(?P<h>\d{1,2})"
+    r"(?::?(?P<m>\d{2}))?$", re.IGNORECASE)
 
 
-def _session_zone_now(zone: str):
-    """Current wall-clock instant rendered in a session time zone, as
-    a NAIVE datetime (the engine's timestamps are naive-UTC-valued;
-    rendering in-zone at the boundary is the pg-compatible part).
-    IANA names resolve through zoneinfo; fixed offsets ('+05:30',
-    'UTC-3') parse directly; an unknown zone returns None (caller
-    leaves the query untouched — UTC-pinned, the previous
-    behavior)."""
+def _zone_delta(zone: str):
+    """Session zone → UTC offset as a timedelta (local = UTC +
+    delta), or None for an unknown zone (caller leaves the session
+    UTC-pinned). Fixed offsets follow postgres: a bare '+05:30' is
+    ISO-signed, but a UTC/GMT-prefixed 'UTC-3' is a POSIX zone spec
+    whose sign is WEST-positive — postgres resolves 'UTC-3' to
+    UTC+03 — so the prefix flips the sign. IANA names resolve
+    through zoneinfo at the current instant (DST-correct for now;
+    historical values render at today's offset, a documented
+    approximation)."""
     import datetime as _dt
 
-    now = _dt.datetime.now(_dt.timezone.utc)
     z = (zone or "").strip().strip("'\"")
     m = _ZONE_OFFSET_RE.match(z)
     if m:
         off = _dt.timedelta(hours=int(m.group("h")),
                             minutes=int(m.group("m") or 0))
         sign = 1 if m.group("sign") == "+" else -1
-        return (now + sign * off).replace(tzinfo=None)
+        if m.group("posix"):
+            sign = -sign          # POSIX west-positive semantics
+        return sign * off
     try:
         from zoneinfo import ZoneInfo
 
-        return now.astimezone(ZoneInfo(z)).replace(tzinfo=None)
+        return _dt.datetime.now(ZoneInfo(z)).utcoffset()
     except Exception:
         return None
 
@@ -564,7 +568,16 @@ class _Conn:
         """DataRow encode/batch loop shared by the simple protocol
         (`_send_rows`) and suspended-portal Execute: stops after
         `max_rows` rows when non-zero (the iterator keeps its
-        position for the next Execute)."""
+        position for the next Execute).
+
+        Timestamp values render in the SESSION ZONE here — at the
+        wire boundary only, like postgres renders timestamptz. The
+        stored/evaluated value stays the naive-UTC instant; the
+        shift is pure display (see _apply_session_zone)."""
+        zone = self.settings.get("timezone")
+        zd = None
+        if zone and zone.upper() not in ("UTC", "GMT", "ETC/UTC"):
+            zd = _zone_delta(zone)
         n = 0
         batch = []
         for row in rows:
@@ -573,6 +586,9 @@ class _Conn:
                 if v is None:
                     payload += struct.pack(">i", -1)
                     continue
+                if zd is not None and oid == 1114 \
+                        and isinstance(v, _dt.datetime):
+                    v = v + zd
                 b = _binary_encode(v, oid) if fmt == 1 \
                     else (_text(v) or "").encode()
                 payload += struct.pack(">i", len(b)) + b
@@ -999,14 +1015,19 @@ class _Conn:
     _CLOCK_PREFIX_RE = re.compile(r"(?is)^\s*SETTING\b.*?\bCLOCK_TIME\b")
 
     def _apply_session_zone(self, sql: str) -> str:
-        """Honor `SET TIME ZONE` in evaluation (reference pgwire
-        session params + query.clj:429 expr/*clock*: the session zone
-        fixes the per-query clock): when the session zone differs
-        from UTC, the now-valued functions are pinned to the current
-        instant RENDERED IN THAT ZONE, through the same `apply_clock`
-        the SETTING CLOCK_TIME prefix uses. The Spark session itself
-        stays UTC — conversion happens only at this boundary, exactly
-        like the reference renders timestamptz per session zone. An
+        """Honor `SET TIME ZONE` with postgres semantics (reference
+        pgwire session params + query.clj:429 expr/*clock*): the
+        session zone NEVER changes the instant a query evaluates at —
+        stored timestamps are naive-UTC-valued instants, so
+        CURRENT_TIMESTAMP / NOW() / LOCALTIMESTAMP pin to the current
+        UTC instant (predicates like `_system_from <= NOW()` and DML
+        writes are zone-independent, exactly as in postgres where the
+        zone affects rendering only). The zone shows up in two
+        places: (a) CURRENT_DATE / CURRENT_TIME / LOCALTIME, which
+        postgres defines as SESSION-ZONE wall clock, take their parts
+        from the zone-local clock; (b) timestamp RESULT VALUES are
+        shifted into the session zone at the wire boundary
+        (_send_row_iter), like postgres renders timestamptz. An
         explicit SETTING CLOCK_TIME prefix wins (the user pinned the
         clock; we must not substitute underneath it)."""
         zone = self.settings.get("timezone")
@@ -1016,12 +1037,14 @@ class _Conn:
             return sql
         if self.tx is not None and self.tx_opts.get("clock_time"):
             return sql            # the tx basis pins the clock
-        now = _session_zone_now(zone)
-        if now is None:
+        zd = _zone_delta(zone)
+        if zd is None:
             return sql
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         from xtdb_spark.sql.rewriter import apply_clock
 
-        return apply_clock(sql, now.isoformat(sep=" "))
+        return apply_clock(sql, now.isoformat(sep=" "),
+                           local_clock=(now + zd).isoformat(sep=" "))
 
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(?P<table>[\w.]+|\"(?:[^\"]|\"\")*\")\s+FROM\s+STDIN"

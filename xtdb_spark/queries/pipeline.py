@@ -199,7 +199,7 @@ def dedup_simhash(spark, sf_dir):
     16-bit bands (the 32-bit/8-bit-band spelling went quadratic at
     sf10 — 256 band values can't block 500k docs)."""
     d = ld(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=3)
+    return dedup.simhash_near_pairs(d, max_hamming=3, max_band_df=200)
 
 
 @register(
@@ -1475,7 +1475,7 @@ def image_phash_dedup(spark, sf_dir):  # needs real pixel decode
             rows.append((pat * 10 + v, encode_png(img)))
     media = spark.createDataFrame(rows, "media_id long, content binary")
     hashes = multimodal.phash_images(media).filter(F.col("ok"))
-    pairs = near_dup_phash(hashes, max_hamming=3)
+    pairs = near_dup_phash(hashes, max_hamming=3, max_band_df=200)
     return (pairs
             .withColumn("pattern", (F.col("id_a") / 10).cast("int"))
             .withColumn("same_pattern",
@@ -1573,7 +1573,7 @@ def video_fp_dedup(spark, sf_dir):
                          encode_gif(frames, delays_ms=[100] * 6)))
     media = spark.createDataFrame(rows, "media_id long, content binary")
     fps = multimodal.video_fingerprints(media)
-    pairs = near_dup_video(fps, min_ratio=0.5)
+    pairs = near_dup_video(fps, min_ratio=0.5, max_band_df=200)
     return (pairs
             .withColumn("pattern", (F.col("id_a") / 4).cast("int"))
             .withColumn("same_pattern",

@@ -58,10 +58,16 @@ class LogicalReplicationClient:
         self.streaming = False
         self.last_lsn = 0
         # highest server position observed on the wire (XLogData
-        # wal_start or keepalive walEnd): proof of how far the sender
-        # has caught up — a reader draining to a target LSN needs
-        # this to distinguish "caught up" from "sender busy"
+        # wal_start or keepalive walEnd) — progress telemetry only
         self.last_wal_end = 0
+        # highest KEEPALIVE walEnd: the only wire-derived COMPLETION
+        # proof. The sender advances its keepalive position strictly
+        # after a tx's lines are all on the wire (replication.py
+        # _stream: pos = txid after the line loop), so keepalive
+        # walEnd ≥ L proves everything ≤ L was delivered. An XLogData
+        # wal_start == L proves nothing: a multi-line tx shares one
+        # lsn across lines, so more lines at L may still be coming.
+        self.last_keepalive_end = 0
 
     # ---- framing
 
@@ -260,11 +266,13 @@ class LogicalReplicationClient:
             elif kind == b"k":
                 (wal_end,) = struct.unpack(">q", data[1:9])
                 self.last_wal_end = max(self.last_wal_end, wal_end)
+                self.last_keepalive_end = max(self.last_keepalive_end,
+                                              wal_end)
                 reply_requested = data[17:18] == b"\x01"
                 if reply_requested:
                     self.ack(self.last_lsn)
                 if until_lsn is not None \
-                        and self.last_wal_end >= until_lsn:
+                        and self.last_keepalive_end >= until_lsn:
                     return
 
     def ack(self, flushed_lsn: int, reply: bool = False) -> None:

@@ -202,17 +202,26 @@ _CLOCK_FNS = ("CURRENT_TIMESTAMP", "LOCALTIMESTAMP", "NOW",
               "CURRENT_DATE", "CURRENT_TIME", "LOCALTIME")
 
 
-def apply_clock(sql: str, clock: str) -> str:
+def apply_clock(sql: str, clock: str, local_clock: str | None = None) -> str:
     """Pin the query's wall clock (reference query.clj:429
     expr/*clock*; SETTING CLOCK_TIME, Sql.g4:86): every now-valued
     function call in the emitted text becomes a literal at `clock`,
     so the whole query — including subqueries and defaults that
     expanded to CURRENT_TIMESTAMP — evaluates at one fixed instant.
-    Token-level, so strings/comments/identifiers are untouched."""
+    Token-level, so strings/comments/identifiers are untouched.
+
+    `local_clock` (pgwire SET TIME ZONE): postgres defines
+    CURRENT_DATE / CURRENT_TIME / LOCALTIME as SESSION-ZONE wall
+    clock while CURRENT_TIMESTAMP / NOW() / LOCALTIMESTAMP denote an
+    instant — when given, the date/time-valued functions take their
+    parts from `local_clock` and the timestamp-valued ones stay at
+    `clock` (the UTC instant, so predicates against naive-UTC-stored
+    timestamps and DML writes are zone-independent)."""
     clock = str(clock).strip()
-    date_part = clock.split(" ")[0].split("T")[0]
-    time_part = clock.split(" ")[-1].split("T")[-1] \
-        if (" " in clock or "T" in clock) else "00:00:00"
+    loc = str(local_clock).strip() if local_clock else clock
+    date_part = loc.split(" ")[0].split("T")[0]
+    time_part = loc.split(" ")[-1].split("T")[-1] \
+        if (" " in loc or "T" in loc) else "00:00:00"
     out = []
     toks = _tokenize(sql)
     i = 0

@@ -112,15 +112,18 @@ class PgReplStreamReader(DataSourceStreamReader):
 
         The range is only complete on POSITIVE proof the sender has
         passed `end`: a change with lsn > end (lines arrive in LSN
-        order), or a keepalive / XLogData position ≥ end (the sender
-        emits lines for a tx BEFORE advancing its reported position,
-        so position ≥ end means everything ≤ end was already sent).
-        Wire idleness is never treated as completion — a sender busy
-        rendering a large tx looks idle, and returning early would
-        let commit() advance the slot past unread changes, losing
-        them. If proof doesn't arrive within `readTimeout` seconds
-        the task FAILS (Spark retries it); failure is recoverable,
-        silent loss is not."""
+        order), or a KEEPALIVE walEnd ≥ end (the sender advances its
+        keepalive position only after a tx's lines are all sent, so
+        keepalive walEnd ≥ end means everything ≤ end was already
+        delivered). An XLogData position is NOT proof — a multi-line
+        tx shares one lsn across lines, so wal_start == end can be
+        observed mid-tx with more lines still to come; accepting it
+        would return a partial boundary tx, commit() would advance
+        the slot past it, and the rest of the tx would be lost.
+        Wire idleness is never treated as completion either — a
+        sender busy rendering a large tx looks idle. If proof doesn't
+        arrive within `readTimeout` seconds the task FAILS (Spark
+        retries it); failure is recoverable, silent loss is not."""
         import time as _time
 
         from xtdb_spark.replication import lsn_str
@@ -137,13 +140,13 @@ class PgReplStreamReader(DataSourceStreamReader):
                     if lsn > part.end:
                         return
                     yield (lsn, payload)
-                if cli.last_wal_end >= part.end:
+                if cli.last_keepalive_end >= part.end:
                     return
                 if _time.monotonic() > deadline:
                     raise TimeoutError(
                         f"pgrepl: no proof of reaching LSN {part.end} "
                         f"within {part.read_timeout}s (sender at "
-                        f"{cli.last_wal_end}); failing the task so "
+                        f"{cli.last_keepalive_end}); failing the task so "
                         "the batch retries instead of committing an "
                         "incomplete range")
                 cli.request_keepalive()
