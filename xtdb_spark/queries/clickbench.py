@@ -1,17 +1,52 @@
-"""ClickBench-parity battery over the `events` table.
+"""ClickBench-parity battery over the `events` / `documents` tables.
 
 The reference benches ClickBench's 43 `hits` queries via
 `modules/bench/src/main/clojure/xtdb/bench/clickbench.clj:23,95-102,
-177-205` (HugSQL query file, sizes small/full). The `hits` schema
-isn't in the driver's testdata, so each entry here adapts one
-canonical ClickBench query SHAPE (the named Q numbers) to
-events(event_id, ts, user_id, event_type, value, props) — same
-aggregation/filter/topk structure, same physical challenges
-(wide-group topk, LIKE scans, regex extraction, minute histograms).
+177-205` (HugSQL file clickbench.sql, sizes small/full). The `hits`
+schema isn't in the driver's testdata, so each entry here adapts one
+canonical ClickBench query SHAPE to events(event_id, ts, user_id,
+event_type, value, props) or documents(doc_id, text, lang, source,
+n_chars) — same aggregation/filter/topk structure, same physical
+challenges (wide-group topk, LIKE scans, regex extraction, minute
+histograms, grouped paging with deep offsets).
+
+Complete map, reference clickbench.sql query number → entry
+(every number has a passing oracle-backed analogue; the two
+annotated ones differ only where `hits`-only semantics force it):
+
+| ref | entry | ref | entry |
+|-----|-------|-----|-------|
+| q1-q3   | cb_simple_aggs          | q24 | cb_wide_row_page |
+| q4      | cb_simple_aggs (AVG)    | q25 | cb_sort_page_time |
+| q5-q6   | cb_distinct_counts      | q26 | cb_sort_page_string |
+| q7      | cb_minmax_ts            | q27 | cb_sort_page_two_key |
+| q8      | cb_group_count_topk     | q28 | cb_length_having |
+| q9      | cb_distinct_users_per_type | q29 | cb_regex_extract_agg |
+| q10     | cb_region_metrics_topk  | q30 | cb_wide_sum_battery |
+| q11     | cb_group_count_topk     | q31-q32 | cb_conditional_sums |
+| q12     | cb_two_key_distinct_grid | q33 | cb_two_level_grouping |
+| q13     | cb_text_key_count_topk  | q34 | cb_highcard_string_topk |
+| q14-q15 | cb_two_key_topk         | q35 | cb_const_cross_group |
+| q16     | cb_highcard_user_topk   | q36 | cb_derived_key_grid |
+| q17     | cb_user_key_topk        | q37-q38 | cb_ordered_page |
+| q18     | cb_user_key_topk (†)    | q39 | cb_grid_offset_page |
+| q19     | cb_user_minute_type_grid | q40 | cb_case_src_dst_grid |
+| q20     | cb_point_lookup         | q41 | cb_inlist_point_grid |
+| q21     | cb_like_scan            | q42 | cb_grid_offset_page |
+| q22     | cb_string_minmax        | q43 | cb_minute_histogram |
+| q23     | cb_like_scan + cb_string_minmax | | |
+
+(†) ref q18 is `GROUP BY … LIMIT 10` with NO order — its result set
+is engine-nondeterministic by construction, so the analogue keeps
+the grouped-limit plan shape but adds the deterministic order the
+oracle hash needs. ref q30 sums 90 shifted copies of one column; the
+analogue keeps the many-aggregates-one-scan shape at 30 (the
+codegen-width stress is the same class).
 
 Every entry is oracle-checked. Top-k orderings carry full
 deterministic tiebreakers so the value-hash comparison is stable on
-both engines. All expressions are JVM-side built-ins — no Python in
+both engines (string sort keys tie-break through MIN(id), never raw
+collation). All expressions are JVM-side built-ins — no Python in
 any of these paths.
 """
 
@@ -490,3 +525,367 @@ def cb_avg_json_per_type(spark, sf_dir):
                 .alias("avg_k"),
                  F.sum("__n").alias("n"))
             .orderBy(F.desc("avg_k"), "event_type"))
+
+
+# ------------------------------------------------------------------
+# Round-9 additions: the previously-unmapped reference query numbers
+# (clickbench.sql q12, q13, q16, q19, q25-q28, q30, q34-q36,
+# q39-q42). See the module docstring for the full 43-query map.
+
+
+@register(
+    "cb_two_key_distinct_grid",
+    """
+    SELECT event_type, CAST(props->>'$.k' AS INTEGER) % 8 AS kb,
+           COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE event_type <> ''
+    GROUP BY event_type, kb
+    ORDER BY u DESC, event_type, kb
+    LIMIT 10
+    """,
+)
+def cb_two_key_distinct_grid(spark, sf_dir):
+    """ClickBench q12 shape (mobile_phone × model distinct-user
+    grid): two-key GROUP BY with COUNT(DISTINCT high-card) top-k.
+    Two-level: stage 1 groups by (type, kb, user) — a plain
+    primitive hash pass — and the distinct count falls out as stage
+    2's row count, no Expand."""
+    e = _with_k(ld(spark, sf_dir, "events"))
+    e = (e.filter(F.col("event_type") != "")
+         .withColumn("kb", (F.col("k") % 8).cast("int")))
+    g1 = e.groupBy("event_type", "kb", "user_id").agg(F.lit(1).alias("__o"))
+    return (g1.groupBy("event_type", "kb")
+            .agg(F.count("*").alias("u"))
+            .orderBy(F.desc("u"), "event_type", "kb").limit(10))
+
+
+@register(
+    "cb_text_key_count_topk",
+    """
+    SELECT source, COUNT(*) AS c
+    FROM documents
+    WHERE source <> ''
+    GROUP BY source
+    ORDER BY c DESC, source
+    LIMIT 10
+    """,
+)
+def cb_text_key_count_topk(spark, sf_dir):
+    """ClickBench q13 shape (search_phrase count top-10): single
+    TEXT key count under a non-empty filter. Partial agg +
+    TakeOrderedAndProject."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.filter(F.col("source") != "")
+            .groupBy("source").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "source").limit(10))
+
+
+@register(
+    "cb_highcard_user_topk",
+    """
+    SELECT user_id, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+)
+def cb_highcard_user_topk(spark, sf_dir):
+    """ClickBench q16 shape (user_id count top-10): single HIGH-
+    CARDINALITY numeric key, the hash-agg-size stress of the
+    battery. Also stands in for q18's grouped-limit plan shape (ref
+    q18 orders by nothing — nondeterministic by construction — so
+    the deterministic tiebreak here is the oracle-comparable
+    variant)."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("user_id").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "user_id").limit(10))
+
+
+@register(
+    "cb_user_minute_type_grid",
+    """
+    SELECT user_id, CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS m,
+           event_type, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, m, event_type
+    ORDER BY c DESC, user_id, m, event_type
+    LIMIT 10
+    """,
+)
+def cb_user_minute_type_grid(spark, sf_dir):
+    """ClickBench q19 shape (user × extract(minute) × phrase): a
+    derived time key inside a three-key grid, top-k by count. The
+    extraction is arithmetic on the scan — no join, one shuffle."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.minute("ts").alias("m"),
+                      "event_type")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "user_id", "m", "event_type")
+            .limit(10))
+
+
+@register(
+    "cb_sort_page_time",
+    """
+    SELECT event_id, event_type, ts
+    FROM events
+    WHERE event_type <> ''
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+)
+def cb_sort_page_time(spark, sf_dir):
+    """ClickBench q25 shape (phrase ORDER BY event_time LIMIT):
+    filtered projection under a TIME sort. TakeOrdered — no global
+    sort; at scale the parquet min/max time stats prune most files
+    before the scan."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") != "")
+            .select("event_id", "event_type", "ts")
+            .orderBy("ts", "event_id").limit(10))
+
+
+@register(
+    "cb_sort_page_string",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE source <> ''
+    ORDER BY source, doc_id
+    LIMIT 10
+    """,
+)
+def cb_sort_page_string(spark, sf_dir):
+    """ClickBench q26 shape (ORDER BY search_phrase LIMIT): STRING
+    sort key (binary collation, ASCII synthetic — identical on both
+    engines), doc_id tiebreak."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.filter(F.col("source") != "")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("source", "doc_id").limit(10))
+
+
+@register(
+    "cb_sort_page_two_key",
+    """
+    SELECT event_id, ts, event_type
+    FROM events
+    WHERE event_type <> ''
+    ORDER BY ts, event_type, event_id
+    LIMIT 10
+    """,
+)
+def cb_sort_page_two_key(spark, sf_dir):
+    """ClickBench q27 shape (ORDER BY event_time, search_phrase):
+    composite time+string sort under a filter."""
+    e = ld(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") != "")
+            .select("event_id", "ts", "event_type")
+            .orderBy("ts", "event_type", "event_id").limit(10))
+
+
+@register(
+    "cb_length_having",
+    """
+    SELECT source,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS DOUBLE)
+               / COUNT(text) AS l,
+           COUNT(*) AS c
+    FROM documents
+    WHERE text <> ''
+    GROUP BY source
+    HAVING COUNT(*) > 10
+    ORDER BY l DESC, source
+    LIMIT 25
+    """,
+)
+def cb_length_having(spark, sf_dir):
+    """ClickBench q28 shape (counter_id AVG(length(url)) HAVING
+    COUNT > N): a computed-length aggregate with a HAVING count
+    floor. The average is integer-exact (bigint sum / count, one
+    double division — hash-stable without a decimal detour)."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("text") != "")
+    return (d.groupBy("source")
+            .agg((F.sum(F.length("text").cast("long")).cast("double")
+                  / F.count("text")).alias("l"),
+                 F.count("*").alias("c"))
+            .filter(F.col("c") > 10)
+            .orderBy(F.desc("l"), "source").limit(25))
+
+
+@register(
+    "cb_wide_sum_battery",
+    """
+    SELECT """ + ", ".join(
+        f"SUM(v100 + {i}) AS s{i}" for i in range(30)) + """
+    FROM (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v100
+          FROM events) t
+    """,
+)
+def cb_wide_sum_battery(spark, sf_dir):
+    """ClickBench q30 shape (90 SUM(ResolutionWidth + i) in one
+    scan): many aggregates over one pass — a codegen-width /
+    projection-width stress, not a data-volume one (30 here; the
+    class is the same). The column quantizes to exact bigints
+    (2-decimal synthetic values × 100) so every sum is hash-exact."""
+    e = ld(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    t = e.select(v.alias("v100"))
+    return t.agg(*[F.sum(F.col("v100") + F.lit(i)).alias(f"s{i}")
+                   for i in range(30)])
+
+
+@register(
+    "cb_highcard_string_topk",
+    """
+    SELECT text, COUNT(*) AS c, MIN(doc_id) AS first_id
+    FROM documents
+    GROUP BY text
+    ORDER BY c DESC, first_id
+    LIMIT 10
+    """,
+)
+def cb_highcard_string_topk(spark, sf_dir):
+    """ClickBench q34 shape (URL count top-10): HIGH-CARDINALITY
+    string grouping — the hash table carries full strings, the
+    battery's memory-per-group stress. Ties break through
+    MIN(doc_id), never raw string collation."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.groupBy("text")
+            .agg(F.count("*").alias("c"), F.min("doc_id").alias("first_id"))
+            .orderBy(F.desc("c"), "first_id").limit(10))
+
+
+@register(
+    "cb_const_cross_group",
+    """
+    SELECT one, event_type, COUNT(*) AS c
+    FROM events, (SELECT 1) AS t (one)
+    GROUP BY one, event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+)
+def cb_const_cross_group(spark, sf_dir):
+    """ClickBench q35 shape (hits × (SELECT 1) grouped): a constant
+    single-row relation cross-joined into the grid — Catalyst folds
+    the broadcast-1-row join to a literal column; the plan is the
+    same single-pass agg as without it."""
+    e = ld(spark, sf_dir, "events")
+    one = spark.range(1).select(F.lit(1).alias("one"))
+    return (e.crossJoin(F.broadcast(one))
+            .groupBy("one", "event_type").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "event_type").limit(10))
+
+
+@register(
+    "cb_derived_key_grid",
+    """
+    SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+           user_id - 3 AS u3, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, u1, u2, u3
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+)
+def cb_derived_key_grid(spark, sf_dir):
+    """ClickBench q36 shape (ClientIP, ClientIP-1, -2, -3 grid):
+    grouping keys that are pure derivations of one column — the
+    optimizer question is whether the agg keys collapse to the base
+    column (they share its cardinality exactly)."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      (F.col("user_id") - 1).alias("u1"),
+                      (F.col("user_id") - 2).alias("u2"),
+                      (F.col("user_id") - 3).alias("u3"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "user_id").limit(10))
+
+
+@register(
+    "cb_case_src_dst_grid",
+    """
+    SELECT event_type,
+           CASE WHEN CAST(props->>'$.k' AS INTEGER) % 10 = 0
+                THEN ''
+                ELSE 'k' || CAST(CAST(props->>'$.k' AS INTEGER) % 10
+                                 AS VARCHAR) END AS src,
+           user_id % 50 AS dst,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY event_type, src, dst
+    ORDER BY c DESC, event_type, src, dst
+    LIMIT 10 OFFSET 100
+    """,
+)
+def cb_case_src_dst_grid(spark, sf_dir):
+    """ClickBench q40 shape (TraficSourceId/Src/Dst pageview grid):
+    a CASE-derived source label × destination grid with a deep
+    OFFSET page. The CASE is scan-side arithmetic; the offset rides
+    the same top-(offset+limit) path as cb_ordered_page."""
+    e = _with_k(ld(spark, sf_dir, "events"))
+    e = e.filter(F.col("event_type") != "view")
+    src = F.when(F.col("k") % 10 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("k"), (F.col("k") % 10).cast("string")))
+    return (e.groupBy("event_type", src.alias("src"),
+                      (F.col("user_id") % 50).alias("dst"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "event_type", "src", "dst")
+            .offset(100).limit(10))
+
+
+@register(
+    "cb_inlist_point_grid",
+    """
+    SELECT CAST(props->>'$.k' AS INTEGER) AS k, CAST(ts AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type IN ('click', 'view') AND user_id % 100 = 57
+    GROUP BY k, d
+    ORDER BY c DESC, k, d
+    LIMIT 10 OFFSET 10
+    """,
+)
+def cb_inlist_point_grid(spark, sf_dir):
+    """ClickBench q41 shape (TraficSourceId IN (…) AND RefererHash =
+    const): an IN-list plus a highly-selective point predicate over
+    a two-key grid with an OFFSET page. Both filters push to the
+    scan."""
+    e = _with_k(ld(spark, sf_dir, "events"))
+    e = e.filter(F.col("event_type").isin("click", "view")
+                 & (F.col("user_id") % 100 == 57))
+    return (e.groupBy(F.col("k"), F.to_date("ts").alias("d"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "k", "d")
+            .offset(10).limit(10))
+
+
+@register(
+    "cb_grid_offset_page",
+    """
+    SELECT user_id % 40 AS w, CAST(props->>'$.k' AS INTEGER) % 25 AS h,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type <> 'signup'
+    GROUP BY w, h
+    ORDER BY c DESC, w, h
+    LIMIT 10 OFFSET 500
+    """,
+)
+def cb_grid_offset_page(spark, sf_dir):
+    """ClickBench q39/q42 shape (WindowClientWidth × Height grid,
+    LIMIT 10 OFFSET 10000): a dense two-int grid paged DEEP into the
+    ordering — the offset must not force a global sort
+    (top-(offset+limit) heap, then drop the head)."""
+    e = _with_k(ld(spark, sf_dir, "events"))
+    e = e.filter(F.col("event_type") != "signup")
+    return (e.groupBy((F.col("user_id") % 40).alias("w"),
+                      (F.col("k") % 25).alias("h"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "w", "h")
+            .offset(500).limit(10))
