@@ -1,0 +1,158 @@
+"""Join-derived sideways pushdown in the SQL path (reference
+join.clj:172-226 pushes build-side filters into the probe scan at
+runtime): a temporal fact scan INNER-equi-joined to a selective
+build scan gets a `fact_key IN (build keys)` candidate-iid
+semi-join injected — results unchanged by construction, conservative
+bail-outs for outer joins, broad builds, string keys, and
+unestimable shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xtdb_spark.session import XtdbSession
+from xtdb_spark.sql import rewriter
+from xtdb_spark.tx import TableStore
+
+
+def _jd_injections(table=None):
+    """Join-derived injections recorded by the most recent rewrite
+    (plan-text assertions are ambiguous: one injection yields two
+    LeftSemi nodes, and Catalyst infers transitive literals
+    itself)."""
+    return [e for e in rewriter.LAST_PREFILTERS
+            if e["join_derived"] and (table is None
+                                      or e["table"] == table)]
+
+
+@pytest.fixture()
+def xt(spark, tmp_path):
+    s = XtdbSession.__new__(XtdbSession)
+    s.spark = spark
+    s.store = TableStore(spark, str(tmp_path / "wh"))
+    s.sql = XtdbSession.sql.__get__(s)
+    s.scan = XtdbSession.scan.__get__(s)
+    # fact: 1000 rows, key `ref` ranging 0..499 (IN estimate for one
+    # key = 1/500 = 0.002, under the 0.005 injection threshold)
+    s.store.put("jf", [{"_id": i, "ref": i % 500, "x": i}
+                       for i in range(1000)], system_from="2024-01-01")
+    # dim: 500 rows (one-key predicate est = 1/500 = 0.002, under the
+    # 0.05 build-side gate)
+    s.store.put("jd", [{"_id": i, "grp": i % 5, "tag": f"t{i % 3}"}
+                       for i in range(500)], system_from="2024-01-01")
+    return s
+
+
+def _plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _ids(df):
+    return sorted(r["_id"] for r in df.collect())
+
+
+def test_inner_join_where_equi_injects_in_list(xt):
+    # comma join, equi + selective build literal in the ONE WHERE
+    df = xt.sql("SELECT f._id FROM jf f, jd d "
+                "WHERE f.ref = d._id AND d._id = 7")
+    inj = _jd_injections("jf")
+    assert len(inj) == 1 and "ref IN (7)" in inj[0]["pred"] \
+        and inj[0]["mode"] == "force"
+    assert "LeftSemi" in _plan(df)
+    assert _ids(df) == [7, 507]
+
+
+def test_inner_join_on_equi_injects(xt):
+    df = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                "WHERE d._id = 9")
+    inj = _jd_injections("jf")
+    assert len(inj) == 1 and "ref IN (9)" in inj[0]["pred"]
+    assert _ids(df) == [9, 509]
+
+
+def test_empty_build_side_lowers_to_false(xt):
+    df = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                "WHERE d._id = 99999")
+    inj = _jd_injections("jf")
+    assert len(inj) == 1 and "(false)" in inj[0]["pred"]
+    assert _ids(df) == []
+
+
+def test_broad_build_side_bails(xt):
+    # grp = 2 selects 1/5 of the dim — over the 5% build gate
+    df = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                "WHERE d.grp = 2")
+    assert not _jd_injections()
+    # 100 dim rows with grp=2; each matched by 2 of the 1000 facts
+    assert len(_ids(df)) == 200
+
+
+def test_outer_join_on_equi_never_injects(xt):
+    # LEFT JOIN: the ON equi doesn't filter the preserved fact side —
+    # deriving a fact prefilter from it would drop preserved rows
+    df = xt.sql("SELECT f._id FROM jf f LEFT JOIN jd d "
+                "ON f.ref = d._id AND d._id = 7")
+    assert not rewriter.LAST_PREFILTERS    # no injection of ANY kind
+    assert len(_ids(df)) == 1000   # every fact row preserved
+
+
+def test_string_keys_bail(xt):
+    # equi on a STRING column: no footer point-mass estimate → skip
+    xt.store.put("jf2", [{"_id": i, "rtag": f"t{i % 3}"}
+                         for i in range(30)], system_from="2024-01-01")
+    df = xt.sql("SELECT f._id FROM jf2 f JOIN jd d ON f.rtag = d.tag "
+                "WHERE d._id = 7")
+    # d's literal injection may fire; the FACT side must not carry a
+    # join-derived IN over the string key
+    assert not _jd_injections("jf2")
+    assert len(_ids(df)) == 10     # 30 facts / 3 tags × 1 dim row
+
+
+def test_kill_switch(xt):
+    xt.store.sql_join_prefilter = False
+    try:
+        df = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                    "WHERE d._id = 7")
+        assert _ids(df) == [7, 507]
+        assert not _jd_injections()
+    finally:
+        xt.store.sql_join_prefilter = True
+
+
+def test_results_identical_on_off_battery(xt):
+    queries = [
+        "SELECT f._id FROM jf f, jd d WHERE f.ref = d._id AND d._id = 7",
+        "SELECT f._id, f.x FROM jf f JOIN jd d ON f.ref = d._id "
+        "WHERE d._id = 3",
+        "SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+        "WHERE d._id = 99999",
+        "SELECT f._id FROM jf f LEFT JOIN jd d ON f.ref = d._id "
+        "AND d._id = 7",
+        "SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+        "WHERE d.grp = 2",
+        "SELECT d._id FROM jd d JOIN jf f ON d._id = f.ref "
+        "WHERE f._id = 3",   # roles swapped: jd is the probe side
+    ]
+    for q in queries:
+        on = sorted(map(tuple, xt.sql(q).collect()))
+        xt.store.sql_join_prefilter = False
+        xt.store.sql_auto_prefilter = False
+        try:
+            off = sorted(map(tuple, xt.sql(q).collect()))
+        finally:
+            xt.store.sql_join_prefilter = True
+            xt.store.sql_auto_prefilter = True
+        assert on == off, q
+
+
+def test_updated_build_keys_reflect_current_state(xt):
+    """The key set is evaluated against the build scan's RESOLVED
+    state (not raw events): after the dim row 7 is superseded to a
+    new id-space, the derived keys follow."""
+    df0 = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                 "WHERE d.grp = 99")
+    assert _ids(df0) == []
+    xt.store.put("jd", [{"_id": 7, "grp": 99, "tag": "z"}],
+                 system_from="2024-06-01")
+    df = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
+                "WHERE d.grp = 99")
+    assert _ids(df) == [7, 507]

@@ -74,6 +74,13 @@ _PF_VIEWS: deque = deque()
 _PF_LOCK = threading.Lock()
 _PF_VIEW_CAP = 1024
 
+# diagnostics: the injections performed by the MOST RECENT rewrite
+# (reset per _inject_auto_prefilters call). Test/EXPLAIN aid only —
+# plan-text assertions are ambiguous because one injection yields two
+# LeftSemi nodes (main + erase-lookup branches) and Catalyst can
+# infer the same transitive literal itself.
+LAST_PREFILTERS: list = []
+
 
 def _pf_evict(spark, new_view: str) -> None:
     with _PF_LOCK:
@@ -406,6 +413,91 @@ def _simple_conjunct(part):
             if col is not None and j == len(sig):
                 return qual, col, f"{lit} {op} {col}"
     return None
+
+
+def _equi_conjunct(part):
+    """((alias_a, col_a), (alias_b, col_b)) for a conjunct of exactly
+    the shape `a.x = b.y` — BOTH sides qualified identifiers
+    (unqualified sides can't be attributed to a relation safely).
+    None for anything else."""
+    sig = [(k, t) for k, t in part if k not in ("ws", "comment")]
+    if len(sig) != 7 or sig[3] != ("punct", "="):
+        return None
+
+    def qident(j):
+        if (sig[j][0] == "word" and sig[j + 1] == ("punct", ".")
+                and sig[j + 2][0] == "word"):
+            return sig[j][1], sig[j + 2][1]
+        return None
+
+    a, b = qident(0), qident(4)
+    return (a, b) if a and b else None
+
+
+_ON_STOP = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+            "UNION", "EXCEPT", "INTERSECT", "WINDOW", "FETCH",
+            "QUALIFY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+            "CROSS", "NATURAL", "FOR", "RETURNING"}
+
+
+def _inner_on_conjuncts(toks):
+    """Top-level AND conjuncts of every depth-0 `ON` clause that
+    belongs to an INNER join (plain `JOIN` / `INNER JOIN`).
+    Outer-join ON conditions are NOT returned: their conjuncts don't
+    filter the preserved side, so neither literal-prefilter nor
+    join-key derivation may use them (pruning the preserved side
+    would drop rows an outer join must keep). A clause with a
+    top-level OR is skipped whole. Parenthesized (sub-join) ONs are
+    depth > 0 and never collected — their conjuncts don't constrain
+    every output row."""
+    out = []
+    depth = 0
+    outer = False
+    i, n = 0, len(toks)
+    while i < n:
+        k, t = toks[i]
+        up = t.upper() if k == "word" else ""
+        if k == "punct" and t == "(":
+            depth += 1
+        elif k == "punct" and t == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0 and up in ("LEFT", "RIGHT", "FULL", "CROSS",
+                                   "NATURAL", "SEMI", "ANTI"):
+            outer = True          # (a stray word named e.g. `left`
+            #                        only skips the next ON — safe)
+        elif depth == 0 and up == "ON":
+            j, d2 = i + 1, 0
+            parts, cur, bad = [], [], False
+            while j < n:
+                k2, t2 = toks[j]
+                u2 = t2.upper() if k2 == "word" else ""
+                if k2 == "punct" and t2 == "(":
+                    d2 += 1
+                elif k2 == "punct" and t2 == ")":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif k2 == "punct" and t2 in (";", ","):
+                    if d2 == 0:
+                        break
+                if d2 == 0 and u2 in _ON_STOP:
+                    break
+                if d2 == 0 and u2 == "OR":
+                    bad = True
+                if d2 == 0 and u2 == "AND":
+                    parts.append(cur)
+                    cur = []
+                else:
+                    cur.append((k2, t2))
+                j += 1
+            parts.append(cur)
+            if not outer and not bad:
+                out.extend(parts)
+            outer = False
+            i = j
+            continue
+        i += 1
+    return out
 
 
 # ------------------------------------------------------------ rewriter
@@ -793,6 +885,7 @@ class _Rewriter:
         query's prefilter and drop rows. Unique pf views are evicted
         FIFO past a generous cap so a long-lived pgwire server
         doesn't leak catalog entries."""
+        LAST_PREFILTERS.clear()
         if not getattr(self.xt.store, "sql_auto_prefilter", True):
             return
         refs = [r for r in self._scan_refs
@@ -800,11 +893,17 @@ class _Rewriter:
                 and r["bounds"].system_range is None]
         if not refs:
             return
-        parts = _where_conjuncts(self.toks)
-        if not parts:
-            return
+        parts = _where_conjuncts(self.toks) or []
+        on_parts = _inner_on_conjuncts(self.toks)
         conjs = [c for c in (_simple_conjunct(p) for p in parts) if c]
-        if not conjs:
+        # inner-join ON literal conjuncts constrain every output row
+        # exactly like WHERE conjuncts — but only QUALIFIED ones can
+        # be attributed (no single-relation fallback for ON)
+        conjs += [c for c in (_simple_conjunct(p) for p in on_parts)
+                  if c and c[0] is not None]
+        equi = [e for e in (_equi_conjunct(p)
+                            for p in [*parts, *on_parts]) if e]
+        if not conjs and not equi:
             return
         single = len(self._ref_aliases) == 1
         for r in refs:
@@ -814,10 +913,17 @@ class _Rewriter:
             #  its own out slot to its own query-unique __pf view)
             mine = [c for c in conjs
                     if c[0] == r["alias"] or (c[0] is None and single)]
-            if not mine:
+            jd = self._join_derived_pred(r, equi, conjs) if equi else None
+            if jd is None and not mine:
                 continue
             pred = spark_escape_strings(
-                " AND ".join(f"({c[2]})" for c in mine))
+                " AND ".join([f"({c[2]})" for c in mine]
+                             + ([f"({jd})"] if jd else [])))
+            # join-derived predicates carry their own footer-stats
+            # decision (fact-side IN estimate ≤ threshold inside
+            # _join_derived_pred), so the scan applies them directly;
+            # literal-only predicates keep the auto-stats gate
+            mode = "force" if jd is not None else "auto-stats"
             b = r["bounds"]
             try:
                 df = self.xt.store.scan(
@@ -825,7 +931,7 @@ class _Rewriter:
                     system_time=b.system_asof,
                     all_valid_time=b.all_valid,
                     all_system_time=b.all_system,
-                    prefilter=pred, prefilter_mode="auto-stats")
+                    prefilter=pred, prefilter_mode=mode)
             except Exception:
                 continue          # temporal/unknown column etc. —
                 #                   the plain view stays registered
@@ -834,6 +940,91 @@ class _Rewriter:
             self.out[r["out_idx"]] = self.out[r["out_idx"]].replace(
                 r["view"], uview, 1)
             _pf_evict(df.sparkSession, uview)
+            LAST_PREFILTERS.append(
+                {"table": r["table"], "alias": r["alias"],
+                 "pred": pred, "mode": mode,
+                 "join_derived": jd is not None, "view": uview})
+
+    def _join_derived_pred(self, r, equi, conjs):
+        """Join-derived sideways pushdown (the reference pushes
+        build-side bloom/iid filters into the probe scan at runtime,
+        join.clj:172-226): when this scan is INNER-equi-joined to
+        another store scan whose own literal conjuncts are selective
+        (parquet footer estimate ≤ 5%, metadata-only), evaluate the
+        build side's DISTINCT join keys under a cap and return
+        `fact_col IN (keys)` for the fact scan's candidate-iid
+        semi-join.
+
+        EXACT BY CONSTRUCTION: the IN list is the build side's true
+        post-filter key set, and the equi conjunct (a WHERE conjunct,
+        or a depth-0 INNER-join ON conjunct) must hold on every
+        output row — so any fact row that contributes to the result
+        matches some listed key, and the prefilter is a result
+        superset (tests/test_sql_join_prefilter.py equal-results
+        battery). Outer-join ON conjuncts are never used (see
+        _inner_on_conjuncts). Injection fires only when the
+        fact-side footer estimate for the IN is at/below the
+        calibrated prefilter threshold; numeric keys only (strings
+        have no footer point-mass estimate). An empty build key set
+        lowers to `false` — the inner join is provably empty, the
+        fact scan does zero work. Kill switch:
+        store.sql_join_prefilter = False; caps:
+        store.join_prefilter_key_cap (default 64)."""
+        from pyspark.sql import functions as F
+
+        store = self.xt.store
+        if not getattr(store, "sql_join_prefilter", True):
+            return None
+        cap = getattr(store, "join_prefilter_key_cap", 64)
+        for (qa, ca), (qb, cb) in [*equi,
+                                   *[(b, a) for a, b in equi]]:
+            if qa != r["alias"] or qb == r["alias"]:
+                continue
+            builds = [s for s in self._scan_refs if s["alias"] == qb]
+            if len(builds) != 1 or self._ref_aliases.count(qb) != 1:
+                continue
+            bref = builds[0]
+            bconj = [c for c in conjs if c[0] == qb]
+            if not bconj:
+                continue          # unfiltered build side: joining a
+                #                   whole dim is rarely selective on
+                #                   the fact — don't pay the probe
+            bpred = spark_escape_strings(
+                " AND ".join(f"({c[2]})" for c in bconj))
+            try:
+                bfiles = store.table_files(bref["table"])
+                est_b = store._stats_selectivity(bfiles, F.expr(bpred))
+            except Exception:
+                continue
+            if est_b is None or est_b > 0.05:
+                continue          # build side broad/unestimable —
+                #                   skip before spending a Spark job
+            try:
+                bdf = scan_with_bounds(store, bref["table"],
+                                       bref["bounds"])
+                rows = (bdf.where(F.expr(bpred)).select(cb)
+                        .distinct().limit(cap + 1).collect())
+            except Exception:
+                continue
+            if len(rows) > cap:
+                continue
+            keys = sorted({row[0] for row in rows
+                           if row[0] is not None})
+            if not keys:
+                return "false"    # inner join provably empty
+            if not all(isinstance(k, (int, float))
+                       and not isinstance(k, bool) for k in keys):
+                continue
+            try:
+                ffiles = store.table_files(r["table"])
+                est_in = store._stats_in_selectivity(ffiles, ca, keys)
+            except Exception:
+                continue
+            if est_in is None or est_in > 0.005:
+                continue
+            lits = ", ".join(str(k) for k in keys)
+            return f"{ca} IN ({lits})"
+        return None
 
     def _store_table_exists(self, table: str) -> bool:
         import os

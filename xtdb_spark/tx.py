@@ -1727,6 +1727,59 @@ class TableStore:
                 tot_rows += rg.num_rows
         return (est_rows / tot_rows) if tot_rows else None
 
+    def _stats_in_selectivity(self, files, col: str, keys,
+                              max_footers: int = 8):
+        """Footer-statistics selectivity of `col IN (keys)` for
+        NUMERIC keys (the join-derived sideways-pushdown estimator —
+        reference join.clj:172-226 builds its bloom from the same
+        build-side metadata reasoning): per row group, each key
+        inside the column's [min,max] contributes a discrete-uniform
+        point mass 1/(max-min+1); masses sum (capped at 1) and weight
+        by row count. Returns None for non-numeric keys or when no
+        file yields usable stats — the caller then skips the
+        injection (conservative: unknown means don't pay the
+        candidate pass). Row groups without stats count as broad
+        (frac 1.0), biasing AGAINST injection."""
+        import pyarrow.parquet as pq
+
+        if not keys or not all(
+                isinstance(k, (int, float)) and not isinstance(k, bool)
+                for k in keys):
+            return None
+        fs = sorted(files or [])
+        if not fs:
+            return None
+        step = max(1, len(fs) // max_footers)
+        est_rows = tot_rows = 0.0
+        for f in fs[::step][:max_footers]:
+            try:
+                meta = pq.ParquetFile(f).metadata
+            except Exception:
+                continue
+            names = {meta.schema.column(i).name: i
+                     for i in range(meta.num_columns)}
+            idx = names.get(col)
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                st = (rg.column(idx).statistics
+                      if idx is not None else None)
+                if st is None or not st.has_min_max \
+                        or not isinstance(st.min, (int, float)) \
+                        or isinstance(st.min, bool):
+                    frac = 1.0        # unknown → broad (safe)
+                else:
+                    cmin, cmax = float(st.min), float(st.max)
+                    if cmax <= cmin:  # constant column
+                        frac = 1.0 if any(k == cmin for k in keys) \
+                            else 0.0
+                    else:
+                        inside = sum(1 for k in keys
+                                     if cmin <= k <= cmax)
+                        frac = min(1.0, inside / (cmax - cmin + 1))
+                est_rows += frac * rg.num_rows
+                tot_rows += rg.num_rows
+        return (est_rows / tot_rows) if tot_rows else None
+
     def _prefilter_selectivity(self, files, cond, max_files: int = 3,
                                rows_per_file: int = 4096):
         """Cheap selectivity estimate for a document-column predicate:
