@@ -39,6 +39,10 @@ def xt(spark, tmp_path):
     # 0.05 build-side gate)
     s.store.put("jd", [{"_id": i, "grp": i % 5, "tag": f"t{i % 3}"}
                        for i in range(500)], system_from="2024-01-01")
+    # the production floor (256 MB of fact parquet) exists because
+    # the planning probe costs more than a full scan of a small
+    # table; tests exercise the mechanism, not the economics
+    s.store.join_prefilter_min_fact_bytes = 0
     return s
 
 
@@ -56,7 +60,7 @@ def test_inner_join_where_equi_injects_in_list(xt):
                 "WHERE f.ref = d._id AND d._id = 7")
     inj = _jd_injections("jf")
     assert len(inj) == 1 and "ref IN (7)" in inj[0]["pred"] \
-        and inj[0]["mode"] == "force"
+        and inj[0]["mode"] == "force-selective"
     assert "LeftSemi" in _plan(df)
     assert _ids(df) == [7, 507]
 
@@ -145,9 +149,10 @@ def test_results_identical_on_off_battery(xt):
 
 
 def test_updated_build_keys_reflect_current_state(xt):
-    """The key set is evaluated against the build scan's RESOLVED
-    state (not raw events): after the dim row 7 is superseded to a
-    new id-space, the derived keys follow."""
+    """The key set is a SUPERSET drawn from the build side's raw
+    events (sound — the join still filters): before any dim version
+    matches, the derived set is empty and the join lowers to false;
+    after a new version matches, its key appears."""
     df0 = xt.sql("SELECT f._id FROM jf f JOIN jd d ON f.ref = d._id "
                  "WHERE d.grp = 99")
     assert _ids(df0) == []

@@ -920,10 +920,13 @@ class _Rewriter:
                 " AND ".join([f"({c[2]})" for c in mine]
                              + ([f"({jd})"] if jd else [])))
             # join-derived predicates carry their own footer-stats
-            # decision (fact-side IN estimate ≤ threshold inside
-            # _join_derived_pred), so the scan applies them directly;
-            # literal-only predicates keep the auto-stats gate
-            mode = "force" if jd is not None else "auto-stats"
+            # decision (fact-side IN estimate ≤ threshold AND the
+            # candidate set under the broadcast budget, both checked
+            # inside _join_derived_pred) — "force-selective" makes
+            # the scan broadcast-hint the candidate semi-join so the
+            # resolution shuffle itself shrinks; literal-only
+            # predicates keep the auto-stats gate
+            mode = "force-selective" if jd is not None else "auto-stats"
             b = r["bounds"]
             try:
                 df = self.xt.store.scan(
@@ -961,21 +964,46 @@ class _Rewriter:
         output row — so any fact row that contributes to the result
         matches some listed key, and the prefilter is a result
         superset (tests/test_sql_join_prefilter.py equal-results
-        battery). Outer-join ON conjuncts are never used (see
-        _inner_on_conjuncts). Injection fires only when the
-        fact-side footer estimate for the IN is at/below the
-        calibrated prefilter threshold; numeric keys only (strings
-        have no footer point-mass estimate). An empty build key set
-        lowers to `false` — the inner join is provably empty, the
-        fact scan does zero work. Kill switch:
+        battery). The keys come from the build side's RAW EVENTS (no
+        resolution window — one pushdown-filtered parquet job):
+        every resolved row's key value exists among the events, so
+        the event-key set is a SUPERSET of the resolved key set —
+        sound for a superset prefilter, and an empty event-key set
+        still proves the inner join empty. Outer-join ON conjuncts
+        are never used (see _inner_on_conjuncts).
+
+        Injection fires only when (a) the fact table is big enough
+        for the planning probe to pay
+        (store.join_prefilter_min_fact_bytes, default 256 MB of
+        parquet — measured at 2M/20M rows: the probe job costs more
+        than it saves below that), (b) the fact-side footer estimate
+        for the IN is at/below the calibrated prefilter threshold,
+        and (c) the estimated candidate set fits the broadcast
+        budget (the scan broadcast-hints it under "force-selective"
+        so the resolution shuffle itself shrinks — without the hint
+        AQE converts the semi-join only after the full probe shuffle
+        exists). Numeric keys only (strings have no footer
+        point-mass estimate). An empty build key set lowers to
+        `false` — the inner join is provably empty. Kill switch:
         store.sql_join_prefilter = False; caps:
         store.join_prefilter_key_cap (default 64)."""
+        import os
+
         from pyspark.sql import functions as F
 
         store = self.xt.store
         if not getattr(store, "sql_join_prefilter", True):
             return None
         cap = getattr(store, "join_prefilter_key_cap", 64)
+        try:
+            ffiles = store.table_files(r["table"])
+            fact_bytes = sum(os.path.getsize(f) for f in ffiles)
+        except Exception:
+            return None
+        if fact_bytes < getattr(store, "join_prefilter_min_fact_bytes",
+                                256 * 1024 * 1024):
+            return None           # probe job costs more than a full
+            #                       scan of a table this small
         for (qa, ca), (qb, cb) in [*equi,
                                    *[(b, a) for a, b in equi]]:
             if qa != r["alias"] or qb == r["alias"]:
@@ -1000,8 +1028,11 @@ class _Rewriter:
                 continue          # build side broad/unestimable —
                 #                   skip before spending a Spark job
             try:
-                bdf = scan_with_bounds(store, bref["table"],
-                                       bref["bounds"])
+                # RAW events, no resolution window (superset of the
+                # resolved key set — see docstring): one narrow
+                # pushdown-filtered parquet job instead of a
+                # window-shuffle job
+                bdf = store.events(bref["table"])
                 rows = (bdf.where(F.expr(bpred)).select(cb)
                         .distinct().limit(cap + 1).collect())
             except Exception:
@@ -1016,12 +1047,15 @@ class _Rewriter:
                        and not isinstance(k, bool) for k in keys):
                 continue
             try:
-                ffiles = store.table_files(r["table"])
                 est_in = store._stats_in_selectivity(ffiles, ca, keys)
             except Exception:
                 continue
             if est_in is None or est_in > 0.005:
                 continue
+            if not store._prefilter_fits_broadcast(est_in, ffiles):
+                continue          # candidate set too big to
+                #                   broadcast — at that size the
+                #                   probe can't beat AQE anyway
             lits = ", ".join(str(k) for k in keys)
             return f"{ca} IN ({lits})"
         return None
