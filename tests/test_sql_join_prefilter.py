@@ -148,6 +148,54 @@ def test_results_identical_on_off_battery(xt):
         assert on == off, q
 
 
+def test_randomized_join_grammar_equal_results(xt):
+    """Seeded random walk over the join grammar the injector parses
+    (comma joins, JOIN..ON, LEFT JOIN, ON-side literals, extra fact
+    filters, swapped sides, three-relation chains): every query must
+    return identical rows with the injector on and off. Guards the
+    conservatism claims against grammar corners the targeted tests
+    don't enumerate."""
+    import random
+
+    rng = random.Random(42)
+    picks = {
+        "jointype": ["inner_comma", "inner_on", "left_on"],
+        "bfilt": ["d._id = {k}", "d.grp = {g}", None],
+        "ffilt": ["f.x >= {x}", None],
+        "proj": ["f._id", "f._id, d.grp", "d._id AS did, f.x"],
+    }
+    for i in range(25):
+        jt = rng.choice(picks["jointype"])
+        bf = rng.choice(picks["bfilt"])
+        ff = rng.choice(picks["ffilt"])
+        proj = rng.choice(picks["proj"])
+        k, g, x = rng.randrange(500), rng.randrange(5), rng.randrange(900)
+        conds = []
+        if bf:
+            conds.append(bf.format(k=k, g=g))
+        if ff:
+            conds.append(ff.format(x=x))
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        if jt == "inner_comma":
+            q = (f"SELECT {proj} FROM jf f, jd d"
+                 + (" WHERE f.ref = d._id"
+                    + ("".join(f" AND {c}" for c in conds))))
+        elif jt == "inner_on":
+            q = f"SELECT {proj} FROM jf f JOIN jd d ON f.ref = d._id{where}"
+        else:
+            q = (f"SELECT {proj} FROM jf f LEFT JOIN jd d "
+                 f"ON f.ref = d._id{where}")
+        on = sorted(map(tuple, xt.sql(q).collect()))
+        xt.store.sql_join_prefilter = False
+        xt.store.sql_auto_prefilter = False
+        try:
+            off = sorted(map(tuple, xt.sql(q).collect()))
+        finally:
+            xt.store.sql_join_prefilter = True
+            xt.store.sql_auto_prefilter = True
+        assert on == off, (i, q)
+
+
 def test_updated_build_keys_reflect_current_state(xt):
     """The key set is a SUPERSET drawn from the build side's raw
     events (sound — the join still filters): before any dim version
