@@ -148,6 +148,39 @@ def test_results_identical_on_off_battery(xt):
         assert on == off, q
 
 
+def test_star_join_composes_multiple_in_filters(xt):
+    """Star joins compose: with TWO selective dims, the fact scan's
+    prefilter carries BOTH derived IN lists (each is a superset, so
+    their AND is too)."""
+    xt.store.put("jf3", [{"_id": i, "ra": i % 500, "rb": (i * 7) % 400}
+                         for i in range(1000)], system_from="2024-01-01")
+    xt.store.put("jda", [{"_id": i} for i in range(500)],
+                 system_from="2024-01-01")
+    xt.store.put("jdb", [{"_id": i} for i in range(400)],
+                 system_from="2024-01-01")
+    df = xt.sql("SELECT f._id FROM jf3 f "
+                "JOIN jda a ON f.ra = a._id "
+                "JOIN jdb b ON f.rb = b._id "
+                "WHERE a._id = 7 AND b._id = 49")
+    inj = _jd_injections("jf3")
+    assert len(inj) == 1
+    assert "ra IN (7)" in inj[0]["pred"] and "rb IN (49)" in inj[0]["pred"]
+    # ra = 7 → ids {7, 507}; rb = 49: 7i % 400 == 49 → i ≡ 7 (mod 400)
+    # within each — intersection: ids where both hold
+    expect = sorted(i for i in range(1000)
+                    if i % 500 == 7 and (i * 7) % 400 == 49)
+    assert _ids(df) == expect and expect   # non-empty by construction
+    on = _ids(df)
+    xt.store.sql_join_prefilter = False
+    try:
+        assert _ids(xt.sql(
+            "SELECT f._id FROM jf3 f JOIN jda a ON f.ra = a._id "
+            "JOIN jdb b ON f.rb = b._id "
+            "WHERE a._id = 7 AND b._id = 49")) == on
+    finally:
+        xt.store.sql_join_prefilter = True
+
+
 def test_randomized_join_grammar_equal_results(xt):
     """Seeded random walk over the join grammar the injector parses
     (comma joins, JOIN..ON, LEFT JOIN, ON-side literals, extra fact

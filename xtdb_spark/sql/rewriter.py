@@ -1004,10 +1004,17 @@ class _Rewriter:
                                 256 * 1024 * 1024):
             return None           # probe job costs more than a full
             #                       scan of a table this small
+        preds = []                # star joins COMPOSE: every
+        #                           derivable dim contributes its IN
+        #                           (all are supersets, AND is too)
+        seen_pairs = set()
         for (qa, ca), (qb, cb) in [*equi,
                                    *[(b, a) for a, b in equi]]:
             if qa != r["alias"] or qb == r["alias"]:
                 continue
+            if (ca, qb, cb) in seen_pairs:
+                continue          # duplicate equi conjunct
+            seen_pairs.add((ca, qb, cb))
             builds = [s for s in self._scan_refs if s["alias"] == qb]
             if len(builds) != 1 or self._ref_aliases.count(qb) != 1:
                 continue
@@ -1057,8 +1064,10 @@ class _Rewriter:
                 #                   broadcast — at that size the
                 #                   probe can't beat AQE anyway
             lits = ", ".join(str(k) for k in keys)
-            return f"{ca} IN ({lits})"
-        return None
+            preds.append(f"{ca} IN ({lits})")
+        if not preds:
+            return None
+        return " AND ".join(preds)
 
     def _store_table_exists(self, table: str) -> bool:
         import os
