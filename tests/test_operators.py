@@ -109,6 +109,19 @@ def test_xtql_pipeline(store):
     assert [(r["name"], r["total"]) for r in out.collect()] == [
         ("ada", 5), ("bob", 5)]
 
+    # sideways candidate pruning reaches XTQL pipelines through
+    # from_'s scan passthrough (the SQL path injects it
+    # automatically; the DSL exposes the same knob) — results
+    # identical to the plain scan by the prefilter superset law
+    pruned = x.q(
+        xt,
+        x.from_("visits", prefilter="city = 'london'"),
+        x.where(F.col("city") == "london"),
+        x.aggregate("city", total=F.sum("n")),
+    )
+    assert [(r["city"], r["total"]) for r in pruned.collect()] == [
+        ("london", 5)]
+
 
 def test_asof_join_does_not_blend_right_rows(spark):
     """Right rows with genuine NULLs must be carried AS A WHOLE ROW:

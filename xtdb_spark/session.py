@@ -122,10 +122,15 @@ class XtdbSession:
 
     # --- query ---
     def scan(self, table, valid_time=None, system_time=None, all_valid_time=False,
-             all_system_time=False):
+             all_system_time=False, **scan_opts):
+        """`scan_opts` passes through to TableStore.scan — notably
+        `prefilter=`/`prefilter_mode=` (sideways candidate pruning;
+        the SQL path injects these automatically, DataFrame/XTQL
+        callers reach them here)."""
         return self.store.scan(table, valid_time=valid_time, system_time=system_time,
                                all_valid_time=all_valid_time,
-                               all_system_time=all_system_time)
+                               all_system_time=all_system_time,
+                               **scan_opts)
 
     def sql(self, query: str, args: list | None = None):
         from xtdb_spark import tracing

@@ -39,7 +39,12 @@ def q(xt, *steps: Step) -> DataFrame:
 def from_(table: str, bind: dict[str, str] | None = None, **temporal) -> Step:
     """Source step (reference xtql.clj From): scan a store table with
     optional temporal opts (valid_time=, system_time=, all_valid_time=,
-    all_system_time=) and optional column renames `bind`."""
+    all_system_time=) and optional column renames `bind`. Extra
+    kwargs pass through to scan — `prefilter=`/`prefilter_mode=`
+    give XTQL pipelines the same sideways candidate pruning the SQL
+    path injects automatically (reference join.clj:172-226 applies
+    it to every query surface); renames in `bind` happen AFTER the
+    scan, so the prefilter uses the table's own column names."""
 
     def step(xt, _df):
         df = xt.scan(table, **temporal)
