@@ -801,6 +801,39 @@ def test_begin_read_only_with_basis_options(xt, client):
         client.query("BEGIN READ WRITE WITH (SNAPSHOT_TOKEN = '123')")
 
 
+def test_zone_delta_parsing():
+    """_zone_delta unit battery: ISO fixed offsets keep their sign,
+    UTC/GMT-prefixed ones are POSIX (west-positive → sign flips),
+    IANA resolves via zoneinfo, junk → None."""
+    from datetime import timedelta
+
+    from xtdb_spark.pgwire import _zone_delta
+
+    assert _zone_delta("+05:30") == timedelta(hours=5, minutes=30)
+    assert _zone_delta("-03") == timedelta(hours=-3)
+    assert _zone_delta("'+0230'") == timedelta(hours=2, minutes=30)
+    # POSIX: postgres resolves UTC-3 to UTC+03, UTC+5 to UTC-05
+    assert _zone_delta("UTC-3") == timedelta(hours=3)
+    assert _zone_delta("UTC+5") == timedelta(hours=-5)
+    assert _zone_delta("GMT-2") == timedelta(hours=2)
+    assert _zone_delta("utc-1") == timedelta(hours=1)
+    # prefixed == negated bare, for every offset
+    for off in ("1", "2:30", "11", "0:45"):
+        b = _zone_delta(f"+{off}")
+        assert _zone_delta(f"UTC-{off}") == b
+        assert _zone_delta(f"UTC+{off}") == -b
+    try:
+        from zoneinfo import ZoneInfo  # noqa: F401
+        import datetime as _dt
+
+        exp = _dt.datetime.now(ZoneInfo("America/New_York")).utcoffset()
+        assert _zone_delta("America/New_York") == exp
+    except Exception:
+        pass                       # no tzdata in this container
+    assert _zone_delta("Not/AZone") is None
+    assert _zone_delta("") is None
+
+
 def test_set_time_zone_honored_in_evaluation(client):
     """SET TIME ZONE is applied, not just recorded (reference pgwire
     session params + query.clj:429 expr/*clock*): current_timestamp
