@@ -162,9 +162,58 @@ _NON_POSTFIX_WORDS = {
 }
 
 
+_DT_RE = re.compile(r"\bDATE_TRUNC\s*\(", re.IGNORECASE)
+
+# reference Sql.g4:488-495 dateTruncPrecision: the precision may be a
+# BARE KEYWORD (`DATE_TRUNC(minute, ts)`) where Spark and DuckDB both
+# require a string literal
+_DT_PRECISIONS = {
+    "MILLENNIUM", "CENTURY", "DECADE", "YEAR", "QUARTER", "MONTH",
+    "WEEK", "DAY", "HOUR", "MINUTE", "SECOND", "MILLISECOND",
+    "MICROSECOND", "NANOSECOND"}
+
+
+def _quote_date_trunc(sql: str) -> str:
+    """`DATE_TRUNC(minute, x)` → `DATE_TRUNC('MINUTE', x)` — the
+    reference grammar admits the unquoted precision keyword
+    (Sql.g4:367 DateTruncFunction, :488 dateTruncPrecision); Spark
+    needs the string form. Token-level: only a bare precision word
+    directly between `DATE_TRUNC(` and `,` is touched, so strings,
+    comments, and column-valued first args pass through."""
+    toks = [(m.lastgroup, m.group()) for m in _TOKEN_RE.finditer(sql)]
+    n = len(toks)
+
+    def sig(j):
+        while j < n and toks[j][0] in ("ws", "comment"):
+            j += 1
+        return j
+
+    out = []
+    i = 0
+    while i < n:
+        k, t = toks[i]
+        if k == "word" and t.upper() == "DATE_TRUNC":
+            j = sig(i + 1)
+            if j < n and toks[j] == ("punct", "("):
+                p = sig(j + 1)
+                if p < n and toks[p][0] == "word" \
+                        and toks[p][1].upper() in _DT_PRECISIONS \
+                        and sig(p + 1) < n \
+                        and toks[sig(p + 1)] == ("punct", ","):
+                    out.extend(t2 for _, t2 in toks[i:p])
+                    out.append("'" + toks[p][1].upper() + "'")
+                    i = p + 1
+                    continue
+        out.append(t)
+        i += 1
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Translate XTDB constructs to Spark SQL; no-op (same string)
     when none are present."""
+    if _DT_RE.search(sql):
+        sql = _quote_date_trunc(sql)
     if not _TRIGGER_RE.search(sql):
         return sql
     return _Translator(sql).run()
