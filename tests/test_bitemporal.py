@@ -257,6 +257,41 @@ def test_polygon_streamed_matches_grouped_staggered(spark):
     assert streamed == grouped and len(grouped) > 20
 
 
+def test_polygon_single_version_fast_path_matches_sweep(spark):
+    """Differential for the round-9 single-version fast path: a mix
+    of append-once entities (plain put, put with a closed valid
+    range, put with an EMPTY valid range, a lone delete) and
+    multi-version entities must produce exactly the rectangles the
+    independent STREAMED sweep does (which has no fast path)."""
+    from xtdb_spark.bitemporal import (polygon_history,
+                                       polygon_history_streamed)
+
+    rows = [
+        # single-version puts — the fast-path population
+        (1, "a", "2024-01-01", None, "2024-01-01 00:00:01", "put"),
+        (2, "b", "2024-01-05", "2024-02-01", "2024-01-05 00:00:01", "put"),
+        # empty valid range: must emit NO rectangle
+        (3, "c", "2024-01-10", "2024-01-10", "2024-01-10 00:00:01", "put"),
+        # lone delete: no rectangle
+        (4, "d", "2024-01-02", None, "2024-01-02 00:00:01", "delete"),
+        # multi-version entity — stays on the sweep
+        (5, "e1", "2024-01-01", None, "2024-01-01 00:00:01", "put"),
+        (5, "e2", "2024-01-15", None, "2024-02-01 00:00:01", "put"),
+        (5, "e3", "2024-01-10", "2024-01-20", "2024-03-01 00:00:01", "put"),
+    ]
+    ev = events_df(spark, rows)
+    grouped = _rect_set(polygon_history(ev, ["value"]))
+    streamed = _rect_set(polygon_history_streamed(ev, ["value"],
+                                                  batch_rows=4))
+    assert grouped == streamed
+    vals = {r[1] for r in grouped}           # (_iid, value, ...)
+    assert "a" in vals and "b" in vals       # singles present
+    assert "c" not in vals and "d" not in vals
+    # the single-version row is exactly one open-system-end rectangle
+    a_rects = [r for r in grouped if r[1] == "a"]
+    assert len(a_rects) == 1 and a_rects[0][5] == "None"
+
+
 def test_polygon_streamed_million_version_iid_bounded(spark):
     """The hot-iid scale gate: ONE entity with 10⁶ versions sweeps
     through the streaming path in bounded arrow batches — working
