@@ -297,10 +297,15 @@ def test_star_exclude_and_from_first_run(spark, tmp_path):
     rewrite_and_run(xt, "INSERT INTO ft RECORDS "
                         "{_id: 1, a: 10, b: 'x'}, {_id: 2, a: 20, b: 'y'}")
     rows = rewrite_and_run(
-        xt, "SELECT * EXCLUDE (_id, _iid) RENAME (a AS av) FROM ft "
+        xt, "SELECT * EXCLUDE (_id) RENAME (a AS av) FROM ft "
             "ORDER BY av").collect()
     assert [set(r.asDict()) for r in rows] == [{"b", "av"}] * 2
     assert [r["av"] for r in rows] == [10, 20]
+
+    # `_iid` is internal — SELECT * through SQL never exposes it
+    # (reference sql.clj table-info: star expands to _id + doc cols)
+    star = rewrite_and_run(xt, "SELECT * FROM ft").columns
+    assert "_iid" not in star and "_id" in star
 
     rows = rewrite_and_run(
         xt, "FROM ft WHERE a > 5 GROUP BY b "

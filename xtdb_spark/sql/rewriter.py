@@ -767,6 +767,22 @@ class _Rewriter:
         parts.append(self._take()[1])
         return "".join(parts)
 
+    def _visible(self, df):
+        """Project a scan down to its SQL-visible columns. `_iid` is
+        the engine's internal id hash (reference: an implementation
+        detail of the live index, never a user column — its `SELECT *`
+        expands to `_id` + document columns only, sql.clj table-info),
+        so SQL scan views always drop it. `store.hide_id = True`
+        additionally hides `_id` — the SLT harness runs sqlite scripts
+        whose `SELECT *` must not see xtdb's id column, exactly the
+        reference adapter's table-info `_id` removal
+        (xtdb_engine.clj:46-52)."""
+        drop = ["_iid"]
+        if getattr(self.xt.store, "hide_id", False):
+            drop.append("_id")
+        drop = [c for c in drop if c in df.columns]
+        return df.drop(*drop) if drop else df
+
     def _table_ref(self) -> bool:
         """Parse one table reference after FROM/JOIN/','.  Emits either
         the substituted view or the original span verbatim.  Returns
@@ -843,7 +859,7 @@ class _Rewriter:
             return flush_verbatim(True)
         view = f"xt__{table.replace('.', '_')}__{bounds.view_suffix()}"
         view = re.sub(r"\W", "_", view)
-        df = scan_with_bounds(self.xt.store, table, bounds)
+        df = self._visible(scan_with_bounds(self.xt.store, table, bounds))
         df.createOrReplaceTempView(view)
         self._scan_refs.append({"table": table, "bounds": bounds,
                                 "view": view, "alias": eff_alias,
@@ -938,6 +954,7 @@ class _Rewriter:
             except Exception:
                 continue          # temporal/unknown column etc. —
                 #                   the plain view stays registered
+            df = self._visible(df)
             uview = f"{r['view']}__pf{next(_PF_SEQ)}"
             df.createOrReplaceTempView(uview)
             self.out[r["out_idx"]] = self.out[r["out_idx"]].replace(

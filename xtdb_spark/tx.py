@@ -230,6 +230,20 @@ class TableStore:
         # trie-catalog role (reference trie_catalog.clj: per-trie
         # temporal bounds consulted before opening leaves)
         self._footer_cache: dict[str, tuple[tuple[int, float], object]] = {}
+        # serving-mode current-state scan cache (reference LiveIndex /
+        # live trie: a node SERVING many point queries keeps the
+        # resolved current state hot rather than re-planning the
+        # events scan per query). Opt-in (`serve_cache = True`):
+        # plain current-state scans return one `.cache()`d DataFrame
+        # per table, keyed by the table's live file set, so repeated
+        # queries skip manifest reads + visibility resolution
+        # (~250 ms/query at the SLT scale). Any tx to the table
+        # changes the file set, so the next scan rebuilds; the stale
+        # entry is unpersisted. DataFrames stay distributed — this
+        # caches the PLAN + Spark block-manager state, nothing is
+        # collected to the driver.
+        self.serve_cache = False
+        self._scan_cache: dict[str, tuple[object, object]] = {}
         # crash recovery: quarantine files of unfinished transactions
         # (journal entries with no committed ledger record)
         self._recover_journal()
@@ -1900,6 +1914,28 @@ class TableStore:
         2%). The reference injects its bloom pushdown automatically
         the same way (join.clj:172-226). "force" (default) always
         applies it — existing callers unchanged."""
+        if (self.serve_cache and prefilter is None and valid_time is None
+                and system_time is None and not all_valid_time
+                and not all_system_time):
+            p = self._path(table)
+            cl0, cents = compactor.live_files(p)
+            tok = (tuple(sorted(cl0)),
+                   tuple(sorted(str(e) for e in cents)))
+            hit = self._scan_cache.get(table)
+            if hit is not None and hit[0] == tok:
+                return hit[1]
+            self.serve_cache = False     # recurse through the normal
+            try:                         # build path exactly once
+                df = self.scan(table).cache()
+            finally:
+                self.serve_cache = True
+            if hit is not None:
+                try:
+                    hit[1].unpersist()
+                except Exception:
+                    pass
+            self._scan_cache[table] = (tok, df)
+            return df
         path = self._path(table)
         l0, entries = compactor.live_files(path)
         if not l0 and not entries and os.path.isdir(path):
