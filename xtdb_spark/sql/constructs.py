@@ -209,6 +209,92 @@ def _quote_date_trunc(sql: str) -> str:
     return "".join(out)
 
 
+_AGG_FNS = {
+    "SUM", "COUNT", "AVG", "MIN", "MAX", "STDDEV", "STDDEV_POP",
+    "STDDEV_SAMP", "VAR_POP", "VAR_SAMP", "VARIANCE", "ARRAY_AGG",
+    "BOOL_AND", "BOOL_OR", "EVERY", "ANY_VALUE", "LISTAGG",
+    "STRING_AGG", "PERCENTILE_CONT", "PERCENTILE_DISC",
+}
+
+_WORD_OR_PUNCT = re.compile(
+    r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[A-Za-z_]\w*|.", re.DOTALL)
+
+
+def _select_items(sel: str) -> list[tuple[str, bool]]:
+    """Split a projection list on top-level commas; per item, flag
+    whether it contains an aggregate-function call OUTSIDE any nested
+    subquery (a `(SELECT …)`/`(FROM …)` group — aggs in there belong
+    to the subquery, not this block) and not governed by OVER."""
+    items: list[tuple[str, bool]] = []
+    cur: list[str] = []
+    cur_agg = False
+    depth = 0
+    sub_depths: list[int] = []    # depths at which a subquery started
+    toks = _WORD_OR_PUNCT.findall(sel)
+    for j, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+            k = j + 1
+            while k < len(toks) and toks[k].strip() == "":
+                k += 1
+            if k < len(toks) and toks[k].upper() in ("SELECT", "FROM"):
+                sub_depths.append(depth)
+        elif t == ")":
+            if sub_depths and sub_depths[-1] == depth:
+                sub_depths.pop()
+            depth -= 1
+        elif t == "," and depth == 0:
+            items.append(("".join(cur).strip(), cur_agg))
+            cur, cur_agg = [], False
+            continue
+        elif (not sub_depths and t.upper() in _AGG_FNS):
+            k = j + 1
+            while k < len(toks) and toks[k].strip() == "":
+                k += 1
+            if k < len(toks) and toks[k] == "(":
+                cur_agg = True
+        cur.append(t)
+    if cur:
+        items.append(("".join(cur).strip(), cur_agg))
+    return items
+
+
+_TRAIL_ALIAS_RE = re.compile(
+    r"\s+(?:AS\s+)?([A-Za-z_]\w*|\"(?:[^\"]|\"\")*\")\s*$",
+    re.IGNORECASE)
+
+
+def _implicit_group_by(sel: str) -> str | None:
+    """Non-aggregated projection expressions of a mixed
+    aggregate/plain SELECT list (alias stripped) — the implicit
+    grouping key; None when the list has no aggregates (plain
+    projection) or only aggregates (global aggregate)."""
+    if re.search(r"\bOVER\b", sel, re.IGNORECASE):
+        return None               # window aggregates don't group
+    items = _select_items(sel)
+    if not any(agg for _, agg in items):
+        return None
+    plain = [e for e, agg in items if not agg]
+    if not plain:
+        return None
+    keys = []
+    for e in plain:
+        m = _TRAIL_ALIAS_RE.search(e)
+        # strip a trailing [AS] alias — but not a bare column's own
+        # final identifier (`c.c_name` ends in an ident with no
+        # preceding expression separator; only strip when what
+        # remains is non-empty and doesn't end in `.`/an operator)
+        if m:
+            head = e[:m.start()].strip()
+            if head and not head.endswith((".", ",", "(", "+", "-",
+                                           "*", "/", "|", "=")):
+                if m.group(0).upper().strip().startswith("AS ") or \
+                        not re.fullmatch(r"[\w.\"]+", e.strip()):
+                    e = head
+        keys.append(e)
+    return ", ".join(keys)
+
+
 def translate(sql: str) -> str:
     """Translate XTDB constructs to Spark SQL; no-op (same string)
     when none are present."""
@@ -887,6 +973,14 @@ class _Translator:
                 self.postfix = False
                 sel = self._walk(closers=(")",),
                                  stop_words=_FF_STOPS).strip()
+                if group is None:
+                    # XTDB's implicit GROUP BY (reference plan
+                    # semantics; e.g. its own tpch q05/q10/q13/q21/q22
+                    # texts): a projection mixing aggregate calls with
+                    # plain columns groups by the non-aggregated
+                    # expressions — Spark requires the clause spelled
+                    # out, so synthesize it
+                    group = _implicit_group_by(sel)
                 if rel is None:
                     rel = f"SELECT {sel} FROM {from_text}" + _where_suffix()
                     conds = []

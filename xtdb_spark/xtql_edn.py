@@ -145,8 +145,11 @@ class _Reader:
         # tagged literal: #inst "...", #uuid "..."
         tag = self._symbol_text()
         value = self.read()
-        if tag in ("inst", "uuid"):
-            return value  # keep the string payload
+        if tag in ("inst", "uuid") or tag.startswith("xt/"):
+            # #inst/#uuid and the reference's #xt/date, #xt/zdt,
+            # #xt/zone … printer tags (reference time literals,
+            # serde): keep the string payload — callers normalize
+            return value
         raise ValueError(f"unknown edn tag #{tag}")
 
     def _set(self):
