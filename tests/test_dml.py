@@ -284,3 +284,25 @@ def test_dml_returning_over_pgwire(xt):
         c.close()
     finally:
         srv.stop()
+
+
+def test_put_batch_duplicate_id_last_wins(xt):
+    """Within-tx later-op-wins (reference tx op ordering; the golden
+    TPC-H results depend on it — sf0.001 partsupp has duplicate
+    composite keys and the reference keeps the LAST)."""
+    xt.store.put("dup", [{"_id": 1, "v": "first"},
+                         {"_id": 2, "v": "only"},
+                         {"_id": 1, "v": "second"},
+                         {"_id": 1, "v": "third"}])
+    assert state(xt, "dup") == [(1, "third"), (2, "only")]
+    # the shadowed events never existed at any system time
+    assert xt.scan("dup", all_system_time=True).count() == 2
+
+
+def test_put_batch_duplicate_id_last_wins_spark_fallback(xt):
+    """Same semantics when the batch falls back to the Spark write
+    path (nested values bypass the pyarrow fast path)."""
+    xt.store.put("dupn", [{"_id": 1, "v": {"a": 1}},
+                          {"_id": 1, "v": {"a": 2}}])
+    rows = xt.scan("dupn").collect()
+    assert len(rows) == 1 and rows[0]["v"]["a"] == 2

@@ -829,9 +829,37 @@ class TableStore:
 
     # ---- tx ops (reference tx_ops.clj) ----
 
+    @staticmethod
+    def _dedupe_put_batch(rows):
+        """Within-tx later-op-wins (reference tx semantics: ops in a
+        transaction apply in order, so a second put of the same `_id`
+        supersedes the first — tx_ops.clj op list ordering; verified
+        against the reference's own TPC-H golden results, whose
+        sf0.001 partsupp has 100 duplicate composite keys and matches
+        keep-LAST). A put batch shares one valid range, so the
+        earlier duplicate is never visible at any (valid, system)
+        point — dropping it at write time is exact and removes the
+        same-`_system_from` window tie from every later scan.
+        DataFrame inputs are left alone: distributed rows have no
+        defined intra-batch order to win by."""
+        if not isinstance(rows, list) or not rows \
+                or not all(isinstance(r, dict) and "_id" in r for r in rows):
+            return rows
+        try:
+            last = {}
+            for i, r in enumerate(rows):
+                last[r["_id"]] = i
+        except TypeError:        # unhashable id → Spark path decides
+            return rows
+        if len(last) == len(rows):
+            return rows
+        keep = set(last.values())
+        return [r for i, r in enumerate(rows) if i in keep]
+
     def put(self, table, rows, valid_from=None, valid_to=None, system_from=None):
         from xtdb_spark import tracing
 
+        rows = self._dedupe_put_batch(rows)
         with tracing.span("xtdb.tx", kind="put",
                           table=table), self._ipc_lock():
             st = system_from or self._next_system_time()
