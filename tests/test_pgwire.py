@@ -666,7 +666,9 @@ def test_binary_parameter_format(xt, client):
     assert rows[0][0] == b"42"
     assert rows[0][1] == b"2.5"
     assert rows[0][2] == b"t"
-    assert rows[0][3] == b"2024-03-01 12:00:00"
+    # CAST AS TIMESTAMP is an instant → timestamptz text carries
+    # the explicit UTC offset
+    assert rows[0][3] == b"2024-03-01 12:00:00+00"
 
     # mixed: binary int8 + text string
     _, rows = client.prepared_fmt(
@@ -772,7 +774,7 @@ def test_begin_read_only_with_basis_options(xt, client):
     res, _ = client.query("SELECT name FROM txb ORDER BY _id")
     assert res[0][1] == [["v1"]]           # pinned: pre-write state
     res, _ = client.query("SELECT current_timestamp AS ts")
-    assert res[0][1] == [["2024-05-04 12:00:00"]]
+    assert res[0][1] == [["2024-05-04 12:00:00+00"]]
     # repeatable across statements, even after ANOTHER write
     xt.store.put("txb", [{"_id": 3, "name": "late"}])
     res, _ = client.query("SELECT COUNT(*) AS n FROM txb")
@@ -843,8 +845,10 @@ def test_set_time_zone_honored_in_evaluation(client):
     from datetime import datetime, timedelta, timezone
 
     def now_ts():
+        # timestamptz text carries an explicit offset; the WALL CLOCK
+        # (offset dropped) is what must follow the session zone
         res, _ = client.query("SELECT current_timestamp AS ts")
-        return datetime.fromisoformat(res[0][1][0][0])
+        return datetime.fromisoformat(res[0][1][0][0]).replace(tzinfo=None)
 
     utc0 = now_ts()
     assert abs((utc0 - datetime.now(timezone.utc).replace(tzinfo=None))
@@ -914,15 +918,58 @@ def test_session_zone_is_rendering_only_not_evaluation(xt, client):
     client.query("INSERT INTO zdml (_id, ts) VALUES (1, NOW())")
     client.query("SET TIME ZONE 'UTC'")
     res, _ = client.query("SELECT ts FROM zdml WHERE _id = 1")
-    stored = datetime.fromisoformat(res[0][1][0][0])
+    aware = datetime.fromisoformat(res[0][1][0][0])
+    assert aware.utcoffset().total_seconds() == 0     # UTC session → +00
+    stored = aware.replace(tzinfo=None)
     assert abs((stored - utc).total_seconds()) < 300
 
     # rendering shift applies to STORED timestamps too (timestamptz
     # semantics): the same row reads 5.5 h later under the zone
     client.query("SET TIME ZONE '+05:30'")
     res, _ = client.query("SELECT ts FROM zdml WHERE _id = 1")
-    shifted = datetime.fromisoformat(res[0][1][0][0])
+    aware = datetime.fromisoformat(res[0][1][0][0])
+    # wall clock shifts; the offset is declared; the INSTANT is equal
+    assert aware.utcoffset() == timedelta(hours=5, minutes=30)
+    shifted = aware.replace(tzinfo=None)
     assert abs((shifted - stored).total_seconds() - 5.5 * 3600) < 5
+    assert aware.astimezone(timezone.utc).replace(tzinfo=None) == stored
+    client.query("SET TIME ZONE 'UTC'")
+
+
+def test_timestamptz_oid_offset_and_dst(xt, client):
+    """Zone-rendered timestamps are declared timestamptz (oid 1184)
+    with an explicit per-value UTC offset (round-9 ADVICE): a client
+    reading then re-writing a value can never silently shift the
+    instant, and values on both sides of a DST transition render at
+    their own offset — January is -05 under America/New_York while
+    July is -04 (postgres per-value semantics, not today's offset)."""
+    import struct as _struct
+    from datetime import datetime, timezone
+
+    xt.store.put("dstt", [
+        {"_id": 1, "ts": datetime(2024, 1, 15, 12, 0, 0)},   # EST
+        {"_id": 2, "ts": datetime(2024, 7, 15, 12, 0, 0)},   # EDT
+    ])
+    res, _ = client.query("SELECT ts FROM dstt ORDER BY _id")
+    cols, rows = res[0]
+    assert cols[0][1] == 1184                       # timestamptz
+    assert rows[0][0].endswith("+00") and rows[1][0].endswith("+00")
+
+    client.query("SET TIME ZONE 'America/New_York'")
+    res, _ = client.query("SELECT ts FROM dstt ORDER BY _id")
+    jan, jul = res[0][1][0][0], res[0][1][1][0]
+    assert jan == "2024-01-15 07:00:00-05"          # EST wall clock
+    assert jul == "2024-07-15 08:00:00-04"          # EDT wall clock
+    # both decode back to the same stored instants
+    assert datetime.fromisoformat(jan).astimezone(timezone.utc)         .replace(tzinfo=None) == datetime(2024, 1, 15, 12, 0, 0)
+
+    # BINARY timestamptz is the UTC instant — session zone never
+    # shifts it (postgres binary timestamptz is zone-independent)
+    _, raw = client.prepared_fmt(
+        "SELECT ts FROM dstt WHERE _id = 1", params=[], rfmts=[1])
+    (us,) = _struct.unpack(">q", raw[0][0])
+    assert us == int((datetime(2024, 1, 15, 12) - datetime(2000, 1, 1))
+                     .total_seconds() * 1_000_000)
     client.query("SET TIME ZONE 'UTC'")
 
 

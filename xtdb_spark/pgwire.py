@@ -59,7 +59,11 @@ _OID = {
     "bigint": 20, "int": 23, "smallint": 21, "tinyint": 21,
     "double": 701, "float": 700, "decimal": 1700,
     "string": 25, "boolean": 16,
-    "timestamp_ntz": 1114, "timestamp": 1114, "date": 1082,
+    # Spark `timestamp` is an INSTANT (TIMESTAMP WITH LOCAL TIME
+    # ZONE) → timestamptz 1184, rendered with an explicit UTC offset
+    # like postgres/the reference; only `timestamp_ntz` is the
+    # zone-independent 1114 (never shifted, no offset)
+    "timestamp_ntz": 1114, "timestamp": 1184, "date": 1082,
     "binary": 17,
 }
 _JSON_OID = 114
@@ -118,7 +122,9 @@ def _binary_encode(v: Any, oid: int) -> bytes:
         return struct.pack(">d", float(v))
     if oid == 17:
         return bytes(v)
-    if oid == 1114 and isinstance(v, _dt.datetime):
+    if oid in (1114, 1184) and isinstance(v, _dt.datetime):
+        # binary timestamptz IS the UTC instant (postgres stores
+        # timestamptz zone-independently) — never session-shifted
         d = v.replace(tzinfo=None) - _PG_EPOCH
         return struct.pack(
             ">q", (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds)
@@ -145,7 +151,7 @@ def _binary_param_text(b: bytes, oid: int) -> str:
         return repr(struct.unpack(">d", b)[0])
     if oid == 17:
         return "\\x" + b.hex()
-    if oid == 1114:
+    if oid in (1114, 1184):
         (us,) = struct.unpack(">q", b)
         return (_PG_EPOCH + _dt.timedelta(microseconds=us)) \
             .isoformat(sep=" ")
@@ -310,6 +316,46 @@ def _zone_delta(zone: str):
         return _dt.datetime.now(ZoneInfo(z)).utcoffset()
     except Exception:
         return None
+
+
+def _zone_renderer(zone: str | None):
+    """Session zone → callable (naive-UTC datetime → utcoffset
+    timedelta) for timestamptz TEXT rendering. Unlike _zone_delta
+    (one session-level offset, used for the CURRENT_DATE wall clock —
+    correct by definition at now's instant), this resolves IANA zones
+    PER VALUE, so rows on the other side of a DST transition render
+    at their own offset, exactly as postgres does. Returns the UTC
+    renderer for no/unknown zone."""
+    _utc = lambda v: _ZERO_OFF                            # noqa: E731
+    z = (zone or "").strip().strip("'\"")
+    if not z or z.upper() in ("UTC", "GMT", "ETC/UTC"):
+        return _utc
+    m = _ZONE_OFFSET_RE.match(z)
+    if m:
+        fixed = _zone_delta(z)
+        return lambda v: fixed
+    try:
+        from zoneinfo import ZoneInfo
+
+        zi = ZoneInfo(z)
+    except Exception:
+        return _utc
+    return lambda v: v.replace(tzinfo=_dt.timezone.utc) \
+        .astimezone(zi).utcoffset()
+
+
+_ZERO_OFF = _dt.timedelta(0)
+
+
+def _render_tstz(v: "_dt.datetime", off: "_dt.timedelta") -> str:
+    """Postgres text format for timestamptz: the zone-local wall
+    clock followed by its explicit UTC offset (`+05`, `-04:30`) —
+    the value itself stays the UTC instant."""
+    mins = int(off.total_seconds()) // 60
+    sign = "+" if mins >= 0 else "-"
+    hh, mm = divmod(abs(mins), 60)
+    suffix = f"{sign}{hh:02d}" + (f":{mm:02d}" if mm else "")
+    return (v + off).isoformat(sep=" ") + suffix
 
 
 class _Conn:
@@ -570,14 +616,13 @@ class _Conn:
         `max_rows` rows when non-zero (the iterator keeps its
         position for the next Execute).
 
-        Timestamp values render in the SESSION ZONE here — at the
-        wire boundary only, like postgres renders timestamptz. The
-        stored/evaluated value stays the naive-UTC instant; the
-        shift is pure display (see _apply_session_zone)."""
-        zone = self.settings.get("timezone")
-        zd = None
-        if zone and zone.upper() not in ("UTC", "GMT", "ETC/UTC"):
-            zd = _zone_delta(zone)
+        Timestamptz (oid 1184) TEXT values render in the SESSION
+        ZONE with their explicit per-value UTC offset — at the wire
+        boundary only, like postgres; binary 1184 and 1114 (ntz)
+        values are never shifted. The stored/evaluated value stays
+        the naive-UTC instant; the shift is pure display (see
+        _apply_session_zone)."""
+        zr = _zone_renderer(self.settings.get("timezone"))
         n = 0
         batch = []
         for row in rows:
@@ -586,11 +631,12 @@ class _Conn:
                 if v is None:
                     payload += struct.pack(">i", -1)
                     continue
-                if zd is not None and oid == 1114 \
-                        and isinstance(v, _dt.datetime):
-                    v = v + zd
-                b = _binary_encode(v, oid) if fmt == 1 \
-                    else (_text(v) or "").encode()
+                if fmt == 1:
+                    b = _binary_encode(v, oid)
+                elif oid == 1184 and isinstance(v, _dt.datetime):
+                    b = _render_tstz(v, zr(v)).encode()
+                else:
+                    b = (_text(v) or "").encode()
                 payload += struct.pack(">i", len(b)) + b
             batch.append(b"D" + struct.pack(">i", len(payload) + 4) + payload)
             n += 1

@@ -208,7 +208,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
                        bits: int = 64,
-                       max_band_df: int | None = None) -> DataFrame:
+                       max_band_df: int | None = 200) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole-block on the
     fingerprint's max_hamming+1 bit bands (hamming ≤ h over h+1
     bands ⇒ ≥1 band equal), verify Hamming distance with bit_count.
@@ -221,9 +221,10 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     degenerate-corpus guard on top (the phash/audio cap): a band
     value shared by more docs than the cap is dropped before the
     join — that hot a band means a giant exact/near-identical
-    cluster, which exact dedup already handles. Default None =
-    exhaustive recall; pass the cap explicitly at scale (the gate
-    entry uses 200)."""
+    cluster, which exact dedup already handles. The library DEFAULT
+    is the capped mode (200 — a degenerate corpus can't go quadratic
+    by accident); exhaustive recall is the explicit opt-in
+    (max_band_df=None)."""
     nb = max_hamming + 1
     width = bits // nb
     sh = simhash(docs, id_col, text_col, bits=bits)
@@ -427,7 +428,7 @@ def span_pairs(docs: DataFrame, w: int = 12) -> DataFrame:
 def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
                    id_col: str = "media_id",
                    hash_col: str = "phash",
-                   max_band_df: int | None = None) -> DataFrame:
+                   max_band_df: int | None = 200) -> DataFrame:
     """Near-duplicate IMAGE pairs from 64-bit perceptual hashes
     (multimodal.phash_images) — the same pigeonhole blocking as the
     SimHash text path (simhash_duplicates): split the hash into
@@ -444,8 +445,8 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
     would otherwise make one bucket O(n²). Any hash that common is
     exact-duplicate territory (`exact_duplicates` handles it); a pair
     is only missed if EVERY band it agrees on is that hot. The
-    DEFAULT is None — exhaustive recall, no silent drops; pass a cap
-    explicitly at scale (the pipeline gate entries use 200)."""
+    library DEFAULT is the capped mode (200); exhaustive recall is
+    the explicit opt-in (max_band_df=None)."""
     nb = max_hamming + 1
     width = 64 // nb
     h = F.col(hash_col)
@@ -521,7 +522,7 @@ def near_dup_audio(fps: DataFrame, min_ratio: float = 0.35,
 def near_dup_video(frame_hashes: DataFrame, max_hamming: int = 3,
                    min_ratio: float = 0.5,
                    id_col: str = "media_id",
-                   max_band_df: int | None = None) -> DataFrame:
+                   max_band_df: int | None = 200) -> DataFrame:
     """Near-duplicate VIDEO pairs: frame-level banded Hamming match
     (near_dup_phash over the sampled-frame dHashes,
     multimodal.video_fingerprints), then a clip-level vote — the

@@ -25,7 +25,9 @@ _PG_TYPE_MAP = {
     "bigint": ("int8", 20), "int": ("int4", 23), "smallint": ("int2", 21),
     "double": ("float8", 701), "float": ("float4", 700),
     "string": ("text", 25), "boolean": ("bool", 16),
-    "timestamp": ("timestamp", 1114), "timestamp_ntz": ("timestamp", 1114),
+    # Spark `timestamp` is an instant → pg timestamptz (matches the
+    # pgwire RowDescription oid); only ntz is plain timestamp
+    "timestamp": ("timestamptz", 1184), "timestamp_ntz": ("timestamp", 1114),
     "date": ("date", 1082), "binary": ("bytea", 17),
 }
 

@@ -83,14 +83,19 @@ LAST_PREFILTERS: list = []
 
 
 def _pf_evict(spark, new_view: str) -> None:
+    """Record `new_view` (registered on `spark`) and drop the oldest
+    views past the cap — each on its OWNING session: temp views live
+    in a per-SparkSession catalog, so dropping an evictee via the
+    new view's session would silently leak views registered by other
+    sessions."""
     with _PF_LOCK:
-        _PF_VIEWS.append(new_view)
+        _PF_VIEWS.append((spark, new_view))
         stale = []
         while len(_PF_VIEWS) > _PF_VIEW_CAP:
             stale.append(_PF_VIEWS.popleft())
-    for v in stale:
+    for owner, v in stale:
         try:
-            spark.catalog.dropTempView(v)
+            owner.catalog.dropTempView(v)
         except Exception:
             pass
 

@@ -1799,8 +1799,13 @@ class TableStore:
         (frac 1.0), biasing AGAINST injection."""
         import pyarrow.parquet as pq
 
+        # INTEGER keys only: the per-key point mass 1/(max-min+1)
+        # assumes an integer-dense domain — for float columns with
+        # fractional ranges (min 0.0, max 0.9) the denominator is ~the
+        # raw range and the estimate is arbitrary relative to the
+        # injection threshold, so floats return None (skip injection)
         if not keys or not all(
-                isinstance(k, (int, float)) and not isinstance(k, bool)
+                isinstance(k, int) and not isinstance(k, bool)
                 for k in keys):
             return None
         fs = sorted(files or [])
