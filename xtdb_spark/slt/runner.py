@@ -156,9 +156,12 @@ class SltEngine:
                 self.pending.setdefault(table, []).extend(rows)
                 return
         # everything else (INSERT…SELECT, DELETE, UPDATE, …) runs
-        # verbatim through the SQL surface
+        # through the SQL surface (with the same int-div dialect
+        # rewrite queries get)
+        from xtdb_spark.slt.intdiv import rewrite_int_div
+
         self.flush()
-        self.xt.sql(statement)
+        self.xt.sql(rewrite_int_div(statement))
 
     def _parse_insert(self, m) -> list[dict] | None:
         table = m.group(1).lower()
@@ -263,12 +266,14 @@ class SltEngine:
     # ------------------------------------------------------- queries
 
     def execute_query(self, query: str) -> list[list]:
+        from xtdb_spark.slt.intdiv import rewrite_int_div
+
         self.flush()
         self._register_views(query)
         st = self.xt.store
         st.hide_id = True
         try:
-            df = self.xt.sql(query)
+            df = self.xt.sql(rewrite_int_div(query))
             return [list(r) for r in df.collect()]
         finally:
             st.hide_id = False
@@ -277,12 +282,15 @@ class SltEngine:
         if not self.views:
             return
         words = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", query)}
+        from xtdb_spark.slt.intdiv import rewrite_int_div
+
         for name, vsql in self.views.items():
             if name in words:
                 st = self.xt.store
                 st.hide_id = True
                 try:
-                    self.xt.sql(vsql).createOrReplaceTempView(name)
+                    self.xt.sql(rewrite_int_div(vsql)) \
+                        .createOrReplaceTempView(name)
                 finally:
                     st.hide_id = False
 
@@ -440,6 +448,13 @@ def run_files(spark, paths: list[str], threads: int = 8,
         idx, path = idx_path
         sess = spark.newSession()
         sess.conf.set("spark.sql.shuffle.partitions", "1")
+        # non-ANSI evaluation for the sqlite corpus: a malformed
+        # numeric cast yields NULL instead of aborting the query —
+        # the closest Spark gets to the reference's dynamic typing
+        # (its kernels dispatch per runtime type; Spark's static
+        # coercion inserts string→double casts that'd otherwise
+        # hard-error on text like 'oxkuv' in arithmetic context)
+        sess.conf.set("spark.sql.ansi.enabled", "false")
         wh = os.path.join(root, f"s{idx}")
         xt = XtdbSession(sess, wh)
         try:

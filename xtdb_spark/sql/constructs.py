@@ -410,6 +410,15 @@ class _Translator:
                     expr_start = None
                     last_sig = ""
                     continue
+            if kind == "punct" and text == "+" and not self.postfix:
+                # UNARY plus is identity in the reference for ANY
+                # operand type (sql.clj:1409 visitUnaryPlusExpr
+                # returns the inner expr unchanged) — drop it, so
+                # `+ text_col` stays the string instead of Spark's
+                # implicit numeric cast. Binary + (postfix context)
+                # is untouched.
+                self._next()
+                continue
             if kind == "punct" and text == "{":
                 if not self.postfix:
                     expr_start = len(parts)
@@ -1352,7 +1361,11 @@ class _Translator:
         depth = 0
         typ_parts: list[str] = []
         while self.i < len(self.toks):
-            k, t = self._peek()
+            # raw current token, NOT _peek() (which skips whitespace
+            # without advancing — pairing it with _next() here left a
+            # space-separated closing paren unconsumed, so spaced
+            # `CAST ( x AS t )` re-emitted the `)` twice)
+            k, t = self.toks[self.i]
             if k == "punct" and t == ")" and depth == 0:
                 self._next()
                 break

@@ -595,16 +595,46 @@ class _Rewriter:
 
     # -- main walk
 
+    # clause keywords that END a FROM list — a top-level comma after
+    # one of these is a projection/expression comma, not another
+    # table ref. ON/AND/OR are NOT enders: `JOIN b ON cond, c` is a
+    # valid FROM-list continuation (the SLT corpus uses it heavily)
+    # and expression commas can only occur inside parens/brackets.
+    _FROM_ENDERS = {
+        "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+        "FETCH", "UNION", "INTERSECT", "EXCEPT", "MINUS", "WINDOW",
+        "QUALIFY", "SELECT", "RETURNING",
+    }
+
     def run(self) -> tuple[str, list]:
         self._scan_refs: list = []
         self._ref_aliases: list = []
         self._setting_prefix()
+        # FROM-list context per paren depth: a comma at a depth whose
+        # FROM list is still open starts another table ref (`FROM a
+        # JOIN b ON c, d` / `CROSS JOIN b, c` — the main walk is back
+        # in control by then, so _table_ref_list alone can't see it)
+        depth = 0
+        from_depths: set[int] = set()
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind == "word" and text.upper() in ("FROM", "JOIN"):
+                from_depths.add(depth)
                 self.out.append(self._take()[1])
                 self._table_ref_list(single=(text.upper() == "JOIN"))
             else:
+                if kind == "word" and text.upper() in self._FROM_ENDERS:
+                    from_depths.discard(depth)
+                elif kind == "punct":
+                    if text in ("(", "["):
+                        depth += 1
+                    elif text in (")", "]"):
+                        from_depths.discard(depth)
+                        depth -= 1
+                    elif text == "," and depth in from_depths:
+                        self.out.append(self._take()[1])
+                        self._table_ref()
+                        continue
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
         self._inject_auto_prefilters()
@@ -814,6 +844,21 @@ class _Rewriter:
 
         cap_skip_ws()
         kind, text = self._peek()
+        if kind == "punct" and text == "(":
+            # parenthesized JOIN relation — `FROM ( t1 AS a CROSS
+            # JOIN t2 b )` (SQL-92 <parenthesized joined table>; the
+            # SLT corpus uses it heavily): the FIRST table inside the
+            # parens is a table ref too (the later ones re-enter via
+            # their JOIN keywords in the main walk). `( SELECT …` /
+            # `( VALUES …` subqueries keep falling through verbatim.
+            nk, nt = self._peek(1)
+            if nk in ("word", "qident") and \
+                    (nk == "qident" or nt.upper() not in _NOT_TABLE_START):
+                cap_take()              # the (
+                self.out.append("".join(captured))
+                self._cap = None
+                return self._table_ref()
+            return flush_verbatim(False)
         if kind not in ("word", "qident") or \
                 (kind == "word" and text.upper() in _NOT_TABLE_START):
             # emit any whitespace we swallowed, let the walk continue
