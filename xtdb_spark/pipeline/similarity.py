@@ -422,19 +422,98 @@ def pq_adc_topk(encoded: DataFrame, queries: DataFrame, books: list,
     code table; per pair the codebook lookup is `element_at` into
     literal arrays — JVM-side, no LUT join. Returns (q_id, nn_id,
     approx_d2, rnk ≤ k)."""
+    pairs = F.broadcast(queries).crossJoin(encoded)
+    d2 = _adc_d2(F.col(q_vec_col), F.col("codes"), books, dim)
+    w = Window.partitionBy(q_id_col).orderBy(F.round(F.col("approx_d2"), 6),
+                                             F.col(id_col))
+    return (pairs.select(q_id_col, id_col,
+                         F.round(d2, 6).alias("approx_d2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def _adc_d2(q_vec: Column, codes: Column, books: list, dim: int) -> Column:
+    """Asymmetric PQ distance: approx ||q - x||² = Σ_m ||q_sub_m -
+    centroid(code_m)||², codebooks inlined as literal arrays
+    (element_at lookup — JVM-side, no LUT join). Shared by the flat
+    ADC scan and the IVF-PQ probed scan."""
     m = len(books)
     ds = dim // m
-    pairs = F.broadcast(queries).crossJoin(encoded)
     terms = []
     for mi in range(m):
         cents = F.array(*[F.array(*[F.lit(x) for x in cv])
                           for cv in books[mi]])
-        cv = F.element_at(cents, F.element_at(F.col("codes"), mi + 1) + 1)
-        terms.append(l2sq(F.slice(F.col(q_vec_col), mi * ds + 1, ds), cv))
-    d2 = sum(terms[1:], terms[0])
-    w = Window.partitionBy(q_id_col).orderBy(F.round(F.col("approx_d2"), 6),
-                                             F.col(id_col))
-    return (pairs.select(q_id_col, id_col,
+        cv = F.element_at(cents, F.element_at(codes, mi + 1) + 1)
+        terms.append(l2sq(F.slice(q_vec, mi * ds + 1, ds), cv))
+    return sum(terms[1:], terms[0])
+
+
+def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+                   n_cells: int = 16, nprobe: int = 2, m: int = 8,
+                   kcode: int = 16, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                   dim: int | None = None, centroids: str = "kmeans",
+                   train_cap: int = 50_000, pq_train_cap: int = 2000,
+                   max_iter: int = 10) -> DataFrame:
+    """IVF-PQ — the FAISS-standard composition of the two existing
+    primitives (IVF coarse quantizer + product-quantized codes):
+
+    - corpus vectors assign to their nearest of `n_cells` centroids
+      (broadcast-numpy argmax, one pass, no shuffle);
+    - PQ codebooks train on the RESIDUALS (x − centroid) — the
+      identity ||q−x||² = ||(q−c)−(x−c)||² inside a cell means
+      residual ADC is exactly flat ADC, but residuals concentrate
+      near 0 so the same code budget quantizes finer (why FAISS
+      encodes residuals);
+    - queries probe `nprobe` cells and ADC-scan ONLY those cells'
+      codes via a cell equi-join — the scan is linear in the probed
+      fraction (~nprobe/n_cells of the corpus), not in the corpus,
+      which is the step that turns the flat-PQ linear scan into a
+      sublinear one at 100 TB.
+
+    Scale shape: centroids + codebooks are driver-side literals (a
+    few KB); the corpus is touched twice (assign, encode — both
+    single-pass, no amplification); search shuffles the code table
+    once on cell id. Returns (q_id, nn_id, approx_d2, rnk ≤ k)."""
+    c = corpus.select(F.col(id_col).alias("nn_id"),
+                      as_double_array(F.col(vec_col)).alias("v"))
+    if dim is None:
+        dim = c.select(F.size("v").alias("d")).first()["d"]
+    if centroids == "kmeans":
+        cents = ivf_centroids(c, n_cells, train_cap, max_iter)
+    else:
+        w_id = Window.orderBy("nn_id")
+        cents = (c.orderBy("nn_id").limit(n_cells)
+                 .select(F.row_number().over(w_id).alias("cell"),
+                         F.col("v").alias("cv")))
+    crows = sorted((r["cell"], r["cv"]) for r in cents.collect())
+    spark = c.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cl, [float(x) for x in cv]) for cl, cv in crows],
+        "cell int, cv array<double>")
+
+    residual = F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y)
+    cres = (_assign_cells(c, "nn_id", "v", crows, 1)
+            .join(F.broadcast(cents_df), "cell")
+            .withColumn("r", residual))
+    books = pq_codebooks(cres, dim, m=m, k=kcode, vec_col="r",
+                         train_cap=pq_train_cap, max_iter=max_iter)
+    enc = pq_encode(cres, books, dim, vec_col="r") \
+        .select("nn_id", "cell", "codes")
+
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       as_double_array(F.col(q_vec_col)).alias("qv"))
+    qres = (_assign_cells(q, "q_id", "qv", crows, nprobe)
+            .join(F.broadcast(cents_df), "cell")
+            .withColumn("qr", F.zip_with(F.col("qv"), F.col("cv"),
+                                         lambda x, y: x - y))
+            .select("q_id", "cell", "qr"))
+    pairs = qres.join(enc, "cell")
+    d2 = _adc_d2(F.col("qr"), F.col("codes"), books, dim)
+    w = Window.partitionBy("q_id").orderBy(F.round(F.col("approx_d2"), 6),
+                                           F.col("nn_id"))
+    return (pairs.select("q_id", "nn_id",
                          F.round(d2, 6).alias("approx_d2"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))

@@ -380,6 +380,24 @@ def ann_ivf(spark, sf_dir):
         .select("q_id", "nn_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
 
 
+@register("pipe_ann_ivfpq")  # rows-only: approximate by design
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (similarity.ann_ivfpq_topk) — the FAISS-standard
+    composition of the coarse quantizer and the product quantizer:
+    corpus residuals (x − cell centroid) are PQ-encoded, queries
+    probe nprobe cells and ADC-scan ONLY those cells' codes via a
+    cell equi-join. vs flat PQ (pipe_ann_pq) the scan is linear in
+    the probed fraction, not the corpus — the sublinear step that
+    matters at 100 TB. Head centroids keep the entry deterministic;
+    recall/latency A/B vs exact + flat PQ is in BENCH_NOTES."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_ivfpq_topk(c, q, n_cells=16, nprobe=4, m=8,
+                                     kcode=16, k=5, centroids="head")         .select("q_id", "nn_id", "approx_d2", "rnk")
+
+
 @register(
     "pipe_corpus_prep",
     rf"""

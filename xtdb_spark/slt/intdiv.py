@@ -54,12 +54,29 @@ _STOP_WORDS = {
 }
 
 
-def _div(left: str, right: str) -> str:
-    return (f"(CASE WHEN typeof({left}) IN {_INTS} "
-            f"AND typeof({right}) IN {_INTS} "
-            f"THEN CAST(CAST({left} AS BIGINT) DIV "
-            f"CAST({right} AS BIGINT) AS DOUBLE) "
-            f"ELSE ({left}) / ({right}) END)")
+def _fold_chain(head: str, steps: list[tuple[str, str, str]]) -> str:
+    """Fold a multiplicative chain left-to-right, truncating at each
+    `/` while the ALL-INT PREFIX holds (int-ness propagates through
+    * / % exactly like the reference's per-step type dispatch:
+    `a / b * c / d` truncates at both divisions iff every original
+    operand is integral). The prefix condition tests the ORIGINAL
+    operands' typeof, so the folded double intermediates don't mask
+    int-ness. Exact while values stay inside double's 2^53 integer
+    range. steps: (ws, op, operand-text)."""
+    val = f"({head})"
+    prefix = f"typeof({head}) IN {_INTS}"
+    for ws, op, t in steps:
+        t = t.strip()
+        p2 = f"{prefix} AND typeof({t}) IN {_INTS}"
+        if op == "/":
+            val = (f"(CASE WHEN {p2} "
+                   f"THEN CAST(CAST({val} AS BIGINT) DIV "
+                   f"CAST({t} AS BIGINT) AS DOUBLE) "
+                   f"ELSE ({val}) / ({t}) END)")
+        else:
+            val = f"(({val}) {op} ({t}))"
+        prefix = p2
+    return val
 
 
 class _DivRewriter:
@@ -179,9 +196,10 @@ class _DivRewriter:
         return None
 
     def _mult_chain(self) -> str | None:
-        left = self._atom()
-        if left is None:
+        head = self._atom()
+        if head is None:
             return None
+        steps: list[tuple[str, str, str]] = []
         while True:
             save = self.i
             ws = self._ws()
@@ -194,15 +212,16 @@ class _DivRewriter:
                 right = self._atom()
                 if right is None:
                     self.i = save
-                    return left
-                if t == "/":
-                    left = _div(left.strip(), right.strip()) \
-                        if left.strip() else left + ws + t + right
-                else:
-                    left = left + ws + t + right
+                    break
+                steps.append((ws, t, right))
                 continue
             self.i = save
-            return left
+            break
+        if not any(op == "/" for _, op, _ in steps) or not head.strip():
+            # untouched chains keep their original spelling (and
+            # their original Spark types)
+            return head + "".join(f"{ws}{op}{r}" for ws, op, r in steps)
+        return _fold_chain(head.strip(), steps)
 
     def run(self) -> str:
         out = []

@@ -455,6 +455,10 @@ def run_files(spark, paths: list[str], threads: int = 8,
         # coercion inserts string→double casts that'd otherwise
         # hard-error on text like 'oxkuv' in arithmetic context)
         sess.conf.set("spark.sql.ansi.enabled", "false")
+        # ansi=false also flips NULL IN (empty set) to legacy NULL;
+        # the spec (and the corpus, xtdb.test:133-143) requires FALSE
+        sess.conf.set("spark.sql.legacy.nullInEmptyListBehavior",
+                      "false")
         wh = os.path.join(root, f"s{idx}")
         xt = XtdbSession(sess, wh)
         try:
