@@ -612,3 +612,39 @@ def test_xt_derived_tables(spark, tmp_path):
     assert rewrite_and_run(
         xt, "SELECT count(*) AS n FROM xt.metrics_timers"
     ).collect()[0]["n"] == 0
+
+
+def test_from_list_registration_gaps(spark, tmp_path):
+    """Round-10 SLT-surfaced registration fixes: tables inside a
+    parenthesized FROM relation, and after a FROM-list comma that
+    follows a JOIN (with or without an intervening ON expression),
+    must all resolve."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("fa", [{"_id": 1, "x": 1}])
+    xt.store.put("fb", [{"_id": 2, "y": 2}])
+    xt.store.put("fc", [{"_id": 3, "z": 3}])
+
+    # parenthesized joined table: the FIRST table inside the parens
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM ( fa AS a CROSS JOIN fb b )"
+    ).collect()
+    assert r[0]["n"] == 1
+    # comma-continuation directly after a JOIN's table
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM fa CROSS JOIN fb, fc"
+    ).collect()
+    assert r[0]["n"] == 1
+    # comma-continuation after an ON expression
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n "
+            "FROM fa a JOIN fb b ON 1 IS NOT NULL, fc AS c"
+    ).collect()
+    assert r[0]["n"] == 1
+    # expression commas after the FROM list must NOT re-enter table
+    # parsing (GROUP/ORDER keywords end the list)
+    r = rewrite_and_run(
+        xt, "SELECT x, count(*) AS n FROM fa GROUP BY x, _id "
+            "ORDER BY x, n").collect()
+    assert r[0]["n"] == 1
