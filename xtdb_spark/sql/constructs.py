@@ -158,7 +158,12 @@ _NON_POSTFIX_WORDS = {
     "EXCEPT", "INTERSECT", "VALUES", "SET", "LIKE", "ILIKE", "BETWEEN",
     "IS", "RETURNING", "OVER", "PARTITION", "ORDER", "GROUP", "LIMIT",
     "OFFSET", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
-    "COALESCE", "RECORDS", "THEN", "END", "ANY", "SOME", "EXISTS",
+    # "END" does NOT belong here: CASE…END is an OPERAND, so what
+    # follows it is postfix context — `END + x` is binary (the SLT
+    # corpus random/groupby hits this; with END non-postfix the
+    # unary-plus identity drop ate the operator), and `END[i]` would
+    # be a subscript
+    "COALESCE", "RECORDS", "THEN", "ANY", "SOME", "EXISTS",
 }
 
 
