@@ -536,6 +536,24 @@ def test_simhash_hot_band_guard(spark):
     assert dedup.simhash_near_pairs(df, max_band_df=None).count() == 66
 
 
+def test_hot_band_cap_is_observable(spark, caplog):
+    """Round-11 ADVICE: capped mode must not drop recall silently —
+    a log line announces the cap + opt-out, and the executed plan
+    carries an observe() metric with the actually-dropped bucket
+    count (visible to any QueryExecutionListener)."""
+    import logging
+
+    rows = [(i, "same words in every single document") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup._cap_logged.discard("simhash_near_pairs")
+    with caplog.at_level(logging.INFO, logger="xtdb_spark.dedup"):
+        pairs = dedup.simhash_near_pairs(df, max_band_df=5)
+        assert pairs.count() == 0
+    assert any("hot-bucket cap active" in r.message for r in caplog.records)
+    # the observe node names dropped_buckets in the plan
+    assert "dropped_buckets" in pairs._jdf.queryExecution().analyzed().toString()
+
+
 def test_minhash_hot_bucket_guard(spark):
     # identical docs -> identical signatures -> every LSH bucket hot;
     # the optional df cap drops them (exact dedup owns the cluster)

@@ -648,3 +648,71 @@ def test_from_list_registration_gaps(spark, tmp_path):
         xt, "SELECT x, count(*) AS n FROM fa GROUP BY x, _id "
             "ORDER BY x, n").collect()
     assert r[0]["n"] == 1
+
+
+def test_paren_join_then_fromlist_comma(spark, tmp_path):
+    """Round-11 ADVICE: the '(' consumed by the parenthesized-join
+    branch must stay visible to the main walk's depth counter — its
+    matching ')' previously drove depth to -1 and discarded the open
+    FROM list, so a comma-continued table after the paren group was
+    never registered."""
+    from xtdb_spark.sql.rewriter import rewrite_and_run
+
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("fa", [{"_id": 1, "x": 1}])
+    xt.store.put("fb", [{"_id": 2, "y": 2}])
+    xt.store.put("fc", [{"_id": 3, "z": 3}])
+
+    # paren-join followed by an outer FROM-list comma
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM (fa a JOIN fb b ON 1=1), fc"
+    ).collect()
+    assert r[0]["n"] == 1
+    # same, with the comma-continued table carrying columns we select
+    r = rewrite_and_run(
+        xt, "SELECT a.x, c.z FROM (fa a JOIN fb b ON 1=1), fc c"
+    ).collect()
+    assert (r[0]["x"], r[0]["z"]) == (1, 3)
+    # paren-join inside a subquery, outer FROM-list comma after it
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM "
+            "(SELECT a.x FROM (fa a JOIN fb b ON 1=1)) s, fc"
+    ).collect()
+    assert r[0]["n"] == 1
+    # doubly-nested parenthesized join: innermost first table must
+    # register, and the trailing comma table too
+    r = rewrite_and_run(
+        xt, "SELECT count(*) AS n FROM "
+            "((fa a JOIN fb b ON 1=1) JOIN fc c ON 1=1), fa z"
+    ).collect()
+    assert r[0]["n"] == 1
+
+
+def test_tokenizer_scientific_notation():
+    """Round-11 ADVICE: `1e5` must lex as ONE num token — the old
+    pattern split it into num `1` + word `e5`, which the SLT int-div
+    rewrite then mangled into SQL referencing a nonexistent column."""
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    nums = [t for k, t in _tokenize("1e5 + 1.5e-3 - .5E+2 * 1.e5 / 7")
+            if k == "num"]
+    assert nums == ["1e5", "1.5e-3", ".5E+2", "1.e5", "7"]
+    # E-strings and identifiers are untouched
+    toks = _tokenize("e5 E'x' t1e5")
+    assert ("word", "e5") in toks and ("word", "t1e5") in toks
+    assert any(k == "str" for k, _ in toks)
+
+
+def test_intdiv_scientific_notation(spark):
+    """`SELECT 1e5 / 2` through the SLT int-div rewrite stays valid
+    SQL (float literal -> runtime typeof guard takes the float-division
+    branch, SQLite semantics)."""
+    from xtdb_spark.slt.intdiv import rewrite_int_div
+
+    out = rewrite_int_div("SELECT 1e5 / 2 AS r")
+    assert "typeof(e5)" not in out
+    r = spark.sql(out).collect()[0]["r"]
+    assert r == 50000.0
+    # int literals still truncate
+    out2 = rewrite_int_div("SELECT 7 / 2 AS r")
+    assert spark.sql(out2).collect()[0]["r"] == 3.0

@@ -296,9 +296,11 @@ def _zone_delta(zone: str):
     ISO-signed, but a UTC/GMT-prefixed 'UTC-3' is a POSIX zone spec
     whose sign is WEST-positive — postgres resolves 'UTC-3' to
     UTC+03 — so the prefix flips the sign. IANA names resolve
-    through zoneinfo at the current instant (DST-correct for now;
-    historical values render at today's offset, a documented
-    approximation)."""
+    through zoneinfo at the current instant — only correct for
+    now-valued uses, which is the one thing this is used for (the
+    CURRENT_DATE/LOCALTIME session wall clock, plus fixed offsets in
+    _zone_renderer); stored timestamptz VALUES render through
+    _zone_renderer's per-value offsets instead (round 10)."""
     import datetime as _dt
 
     z = (zone or "").strip().strip("'\"")
@@ -1418,7 +1420,8 @@ class _Conn:
         while i < len(toks):
             kind, text = toks[i]
             if (kind == "punct" and text == "$"
-                    and i + 1 < len(toks) and toks[i + 1][0] == "num"):
+                    and i + 1 < len(toks) and toks[i + 1][0] == "num"
+                    and toks[i + 1][1].isdigit()):
                 idx = int(toks[i + 1][1]) - 1
                 if 0 <= idx < len(params):
                     oid = oids[idx] if idx < len(oids) else 0

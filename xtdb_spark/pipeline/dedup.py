@@ -16,10 +16,48 @@ Strategies (each returns DataFrames, shuffles only on blocking keys):
 
 from __future__ import annotations
 
+import itertools
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xtdb_spark.pipeline.text import fingerprint
+
+_log = logging.getLogger("xtdb_spark.dedup")
+_cap_seq = itertools.count()
+_cap_logged: set[str] = set()
+
+
+def _cap_hot_buckets(e: DataFrame, keys: list[str], id_col: str,
+                     cap: int, what: str) -> DataFrame:
+    """Drop blocking buckets shared by more than `cap` ids before a
+    banded self-join (the hot-bucket quadratic guard) — OBSERVABLY,
+    not silently (round-11 ADVICE: the round-10 default flip to
+    capped mode changed recall for library callers with no signal).
+    The executed plan carries an `observe` metric
+    `xtdb.dedup.<what>.<n>` with `dropped_buckets` (bucket values
+    actually over the cap on THIS input — recall lost, if any) and
+    `max_bucket_df`; any QueryExecutionListener sees it, and a
+    one-time log line per call site records the opt-out
+    (max_band_df=None → exhaustive recall)."""
+    if what not in _cap_logged:
+        _cap_logged.add(what)
+        _log.info(
+            "%s: hot-bucket cap active (bucket df > %d dropped before "
+            "the self-join); pass max_band_df=None for exhaustive "
+            "recall; the executed plan's 'xtdb.dedup.%s.*' observed "
+            "metric reports dropped_buckets/max_bucket_df",
+            what, cap, what)
+    agg = (e.groupBy(*keys)
+           .agg(F.countDistinct(id_col).alias("bdf"))
+           .observe(f"xtdb.dedup.{what}.{next(_cap_seq)}",
+                    F.coalesce(
+                        F.sum((F.col("bdf") > cap).cast("long")),
+                        F.lit(0)).alias("dropped_buckets"),
+                    F.max("bdf").alias("max_bucket_df")))
+    ok = agg.filter(F.col("bdf") <= cap).select(*keys)
+    return e.join(ok, keys)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -242,11 +280,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     e = (sh.select("id", "simhash", F.explode(bands).alias("b"))
          .select("id", "simhash", "b.bi", "b.bv"))
     if max_band_df is not None:
-        ok = (e.groupBy("bi", "bv")
-              .agg(F.countDistinct("id").alias("bdf"))
-              .filter(F.col("bdf") <= max_band_df)
-              .select("bi", "bv"))
-        e = e.join(ok, ["bi", "bv"])
+        e = _cap_hot_buckets(e, ["bi", "bv"], "id", max_band_df,
+                             "simhash_near_pairs")
     cand = (e.alias("x")
             .join(e.alias("y"),
                   (F.col("x.bi") == F.col("y.bi"))
@@ -465,11 +500,8 @@ def near_dup_phash(hashes: DataFrame, max_hamming: int = 3,
                        F.explode(bands).alias("b"))
          .select(id_col, "_h", "b.bi", "b.bv"))
     if max_band_df is not None:
-        band_ok = (e.groupBy("bi", "bv")
-                   .agg(F.countDistinct(id_col).alias("bdf"))
-                   .filter(F.col("bdf") <= max_band_df)
-                   .select("bi", "bv"))
-        e = e.join(band_ok, ["bi", "bv"])
+        e = _cap_hot_buckets(e, ["bi", "bv"], id_col, max_band_df,
+                             "near_dup_phash")
     a, b = e.alias("a"), e.alias("b")
     pairs = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
                     & (F.col("a.bv") == F.col("b.bv"))

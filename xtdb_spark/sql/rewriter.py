@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
   | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
-  | (?P<num>\d+(?:\.\d*)?|\.\d+)
+  | (?P<num>(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<param>\?)
   | (?P<punct>.)
     """,
@@ -616,12 +616,20 @@ class _Rewriter:
         # in control by then, so _table_ref_list alone can't see it)
         depth = 0
         from_depths: set[int] = set()
+        # '(' tokens consumed by _table_ref's parenthesized-join
+        # branch bypass this loop's depth counter; _table_ref counts
+        # them so we re-balance here — otherwise the matching ')'
+        # would drive depth negative and discard the still-open FROM
+        # list's depth (`FROM (a JOIN b ON 1=1), c` lost c).
+        self._open_parens = 0
         while self.i < len(self.toks):
             kind, text = self.toks[self.i]
             if kind == "word" and text.upper() in ("FROM", "JOIN"):
                 from_depths.add(depth)
                 self.out.append(self._take()[1])
                 self._table_ref_list(single=(text.upper() == "JOIN"))
+                depth += self._open_parens
+                self._open_parens = 0
             else:
                 if kind == "word" and text.upper() in self._FROM_ENDERS:
                     from_depths.discard(depth)
@@ -634,6 +642,8 @@ class _Rewriter:
                     elif text == "," and depth in from_depths:
                         self.out.append(self._take()[1])
                         self._table_ref()
+                        depth += self._open_parens
+                        self._open_parens = 0
                         continue
                 self.out.append(self._take()[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
@@ -851,10 +861,19 @@ class _Rewriter:
             # parens is a table ref too (the later ones re-enter via
             # their JOIN keywords in the main walk). `( SELECT …` /
             # `( VALUES …` subqueries keep falling through verbatim.
-            nk, nt = self._peek(1)
+            # Look through any run of '(' so `((a JOIN b …) JOIN c …)`
+            # reaches the innermost first table; each recursion level
+            # consumes exactly one '('.
+            k = 1
+            while self._peek(k) == ("punct", "("):
+                k += 1
+            nk, nt = self._peek(k)
             if nk in ("word", "qident") and \
                     (nk == "qident" or nt.upper() not in _NOT_TABLE_START):
                 cap_take()              # the (
+                # invisible to run()'s depth counter — report it so
+                # the main walk re-balances on the matching ')'
+                self._open_parens += 1
                 self.out.append("".join(captured))
                 self._cap = None
                 return self._table_ref()
