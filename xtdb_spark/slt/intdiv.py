@@ -79,9 +79,283 @@ def _fold_chain(head: str, steps: list[tuple[str, str, str]]) -> str:
     return val
 
 
+def _fold_static(head: str, steps: list[tuple[str, str, str]],
+                 ints: list) -> str:
+    """Fold a chain whose every operand's int-ness is STATICALLY
+    known (round 11): `/` over an all-int-so-far prefix becomes bare
+    `DIV` (result stays BIGINT — so ENCLOSING expressions see an
+    integral type, which the runtime-typeof fallback's
+    CAST-AS-DOUBLE could not provide: a division nested inside
+    COALESCE/CASE/parens used to flip the outer division to float,
+    the reference corpus's random/expr failures); anything else is
+    plain float `/`. ints[0] is the head's int-ness, ints[1+] each
+    step's."""
+    val = f"({head})"
+    running = ints[0]
+    for (ws, op, t), ri in zip(steps, ints[1:]):
+        t = t.strip()
+        if op == "/" and running and ri:
+            val = (f"(CAST({val} AS BIGINT) DIV "
+                   f"CAST({t} AS BIGINT))")
+        else:
+            val = f"(({val}) {op} ({t}))"
+        running = bool(running and ri)
+    return val
+
+
+# ---------------------------------------------------------------
+# static int-ness analysis (round 11)
+#
+# SQLite's `/` truncates iff both RUNTIME values are integers. The
+# SLT corpus declares every column's type in CREATE TABLE, so the
+# runner can resolve int-ness STATICALLY for almost every
+# expression; the runtime-typeof fallback (_fold_chain) remains for
+# anything the analyzer can't resolve (unknown columns, unknown
+# functions, subqueries).
+
+_INT_CASTS = ("INT", "SIGNED")
+_FLOAT_CASTS = ("REAL", "FLOA", "DOUB", "DEC", "NUMERIC")
+
+
+class _Bail(Exception):
+    """Structure the analyzer doesn't understand — int-ness None."""
+
+
+def _comb(vals):
+    """float contaminates (any False → False); else unknown
+    propagates (any None → None); else int."""
+    if any(v is False for v in vals):
+        return False
+    if any(v is None for v in vals):
+        return None
+    return True
+
+
+class _IntnessParser:
+    """Recursive-descent int-ness over the SLT expression grammar
+    (additive > multiplicative > unary > primary; CASE / CAST /
+    the sqllogictest generator's function set)."""
+
+    def __init__(self, toks, col_types):
+        self.toks = [t for t in toks if t[0] not in ("ws", "comment")]
+        self.i = 0
+        self.ct = col_types or {}
+
+    def _peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        try:
+            v = self._additive()
+        except _Bail:
+            return None
+        return v if self.i == len(self.toks) else None
+
+    def _additive(self):
+        vals = [self._mult()]
+        while self._peek() in (("punct", "+"), ("punct", "-")):
+            self._next()
+            vals.append(self._mult())
+        return _comb(vals)
+
+    def _mult(self):
+        # int-ness only — * / % all keep int iff every operand int
+        vals = [self._unary()]
+        while self._peek()[0] == "punct" and self._peek()[1] in "*/%":
+            self._next()
+            vals.append(self._unary())
+        return _comb(vals)
+
+    def _unary(self):
+        while self._peek() in (("punct", "+"), ("punct", "-")):
+            self._next()
+        return self._primary()
+
+    def _skip_balanced(self):
+        """Consume from an opening '(' through its match."""
+        if self._peek() != ("punct", "("):
+            raise _Bail
+        depth = 0
+        while self.i < len(self.toks):
+            k, t = self._next()
+            if k == "punct" and t == "(":
+                depth += 1
+            elif k == "punct" and t == ")":
+                depth -= 1
+                if depth == 0:
+                    return
+        raise _Bail
+
+    def _case(self):
+        """CASE … END: int-ness = combine of the THEN/ELSE result
+        expressions (implicit ELSE NULL is int-neutral). Conditions
+        and the comparand are skipped structurally (they may contain
+        comparisons the expression grammar doesn't cover)."""
+        self._next()                       # CASE
+        results = []
+
+        def skip_until(stops):
+            # deep-skip to the next top-level stop keyword
+            depth = 0
+            while True:
+                k, t = self._peek()
+                if k is None:
+                    raise _Bail
+                up = t.upper() if k == "word" else ""
+                if k == "punct" and t == "(":
+                    self._skip_balanced()
+                    continue
+                if up == "CASE":
+                    self._next()
+                    skip_until(("END",))
+                    self._next()           # nested END
+                    continue
+                if depth == 0 and up in stops:
+                    return up
+                self._next()
+
+        if self._peek()[1].upper() != "WHEN":
+            skip_until(("WHEN",))          # simple-CASE comparand
+        while True:
+            kw = self._peek()[1].upper()
+            if kw == "WHEN":
+                self._next()
+                skip_until(("THEN",))
+                self._next()               # THEN
+                results.append(self._additive())
+                continue
+            if kw == "ELSE":
+                self._next()
+                results.append(self._additive())
+                continue
+            if kw == "END":
+                self._next()
+                return _comb(results) if results else True
+            raise _Bail
+
+    def _func_args(self):
+        """Parse '(' arg [, arg]* ')' → list of int-ness values
+        (leading DISTINCT/ALL stripped; '*' → int)."""
+        self._next()                       # (
+        vals = []
+        if self._peek() == ("punct", ")"):
+            self._next()
+            return vals
+        while True:
+            if self._peek()[1].upper() in ("DISTINCT", "ALL"):
+                self._next()
+            if self._peek() == ("punct", "*"):
+                self._next()
+                vals.append(True)
+            else:
+                vals.append(self._additive())
+            k, t = self._next()
+            if (k, t) == ("punct", ")"):
+                return vals
+            if (k, t) != ("punct", ","):
+                raise _Bail
+
+    def _primary(self):
+        k, t = self._peek()
+        if k == "num":
+            self._next()
+            return "." not in t and "e" not in t.lower()
+        if k == "str":
+            self._next()
+            return False
+        if k == "punct" and t == "(":
+            if self._peek(1)[1].upper() == "SELECT":
+                self._skip_balanced()
+                return None                # scalar subquery: unknown
+            self._next()
+            v = self._additive()
+            if self._next() != ("punct", ")"):
+                raise _Bail
+            return v
+        if k not in ("word", "qident"):
+            raise _Bail
+        up = t.upper()
+        if up == "NULL":
+            self._next()
+            return True                    # NULL / x is NULL either way
+        if up == "CASE":
+            return self._case()
+        if up == "CAST" and self._peek(1) == ("punct", "("):
+            self._next()                   # CAST
+            self._next()                   # (
+            self._additive()
+            if self._peek()[1].upper() != "AS":
+                raise _Bail
+            self._next()
+            ty = []
+            depth = 0
+            while True:
+                kk, tt = self._next()
+                if kk is None:
+                    raise _Bail
+                if kk == "punct" and tt == "(":
+                    depth += 1
+                elif kk == "punct" and tt == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                ty.append(tt.upper())
+            ts = " ".join(ty)
+            if any(x in ts for x in _FLOAT_CASTS):
+                return False
+            if any(x in ts for x in _INT_CASTS):
+                return True
+            return False                   # TEXT/CHAR/BLOB/…
+        if self._peek(1) == ("punct", "("):
+            fn = up
+            self._next()
+            if fn == "COUNT":
+                self._skip_balanced()
+                return True
+            if fn in ("AVG", "TOTAL", "ROUND"):
+                self._skip_balanced()
+                return False               # SQLite: always float
+            if fn in ("RANDOM", "LENGTH", "INSTR"):
+                self._skip_balanced()
+                return True
+            if fn in ("MIN", "MAX", "SUM", "ABS"):
+                return _comb(self._func_args() or [None])
+            if fn == "NULLIF":
+                args = self._func_args()
+                return args[0] if args else None
+            if fn in ("COALESCE", "IFNULL"):
+                return _comb(self._func_args() or [None])
+            self._skip_balanced()
+            return None                    # unknown function
+        # (dotted) column reference — type from the declared schema
+        self._next()
+        name = t
+        while self._peek() == ("punct", ".") \
+                and self._peek(1)[0] in ("word", "qident"):
+            self._next()
+            name = self._next()[1]
+        ct = self.ct.get(name.strip('"').lower())
+        if ct == "int":
+            return True
+        if ct in ("float", "text"):
+            return False
+        return None
+
+
+def _intness(toks, col_types):
+    return _IntnessParser(toks, col_types).parse()
+
+
 class _DivRewriter:
-    def __init__(self, toks):
+    def __init__(self, toks, col_types=None):
         self.toks = toks
+        self.ct = col_types
         self.i = 0
 
     def _ws(self) -> str:
@@ -116,7 +390,7 @@ class _DivRewriter:
                     break
             inner.append(self.toks[self.i])
             self.i += 1
-        out.append(_DivRewriter(inner).run())
+        out.append(_DivRewriter(inner, self.ct).run())
         out.append(closer)
         return "".join(out)
 
@@ -138,7 +412,7 @@ class _DivRewriter:
                     break
             inner.append(self.toks[self.i])
             self.i += 1
-        out.append(_DivRewriter(inner).run())
+        out.append(_DivRewriter(inner, self.ct).run())
         out.append(" END")
         return "".join(out)
 
@@ -196,9 +470,11 @@ class _DivRewriter:
         return None
 
     def _mult_chain(self) -> str | None:
+        i0 = self.i
         head = self._atom()
         if head is None:
             return None
+        ints = [_intness(self.toks[i0:self.i], self.ct)]
         steps: list[tuple[str, str, str]] = []
         while True:
             save = self.i
@@ -209,10 +485,12 @@ class _DivRewriter:
                 # `*` can also be SELECT-star / COUNT(*) — then no
                 # operand follows and we backtrack
                 self.i += 1
+                r0 = self.i
                 right = self._atom()
                 if right is None:
                     self.i = save
                     break
+                ints.append(_intness(self.toks[r0:self.i], self.ct))
                 steps.append((ws, t, right))
                 continue
             self.i = save
@@ -221,6 +499,11 @@ class _DivRewriter:
             # untouched chains keep their original spelling (and
             # their original Spark types)
             return head + "".join(f"{ws}{op}{r}" for ws, op, r in steps)
+        if all(v is not None for v in ints):
+            # every operand's int-ness resolved statically — emit
+            # bare DIV (stays BIGINT, so ENCLOSING divisions still
+            # see an integral operand) or plain float `/`
+            return _fold_static(head.strip(), steps, ints)
         return _fold_chain(head.strip(), steps)
 
     def run(self) -> str:
@@ -261,10 +544,16 @@ class _DivRewriter:
         return "".join(out)
 
 
-def rewrite_int_div(sql: str) -> str:
-    """Rewrite infix `/` to runtime-typed integral division (see
-    module docstring). No-op (same string) when the query has no
+def rewrite_int_div(sql: str, col_types: dict | None = None) -> str:
+    """Rewrite infix `/` to integral division where both operands
+    are integers (see module docstring). `col_types` maps lowercase
+    column name → 'int' | 'float' | 'text' (the SLT runner builds it
+    from the scripts' CREATE TABLE declarations); with it, int-ness
+    resolves statically and the emitted DIV keeps its BIGINT type —
+    required for divisions NESTED inside COALESCE/CASE/parens of an
+    outer division. Without it (or for unresolvable operands) the
+    runtime-typeof guard applies. No-op when the query has no
     `/`."""
     if "/" not in sql:
         return sql
-    return _DivRewriter(_tokenize(sql)).run()
+    return _DivRewriter(_tokenize(sql), col_types).run()

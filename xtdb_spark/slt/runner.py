@@ -161,7 +161,27 @@ class SltEngine:
         from xtdb_spark.slt.intdiv import rewrite_int_div
 
         self.flush()
-        self.xt.sql(rewrite_int_div(statement))
+        self.xt.sql(rewrite_int_div(statement, self._col_types()))
+
+    def _col_types(self) -> dict:
+        """Lowercase column name → 'int' | 'float' | 'text' from the
+        scripts' CREATE TABLE declarations, for the int-div rewrite's
+        STATIC int-ness analysis (round 11). A name declared with
+        conflicting types across tables maps to None (unknown →
+        runtime-typeof fallback); the corpus generator reuses the
+        same col0..colN names with consistent types, so this is
+        rare."""
+        m: dict = {}
+        for cols in self.tables.values():
+            for c, t in cols:
+                k = ("int" if any(x in t for x in _INT_TYPES)
+                     else "float" if any(x in t for x in _FLOAT_TYPES)
+                     else "text")
+                if c in m and m[c] != k:
+                    m[c] = None
+                elif c not in m:
+                    m[c] = k
+        return m
 
     def _parse_insert(self, m) -> list[dict] | None:
         table = m.group(1).lower()
@@ -273,7 +293,7 @@ class SltEngine:
         st = self.xt.store
         st.hide_id = True
         try:
-            df = self.xt.sql(rewrite_int_div(query))
+            df = self.xt.sql(rewrite_int_div(query, self._col_types()))
             return [list(r) for r in df.collect()]
         finally:
             st.hide_id = False
@@ -289,7 +309,7 @@ class SltEngine:
                 st = self.xt.store
                 st.hide_id = True
                 try:
-                    self.xt.sql(rewrite_int_div(vsql)) \
+                    self.xt.sql(rewrite_int_div(vsql, self._col_types())) \
                         .createOrReplaceTempView(name)
                 finally:
                     st.hide_id = False
