@@ -1126,6 +1126,8 @@ class _Rewriter:
                 # pushdown-filtered parquet job instead of a
                 # window-shuffle job
                 bdf = store.events(bref["table"])
+                # planning-time collect, bounded BY CONSTRUCTION to
+                # cap+1 rows (cap = 64, set above) — never data-sized
                 rows = (bdf.where(F.expr(bpred)).select(cb)
                         .distinct().limit(cap + 1).collect())
             except Exception:
