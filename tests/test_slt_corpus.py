@@ -48,6 +48,11 @@ def test_xtdb_test_full(spark):
     ("random/aggregates/slt_good_0.test", 250),
     ("random/select/slt_good_0.test", 250),
     ("random/groupby/slt_good_0.test", 250),
+    # random/expr: the dir the reference's own CI DISABLES (62-error
+    # budget, slt.yml:18) — clean here since the round-11 static
+    # int-ness analysis
+    ("random/expr/slt_good_0.test", 250),
+    ("random/expr/slt_good_57.test", 250),
     ("index/random/10/slt_good_0.test", 250),
     ("index/between/1/slt_good_0.test", 250),
     ("index/commute/10/slt_good_0.test", 250),
