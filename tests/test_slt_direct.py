@@ -1,0 +1,72 @@
+"""The reference's OWN direct-sql SLT corpus, verbatim (round 11).
+
+`src/test/resources/xtdb/sql/logic_test/direct-sql/` is the
+reference-AUTHORED battery for its own dialect — bitemporal DML and
+periods (the full Snodgrass Prop_Owner demo, sl-demo), system-time
+subqueries, qualified joins, object/array documents, dollar
+identifiers — run through `--direct-sql` mode exactly like
+direct_sql_test.clj: statements verbatim via xt.sql, `_id`
+SQL-visible, a 2020-01-01+1d/tx mock clock (runner.clj:344,
+test_util.clj:107).
+
+Expected counts are per-file EXACT. Known deltas from a fully-clean
+run, each verified by hand:
+
+- order-only diffs (values equal as multisets; the corpus embeds the
+  reference's iid-hash scan order, which no engine with a different
+  iid function can reproduce for nosort/LIMIT-without-ORDER queries):
+  no-projected-cols 1, limit 1, object-array 2.
+- heterogeneous inline tables: `(VALUES ({b: 42}), ({d: 100}))` needs
+  a dynamic struct union inside a VALUES literal — Spark inline
+  tables are statically typed (object-array, 2 errors).
+- correlated scalar/IN subqueries in JOIN ON conditions: Spark's
+  optimizer rejects the category (UNSUPPORTED_CORRELATED_SCALAR_
+  SUBQUERY); the reference runs these through its dedicated
+  decorrelation pass (qualified_joins, 26 errors / 28 ok).
+
+The two files the reference does NOT list in direct_sql_test.clj
+(outer-join-predicate-pushdown — prose mid-file breaks SLT parsing,
+for them too; unnest-q2) are excluded here as well.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+CORPUS = ("/root/reference/src/test/resources/xtdb/sql/logic_test/"
+          "direct-sql")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not present")
+
+# file → (ok, fail, err) — exact, so any regression OR improvement
+# fails loudly and gets recorded here
+EXPECT = {
+    "dml.test": (4, 0, 0),
+    "dollar_identifiers.test": (2, 0, 0),
+    "gcse-statistics.test": (2, 0, 0),
+    "limit.test": (4, 1, 0),
+    "no-projected-cols.test": (1, 1, 0),
+    "numeric-value-functions-6.28.test": (9, 0, 0),
+    "object-array.test": (10, 2, 2),
+    "period_predicates.test": (5, 0, 0),
+    "period_specifications.test": (8, 0, 0),
+    "periods-and-derived-cols.test": (1, 0, 0),
+    "qualified_joins.test": (28, 0, 26),
+    "set-functions.test": (9, 0, 0),
+    "sl-a5.test": (7, 0, 0),
+    "sl-demo.test": (29, 0, 0),
+    "system_time.test": (5, 0, 0),
+}
+
+
+@pytest.mark.parametrize("fname", sorted(EXPECT))
+def test_direct_sql_file(spark, fname):
+    from xtdb_spark.slt.runner import run_files
+
+    res = run_files(spark, [os.path.join(CORPUS, fname)], threads=1,
+                    warehouse_root=tempfile.mkdtemp(prefix="slt_ds_"),
+                    collect_failures=5, direct_sql=True)[0]
+    got = (res["success"], res["failure"], res["error"])
+    assert got == EXPECT[fname], (fname, got, res.get("failures"))

@@ -20,16 +20,23 @@ def make_xt(spark, tmp_path):
 
 
 def test_translate_pure():
-    assert translate("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+    # array access is ONE-based (reference/SQL standard; round 11 —
+    # direct-sql/sl-a5 friends[2] is the SECOND element), so
+    # subscripts lower to element_at instead of Spark's 0-based []
+    assert translate("SELECT a[1] FROM t") == \
+        "SELECT element_at(a, 1) FROM t"
     assert translate("SELECT {a: 1} AS r") == \
         "SELECT named_struct('a', 1) AS r"
     assert translate("SELECT [1, x] AS xs FROM t") == \
         "SELECT array(1, x) AS xs FROM t"
     assert translate("SELECT OBJECT(a: 1, b: {c: [2]}) AS r") == \
         "SELECT named_struct('a', 1, 'b', named_struct('c', array(2))) AS r"
-    # subscripts keep working next to literals
-    assert translate("SELECT f([1,2])[0] FROM t") == \
-        "SELECT f(array(1,2))[0] FROM t"
+    # subscripts keep working next to literals (1-based)
+    assert translate("SELECT f([1,2])[1] FROM t") == \
+        "SELECT element_at(f(array(1,2)), 1) FROM t"
+    # chained access after a subscript
+    assert translate("SELECT p.friends[2].user FROM p") == \
+        "SELECT element_at(p.friends, 2).user FROM p"
 
 
 def test_object_and_array_literals_run(spark, tmp_path):
@@ -434,9 +441,10 @@ def test_iso_intervals_and_xtdb_types(spark, tmp_path):
     r = run("SELECT CAST(named_struct('a', 1, 'b', 'x') "
             "AS ROW(a BIGINT, b VARCHAR)) AS r")[0][0]
     assert (r["a"], r["b"]) == (1, "x")
-    # bare [] subscripts keep Spark's 0-based convention (the
-    # 1-based spelling is element_at, as elsewhere in the dialect)
-    assert run("SELECT ARRAY[1, 2][1] AS e") == [(2,)]
+    # [] subscripts are ONE-based (reference/SQL standard, round 11:
+    # they lower to element_at)
+    assert run("SELECT ARRAY[1, 2][1] AS e") == [(1,)]
+    assert run("SELECT ARRAY[1, 2][2] AS e") == [(2,)]
 
 
 def test_typed_literals_and_string_spellings(spark, tmp_path):

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--show-failures", type=int, default=0)
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--direct-sql", action="store_true",
+                    help="reference --direct-sql mode: XTDB-dialect "
+                         "scripts, _id visible (logic_test/direct-sql)")
     args = ap.parse_args()
 
     files = collect(args.paths, args.sample)
@@ -81,7 +84,7 @@ def main():
     results = run_files(spark, files, threads=args.threads,
                         query_limit=args.limit,
                         collect_failures=args.show_failures,
-                        progress=progress)
+                        progress=progress, direct_sql=args.direct_sql)
     tot = summarize(results)
     print(json.dumps(tot), flush=True)
 

@@ -333,21 +333,29 @@ def _sweep_event(r: dict, pts: list, vals: list, out_rows: list,
                     "_system_from": sf,
                     "_system_to": None if c == max_ts else c,
                 })
-    # 2. lower the ceiling to sf over [vf, vt): split each
-    #    segment at vf/vt, override covered sub-segments,
-    #    merge adjacent equal-valued segments
+    # 2. lower the ceiling to sf over [vf, vt): split each segment
+    #    at vf/vt and override covered sub-segments. Merge ONLY
+    #    adjacent COVERED segments (the reference's applyLog removes
+    #    boundaries interior to the applied range, Ceiling.kt:118 —
+    #    but it never coalesces with equal-valued UNCOVERED
+    #    neighbors, so those boundaries persist and later events'
+    #    polygons split at them; reference direct-sql/sl-demo's
+    #    rectangle decomposition depends on this)
     new_pts, new_vals = [pts[0]], []
+    last_covered = False
     for i in range(len(vals)):
         a, b, c = pts[i], pts[i + 1], vals[i]
         cut = [a] + [x for x in (vf, vt) if a < x < b] + [b]
         for j in range(len(cut) - 1):
             lo, hi = cut[j], cut[j + 1]
-            val = sf if (vf <= lo and hi <= vt) else c
-            if new_vals and new_vals[-1] == val:
+            covered = vf <= lo and hi <= vt
+            val = sf if covered else c
+            if covered and last_covered:
                 new_pts[-1] = hi
             else:
                 new_vals.append(val)
                 new_pts.append(hi)
+            last_covered = covered
     return new_pts, new_vals
 
 

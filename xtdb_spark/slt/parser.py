@@ -49,8 +49,14 @@ def _parse_record(lines: list[str], lineno: int, file: str) -> dict:
     if kw == "statement":
         mode = parts[1]
         assert mode in ("ok", "error"), f"{file}:{lineno}: bad mode {mode}"
+        body = lines[1:]
+        # some reference-authored scripts terminate statements with a
+        # query-style `----` separator (direct-sql/sl-demo:561) — it
+        # is not part of the SQL
+        if "----" in body:
+            body = body[:body.index("----")]
         return {"type": "statement", "mode": mode,
-                "statement": "\n".join(lines[1:]),
+                "statement": "\n".join(body),
                 "line": lineno, "file": file}
     if kw == "query":
         type_string = parts[1] if len(parts) > 1 else "T"

@@ -45,15 +45,15 @@ ENGINE_NAME = "xtdb"
 _CREATE_INDEX_RE = re.compile(
     r"(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.+)\)\s*$")
 _CREATE_TABLE_RE = re.compile(
-    r"(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$")
+    r"(?is)^\s*CREATE\s+TABLE\s+([\w$]+)\s*\((.+)\)\s*$")
 _CREATE_VIEW_RE = re.compile(
-    r"(?is)^\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+?)\s*$")
+    r"(?is)^\s*CREATE\s+VIEW\s+([\w$]+)\s+AS\s+(.+?)\s*$")
 _DROP_TABLE_RE = re.compile(
-    r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+    r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w$]+)\s*$")
 _DROP_VIEW_RE = re.compile(
-    r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+    r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w$]+)\s*$")
 _INSERT_VALUES_RE = re.compile(
-    r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$")
+    r"(?is)^\s*INSERT\s+INTO\s+([\w$]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$")
 
 # one literal inside a VALUES tuple, followed by its , or ) terminator
 _LIT_RE = re.compile(
@@ -92,9 +92,30 @@ class SltEngine:
     with a fresh warehouse (the reference runs each script in a fresh
     node, runner.clj:344-347 with-node)."""
 
-    def __init__(self, xt):
+    def __init__(self, xt, direct_sql: bool = False):
+        """`direct_sql=True` is the reference's --direct-sql mode
+        (runner.clj:405, direct_sql_test.clj): the corpus is
+        reference-AUTHORED XTDB-dialect SQL, so statements run
+        verbatim through xt.sql, `_id` stays SQL-visible
+        (xtdb_engine.clj:51 disables the table-info _id removal in
+        this mode), and the scripts reference temporal columns and
+        `_VALID_TIME`/`_SYSTEM_TIME` period pseudo-columns."""
         self.xt = xt
+        self.direct = direct_sql
         st = xt.store
+        if direct_sql:
+            # the reference runs direct-sql under a MOCK CLOCK —
+            # 2020-01-01 + 1 day per tx (runner.clj:344
+            # with-mock-clock; test_util.clj:107 ->mock-clock) — and
+            # the corpus's expected _system_from values depend on it
+            from datetime import datetime, timedelta
+
+            def _mock_clock(_state=[datetime(2020, 1, 1)]):
+                t = _state[0]
+                _state[0] = t + timedelta(days=1)
+                return t
+
+            st.instant_source = _mock_clock
         # SLT tables are tiny and re-queried thousands of times:
         # serving cache on, speculative prefilter injection off (the
         # footer probes cost more than these scans)
@@ -154,6 +175,12 @@ class SltEngine:
             if rows is not None:
                 table = m.group(1).lower()
                 self.pending.setdefault(table, []).extend(rows)
+                if self.direct:
+                    # each statement is its OWN tx under the mock
+                    # clock — per-day system times are load-bearing
+                    # in the expected results; no cross-statement
+                    # batching in direct mode
+                    self.flush()
                 return
         # everything else (INSERT…SELECT, DELETE, UPDATE, …) runs
         # through the SQL surface (with the same int-div dialect
@@ -234,8 +261,11 @@ class SltEngine:
                     row[c] = v if isinstance(v, str) else str(v)
                 else:
                     row[c] = v
-            self._id_seq += 1
-            row["_id"] = self._id_seq
+            if row.get("_id") is None:
+                # sqlite corpus rows carry no id — generate one;
+                # direct-sql (XTDB dialect) INSERTs provide their own
+                self._id_seq += 1
+                row["_id"] = self._id_seq
             rows.append(row)
             while i < n and src[i] in " \t\r\n":
                 i += 1
@@ -291,7 +321,7 @@ class SltEngine:
         self.flush()
         self._register_views(query)
         st = self.xt.store
-        st.hide_id = True
+        st.hide_id = not self.direct
         try:
             df = self.xt.sql(rewrite_int_div(query, self._col_types()))
             return [list(r) for r in df.collect()]
@@ -317,6 +347,53 @@ class SltEngine:
 
 # ------------------------------------------------------- formatting
 
+def _render_tvalue(v, nested: bool = False) -> str:
+    """T-column value, reference print style (runner.clj
+    format-result-str → pr-str of transit-decoded values):
+    structs/maps as `{"k" v, …}` (Clojure map print — no colon,
+    entries comma-separated), arrays as `[a b]` (space-separated),
+    strings double-quoted when NESTED but bare at top level,
+    booleans lowercase, timestamps as java ZonedDateTime
+    (`1998-01-10T00:00Z[UTC]` — seconds elided when zero), dates
+    ISO."""
+    import datetime as _dt
+
+    try:
+        from pyspark.sql import Row as _Row
+    except Exception:               # pragma: no cover
+        _Row = ()
+    if v is None:
+        return "nil" if nested else "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        if nested:
+            return '"' + v + '"'
+        return "(empty)" if v == "" else v
+    if isinstance(v, _dt.datetime):
+        if v.microsecond:
+            t = v.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0")
+        elif v.second:
+            t = v.strftime("%Y-%m-%dT%H:%M:%S")
+        else:
+            t = v.strftime("%Y-%m-%dT%H:%M")
+        return t + "Z[UTC]"
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (_Row, dict)):
+        d = v.asDict() if isinstance(v, _Row) else v
+        # None fields are ABSENT keys, not nil values: Spark widens
+        # heterogeneous documents to one struct schema (missing keys
+        # → null); the reference's documents simply don't have them
+        return ("{" + ", ".join(f'"{k}" {_render_tvalue(x, True)}'
+                                for k, x in d.items()
+                                if x is not None) + "}")
+    if isinstance(v, (list, tuple)):
+        return ("[" + " ".join(_render_tvalue(x, True) for x in v)
+                + "]")
+    return str(v)
+
+
 def format_result_str(sort_mode: str, type_string: str,
                       rows: list[list]) -> str:
     """runner.clj:204-221 format-result-str, byte-for-byte."""
@@ -334,12 +411,7 @@ def format_result_str(sort_mode: str, type_string: str,
                 else:
                     row.append("%d" % int(v))
             else:
-                if isinstance(v, bool):
-                    row.append("true" if v else "false")
-                elif v == "":
-                    row.append("(empty)")
-                else:
-                    row.append(str(v))
+                row.append(_render_tvalue(v))
         out_rows.append(row)
     if sort_mode == "rowsort":
         out_rows.sort(key=lambda r: " ".join(r))
@@ -436,12 +508,13 @@ def run_records(engine: SltEngine, records: list[dict],
 
 
 def run_script(xt, path: str, query_limit: int | None = None,
-               collect_failures: int = 0) -> dict:
+               collect_failures: int = 0,
+               direct_sql: bool = False) -> dict:
     with open(path) as f:
         records = parse_script(f.read(), path)
     t0 = time.time()
-    res = run_records(SltEngine(xt), records, query_limit,
-                      collect_failures)
+    res = run_records(SltEngine(xt, direct_sql=direct_sql), records,
+                      query_limit, collect_failures)
     res["time_s"] = round(time.time() - t0, 2)
     res["file"] = path
     return res
@@ -451,7 +524,7 @@ def run_files(spark, paths: list[str], threads: int = 8,
               query_limit: int | None = None,
               warehouse_root: str | None = None,
               collect_failures: int = 0,
-              progress=None) -> list[dict]:
+              progress=None, direct_sql: bool = False) -> list[dict]:
     """Run many scripts concurrently. Each worker gets an ISOLATED
     `spark.newSession()` (own temp-view catalog + conf, shared
     SparkContext — tables named t1 in two files can't collide) and a
@@ -482,7 +555,8 @@ def run_files(spark, paths: list[str], threads: int = 8,
         wh = os.path.join(root, f"s{idx}")
         xt = XtdbSession(sess, wh)
         try:
-            r = run_script(xt, path, query_limit, collect_failures)
+            r = run_script(xt, path, query_limit, collect_failures,
+                           direct_sql=direct_sql)
         except Exception as e:       # file-level abort → all error
             r = {"file": path, "success": 0, "failure": 0,
                  "error": -1, "abort": f"{type(e).__name__}: {e}"[:500]}

@@ -45,6 +45,9 @@ _TRIGGER_RE = re.compile(
     r"|\*\s*(?:EXCLUDE|RENAME)\b|\bMATERIALIZED\b"
     r"|\bUNNEST\s*\(|\bGENERATE_SERIES\s*\(|\bRANGE\s*\("
     r"|\bLIKE_REGEX\b|~|\bSYMMETRIC\b|\bASYMMETRIC\b"
+    r"|\bMOD\s*\(|\bTIMESTAMP\s*'[^']*[Zz\]]'"
+    r"|\bGREATEST\s*\(|\bLEAST\s*\("
+    r"|\b_valid_time\b|\b_system_time\b"
     r"|[=<>!]\s*(?:ANY|SOME|ALL)\s*\(|\bPG_SLEEP"
     r"|\bHAS_(?:ANY_COLUMN|TABLE|SCHEMA)_PRIVILEGE\s*\("
     r"|\bPG_(?:TABLE_IS_VISIBLE|GET_EXPR|GET_INDEXDEF|GET_USERBYID)"
@@ -113,6 +116,39 @@ def _is_point(expr: str) -> bool:
     column and fails Spark analysis otherwise (documented, not
     silent: the analysis error names the missing `_from` field)."""
     return bool(_POINT_PREFIX_RE.match(expr.strip()))
+
+
+_PERIODISH_RE = re.compile(
+    r"\b_valid_time\b|\b_system_time\b|^\s*PERIOD\s*\("
+    r"|^\s*TSTZRANGE\s*\(|^\s*named_struct\s*\(\s*'_from'",
+    re.IGNORECASE)
+
+
+def _periodish(expr: str) -> bool:
+    """Heuristic: does this (already-translated) expression denote a
+    PERIOD? The reference dispatches `*`/LOWER/UPPER on runtime type;
+    this pass is text-only, so period-ness is decided syntactically —
+    the period pseudo-columns, PERIOD()/TSTZRANGE constructors, and
+    prior period translations (named_struct('_from', …))."""
+    return bool(_PERIODISH_RE.search(expr))
+
+
+def _period_intersection_sql(a: str, b: str) -> str:
+    """`p1 * p2` — period intersection (reference Sql.g4:372
+    periodIntersection; temporal join demo direct-sql/sl-demo).
+    NULL bounds stay NULL (= unbounded) rather than materializing
+    ±∞ sentinels; an empty intersection yields a degenerate period
+    (from ≥ to) exactly like the reference's value, which its
+    callers guard with OVERLAPS."""
+    af, bf = f"({a})._from", f"({b})._from"
+    at, bt = f"({a})._to", f"({b})._to"
+    frm = (f"CASE WHEN {af} IS NULL THEN {bf} "
+           f"WHEN {bf} IS NULL THEN {af} "
+           f"ELSE greatest({af}, {bf}) END")
+    to = (f"CASE WHEN {at} IS NULL THEN {bt} "
+          f"WHEN {bt} IS NULL THEN {at} "
+          f"ELSE least({at}, {bt}) END")
+    return f"named_struct('_from', {frm}, '_to', {to})"
 
 
 def _period_pred_sql(base: str, mod: str | None, a: str, b: str) -> str:
@@ -405,6 +441,28 @@ class _Translator:
                 self._after_dot = False
                 expr_start = None
                 continue
+            if kind == "punct" and text == "*" and self.postfix \
+                    and expr_start is not None \
+                    and _periodish("".join(parts[expr_start:])):
+                # period INTERSECTION `p1 * p2` (Sql.g4:372; the
+                # reference dispatches on runtime type — here on the
+                # operands' textual period-ness; numeric `*` falls
+                # through untouched)
+                left = "".join(parts[expr_start:]).strip()
+                save = self.i
+                self._next()
+                try:
+                    right = self._parse_primary()
+                except ValueError:
+                    self.i = save
+                else:
+                    if _periodish(right):
+                        del parts[expr_start:]
+                        parts.append(_period_intersection_sql(left,
+                                                              right))
+                        self.postfix = True
+                        continue
+                    self.i = save
             if kind == "punct" and text == "~":
                 k = len(parts) - 1
                 while k >= 0 and parts[k].strip() == "":
@@ -432,11 +490,22 @@ class _Translator:
                 continue
             if kind == "punct" and text == "[":
                 if self.postfix:  # subscript expr[i] — continuation
-                    parts.append(self._next()[1])
+                    # the reference's array access is ONE-based (SQL
+                    # standard; direct-sql/sl-a5 friends[2] = 2nd
+                    # element) — Spark's bare [] is zero-based, so
+                    # wrap the emitted base in element_at (1-based;
+                    # map keys behave identically)
+                    self._next()
                     self.postfix = False
-                    parts.append(self._walk(closers=("]",)))
+                    idx = self._walk(closers=("]",)).strip()
                     if self._peek() == ("punct", "]"):
-                        parts.append(self._next()[1])
+                        self._next()
+                    if expr_start is not None:
+                        base = "".join(parts[expr_start:])
+                        del parts[expr_start:]
+                        parts.append(f"element_at({base}, {idx})")
+                    else:         # no tracked base — keep old shape
+                        parts.append(f"[{idx}]")
                     self.postfix = True
                 else:             # array literal [e1, e2]
                     expr_start = len(parts)
@@ -533,6 +602,31 @@ class _Translator:
                     self._skip_ws()
                     self.postfix = False   # the [ branch emits array()
                     continue
+                if up == "TIMESTAMP" and self._peek(1)[0] == "str" \
+                        and not self.postfix and not self._after_dot:
+                    # reference instant spellings Spark's literal
+                    # parser rejects: a trailing `Z` on a DATE-only
+                    # or T-separated value (`TIMESTAMP
+                    # '1998-01-10Z'`, direct-sql/sl-demo; values are
+                    # UTC instants, our storage is naive-UTC) and a
+                    # trailing `[Zone]` bracket (Sql.g4
+                    # characterString instant forms)
+                    raw = self._peek(1)[1][1:-1]
+                    norm = re.sub(r"\[[^\]]*\]$", "", raw).strip()
+                    if norm.endswith(("Z", "z")):
+                        norm = norm[:-1]
+                    if norm != raw:
+                        if not self.postfix:
+                            expr_start = len(parts)
+                        self._next()
+                        self._skip_ws()
+                        self._next()
+                        parts.append(
+                            f"TIMESTAMP '{norm.replace('T', ' ')}'")
+                        self.postfix = True
+                        last_sig = ""
+                        continue
+                    # plain literal — fall through verbatim
                 if up in ("DURATION", "UUID", "URI", "KEYWORD", "TIME") \
                         and self._peek(1)[0] == "str" \
                         and not self.postfix and not self._after_dot:
@@ -565,6 +659,67 @@ class _Translator:
                     if not self.postfix:
                         expr_start = len(parts)
                     parts.append(self._cast_call())
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up in ("GREATEST", "LEAST") \
+                        and self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # the reference's GREATEST/LEAST are NULL-STRICT
+                    # (SQL standard: any NULL argument → NULL;
+                    # direct-sql/numeric-value-functions expects
+                    # GREATEST(5, NULL, 12, 8) = NULL); Spark's skip
+                    # NULLs (postgres behavior)
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()          # (
+                    args = []
+                    while True:
+                        args.append(self._walk(closers=(",", ")"))
+                                    .strip())
+                        if self._peek() == ("punct", ","):
+                            self._skip_ws()
+                            self._next()
+                            continue
+                        if self._peek() == ("punct", ")"):
+                            self._skip_ws()
+                            self._next()
+                        break
+                    nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+                    call = f"{up.lower()}({', '.join(args)})"
+                    parts.append(f"(CASE WHEN {nulls} THEN NULL "
+                                 f"ELSE {call} END)")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "MOD" and self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # the reference's MOD is FLOORED (clojure `mod`,
+                    # expression.clj:1001-1004 — sign of the divisor:
+                    # MOD(-5,3)=1, MOD(3,-5)=-2); Spark's % / mod()
+                    # truncate. Direct expansion, no UDF.
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    self._next()          # MOD
+                    self._skip_ws()
+                    self._next()          # (
+                    a = self._walk(closers=(",", ")")).strip()
+                    if self._peek() == ("punct", ","):
+                        self._skip_ws()
+                        self._next()
+                        b = self._walk(closers=(")",)).strip()
+                        if self._peek() == ("punct", ")"):
+                            self._skip_ws()
+                            self._next()
+                        parts.append(f"(((({a}) % ({b})) + ({b})) "
+                                     f"% ({b}))")
+                    else:                 # malformed — re-emit
+                        if self._peek() == ("punct", ")"):
+                            self._skip_ws()
+                            self._next()
+                        parts.append(f"MOD({a})")
                     self.postfix = True
                     last_sig = ""
                     continue
@@ -664,6 +819,33 @@ class _Translator:
                     parts.append(_period_pred_sql(base, mod, left, right))
                     self.postfix = True
                     expr_start = len(parts) - 1
+                    continue
+                if up in ("LOWER", "UPPER") and \
+                        self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # LOWER/UPPER on a PERIOD → its bounds (reference
+                    # Sql.g4:375-376 periodBoundFunction; sl-demo's
+                    # temporal-join projections). String lower/upper
+                    # falls through untouched — dispatch is the
+                    # textual period-ness of the argument.
+                    save = self.i
+                    self._next()
+                    self._skip_ws()
+                    self._next()      # (
+                    self.postfix = False
+                    arg = self._walk(closers=(")",)).strip()
+                    if self._peek() == ("punct", ")"):
+                        self._skip_ws()
+                        self._next()
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    if _periodish(arg):
+                        fld = "_from" if up == "LOWER" else "_to"
+                        parts.append(f"({arg}).{fld}")
+                    else:
+                        parts.append(f"{up.lower()}({arg})")
+                    self.postfix = True
+                    last_sig = ""
                     continue
                 if up == "OVERLAPS" and not self.postfix and \
                         self._peek(1) == ("punct", "("):

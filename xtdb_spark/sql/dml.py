@@ -40,9 +40,9 @@ _INSERT_SELECT_RE = re.compile(
     r"(?P<select>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_PORTION_RE = (r"(?:\s+FOR\s+PORTION\s+OF\s+VALID_TIME\s+FROM\s+"
-               r"(?:TIMESTAMP\s+)?'(?P<vf>[^']+)'\s+TO\s+"
-               r"(?:TIMESTAMP\s+)?'(?P<vt>[^']+)')?")
+_PORTION_RE = (r"(?P<portion>\s+FOR\s+PORTION\s+OF\s+VALID_TIME\s+FROM\s+"
+               r"(?:NULL|(?:TIMESTAMP\s+)?'(?P<vf>[^']+)')\s+TO\s+"
+               r"(?:NULL|(?:TIMESTAMP\s+)?'(?P<vt>[^']+)'))?")
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+(?P<table>[\w.]+){_PORTION_RE}\s+"
     r"SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
@@ -55,6 +55,11 @@ _DELETE_RE = re.compile(
 )
 _ERASE_RE = re.compile(
     r"^\s*ERASE\s+FROM\s+(?P<table>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_ALLVT_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+)\s+FOR\s+ALL\s+VALID_TIME"
+    r"(?:\s+AS\s+(?P<alias>\w+))?(?:\s+WHERE\s+(?P<where>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ASSERT_RE = re.compile(r"^\s*ASSERT\s+(?P<cond>.+)$", re.IGNORECASE | re.DOTALL)
@@ -100,10 +105,70 @@ def _split_sets(sets: str) -> list[tuple[str, str]]:
     return out
 
 
+
+def _portion(m) -> tuple:
+    """(valid_from, valid_to) from a FOR PORTION OF VALID_TIME match:
+    instants normalized (trailing Z / [Zone] — reference direct-sql
+    spellings), `FROM NULL` → the epoch floor (unbounded start;
+    `TO NULL` keeps None = ∞, the store default)."""
+    from xtdb_spark.sql.rewriter import norm_instant
+
+    vf, vt = norm_instant(m.group("vf")), norm_instant(m.group("vt"))
+    if m.group("portion") and vf is None:
+        vf = "0001-01-01 00:00:00"
+    return vf, vt
+
+
+def _fold_table(name: str) -> str:
+    """Unquoted SQL table idents fold to lowercase (identifier
+    folding — matches the scan-side fold in rewriter._table_ref, so
+    `INSERT INTO Prop_Owner` and `FROM Prop_Owner` hit the same
+    store table; direct-sql/sl-demo). Quoted names stay exact."""
+    return name if name.startswith('"') else name.lower()
+
 def _current_view(xt, table: str) -> str:
     view = f"xt_dml_{re.sub(r'[^A-Za-z0-9]', '_', table)}"
     xt.store.scan(table).createOrReplaceTempView(view)
     return view
+
+
+def _portion_view(xt, table: str, vf, vt) -> str:
+    """Rows visible at CURRENT system time anywhere in the portion's
+    valid range — the relation a FOR PORTION UPDATE/DELETE plans
+    over. Carries the slice bounds (_valid_from/_valid_to) for
+    per-row clipping."""
+    from xtdb_spark import bitemporal
+
+    view = f"xt_dml_{re.sub(r'[^A-Za-z0-9]', '_', table)}_portion"
+    ev = xt.store.events(table)
+    bitemporal.resolve_valid_range(
+        ev, vf or "0001-01-01", vt or bitemporal.MAX_TS, None) \
+        .createOrReplaceTempView(view)
+    return view
+
+
+def _clip_bounds_sql(vf, vt) -> str:
+    """SELECT items clipping a version slice's valid range to the
+    portion: bounds ride the put as per-row `_valid_from`/`_valid_to`
+    document columns (_events_df coalesces them)."""
+    lo = f"GREATEST(_valid_from, TIMESTAMP '{vf}') AS _valid_from"
+    if vt is None:
+        hi = "_valid_to"
+    else:
+        hi = (f"CASE WHEN _valid_to IS NULL THEN TIMESTAMP '{vt}' "
+              f"ELSE LEAST(_valid_to, TIMESTAMP '{vt}') END "
+              f"AS _valid_to")
+    return f"{lo}, {hi}"
+
+
+def _from_ref(view: str, table: str) -> str:
+    """FROM clause for a DML scan view, aliased back to the bare
+    table name so table-qualified predicates (`UPDATE t1 … WHERE
+    t1.col2 IN …`, reference direct-sql/dml.test) keep resolving."""
+    alias = table.split(".")[-1]
+    if not re.fullmatch(r"[A-Za-z_]\w*", alias):
+        alias = "`" + alias.replace("`", "``") + "`"
+    return f"{view} AS {alias}"
 
 
 def split_returning(query: str) -> tuple[str, str | None]:
@@ -165,7 +230,7 @@ def execute_dml(xt, query: str):
         cols = [c.strip() for c in m.group("cols").split(",")]
         rel = spark.sql(_esc(
             f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})"))
-        st = xt.store.put(m.group("table"), rel)
+        st = xt.store.put(_fold_table(m.group("table")), rel)
         return _returning(spark, rel, ret, st)
 
     m = _PATCH_RE.match(query)
@@ -176,14 +241,14 @@ def execute_dml(xt, query: str):
         cols = [c.strip() for c in m.group("cols").split(",")]
         rel = spark.sql(_esc(
             f"SELECT * FROM (VALUES {m.group('values')}) AS t({', '.join(cols)})"))
-        st = xt.store.patch(m.group("table"), rel,
-                            valid_from=m.group("vf"),
-                            valid_to=m.group("vt"))
+        vf, vt = _portion(m)
+        st = xt.store.patch(_fold_table(m.group("table")), rel,
+                            valid_from=vf, valid_to=vt)
         if ret is None:
             return st
         # RETURNING after PATCH sees the post-merge current state of
         # the patched ids (the doc the reader now observes)
-        merged = xt.store.scan(m.group("table"))             .join(rel.select("_id"), "_id", "semi")
+        merged = xt.store.scan(_fold_table(m.group("table")))             .join(rel.select("_id"), "_id", "semi")
         return _returning(spark, merged, ret, st)
 
     m = _INSERT_SELECT_RE.match(query)
@@ -193,7 +258,7 @@ def execute_dml(xt, query: str):
         rel = spark.sql(rewrite(xt, m.group("select")))
         if m.group("cols"):
             rel = rel.toDF(*[c.strip() for c in m.group("cols").split(",")])
-        st = xt.store.put(m.group("table"), rel)
+        st = xt.store.put(_fold_table(m.group("table")), rel)
         return _returning(spark, rel, ret, st)
 
     m = _PATCH_SELECT_RE.match(query)
@@ -203,20 +268,52 @@ def execute_dml(xt, query: str):
         from xtdb_spark.sql.rewriter import rewrite
 
         rel = spark.sql(rewrite(xt, m.group("select")))
-        st = xt.store.patch(m.group("table"), rel,
-                            valid_from=m.group("vf"),
-                            valid_to=m.group("vt"))
+        vf, vt = _portion(m)
+        st = xt.store.patch(_fold_table(m.group("table")), rel,
+                            valid_from=vf, valid_to=vt)
         if ret is None:
             return st
-        merged = xt.store.scan(m.group("table"))             .join(rel.select("_id"), "_id", "semi")
+        merged = xt.store.scan(_fold_table(m.group("table")))             .join(rel.select("_id"), "_id", "semi")
         return _returning(spark, merged, ret, st)
+
+    m = _DELETE_ALLVT_RE.match(query)
+    if m:
+        # DELETE FROM t FOR ALL VALID_TIME [AS x] [WHERE pred]
+        # (reference direct-sql/sl-demo:366): the predicate selects
+        # VERSION SEGMENTS across the whole valid timeline — temporal
+        # columns are in scope — and each matching segment is deleted
+        # over ITS OWN valid range (per-row bounds ride the ids
+        # DataFrame into the delete events)
+        table = _fold_table(m.group("table"))
+        alias = m.group("alias") or table.split(".")[-1]
+        where = m.group("where")
+        view = f"xt_dml_{re.sub(r'[^A-Za-z0-9]', '_', table)}_allvt"
+        xt.store.scan(table, all_valid_time=True) \
+            .createOrReplaceTempView(view)
+        rows = spark.sql(_esc(
+            f"SELECT * FROM {view} AS {alias}"
+            + (f" WHERE {where}" if where else "")))
+        st = xt.store.delete(table, rows)
+        return _returning(spark, rows, ret, st)
 
     m = _UPDATE_RE.match(query)
     if m:
-        table, where = m.group("table"), m.group("where")
-        view = _current_view(xt, table)
+        table, where = _fold_table(m.group("table")), m.group("where")
+        vf, vt = _portion(m)
+        portion = bool(m.group("portion"))
+        # FOR PORTION targets the rows visible IN the portion (the
+        # reference plans DML over the portion's valid range,
+        # sql.clj:2925+ — a 1998 portion must update 1998 versions
+        # even though the CURRENT state doesn't see them;
+        # direct-sql/sl-demo), clipping each version slice to its
+        # intersection with the portion via per-row bounds
+        view = (_portion_view(xt, table, vf, vt) if portion
+                else _current_view(xt, table))
         sets = dict(_split_sets(m.group("sets")))
-        cur_cols = [c for c in spark.table(view).columns if c != "_iid"]
+        meta = ("_iid", "_valid_from", "_valid_to",
+                "_system_from", "_system_to")
+        cur_cols = [c for c in spark.table(view).columns
+                    if c not in meta]
         for col, expr in sets.items():
             if not re.fullmatch(r"[A-Za-z_]\w*", col) or not expr.strip():
                 raise ValueError(f"malformed SET clause near {col!r}")
@@ -226,32 +323,38 @@ def execute_dml(xt, query: str):
                 raise ValueError("cannot UPDATE _id")
         proj = ", ".join(f"({sets[c]}) AS {c}" if c in sets else c
                          for c in cur_cols)
-        rel = spark.sql(_esc(f"SELECT {proj} FROM {view}"
+        if portion:
+            proj += ", " + _clip_bounds_sql(vf, vt)
+        rel = spark.sql(_esc(f"SELECT {proj} FROM {_from_ref(view, table)}"
                              + (f" WHERE {where}" if where else "")))
-        st = xt.store.put(table, rel, valid_from=m.group("vf"),
-                          valid_to=m.group("vt"))
+        st = xt.store.put(table, rel,
+                          valid_from=None if portion else vf,
+                          valid_to=None if portion else vt)
         return _returning(spark, rel, ret, st)
 
     m = _DELETE_RE.match(query)
     if m:
         # the matching ids stay a DataFrame end-to-end — a broad
         # DELETE at 100 TB must not collect its id set to the driver
-        table, where = m.group("table"), m.group("where")
-        view = _current_view(xt, table)
-        rows = spark.sql(_esc(f"SELECT * FROM {view}"
+        table, where = _fold_table(m.group("table")), m.group("where")
+        vf, vt = _portion(m)
+        portion = bool(m.group("portion"))
+        view = (_portion_view(xt, table, vf, vt) if portion
+                else _current_view(xt, table))
+        rows = spark.sql(_esc(f"SELECT * FROM {_from_ref(view, table)}"
                               + (f" WHERE {where}" if where else "")))
-        ids = rows.select("_id")
-        st = xt.store.delete(table, ids, valid_from=m.group("vf"),
-                             valid_to=m.group("vt"))
+        ids = rows.select("_id").distinct() if portion else \
+            rows.select("_id")
+        st = xt.store.delete(table, ids, valid_from=vf, valid_to=vt)
         # RETURNING sees the deleted (pre-delete) rows — `rows` is
         # pinned to the statement-time manifest snapshot
         return _returning(spark, rows, ret, st)
 
     m = _ERASE_RE.match(query)
     if m:
-        table, where = m.group("table"), m.group("where")
+        table, where = _fold_table(m.group("table")), m.group("where")
         view = _current_view(xt, table)
-        rows = spark.sql(_esc(f"SELECT * FROM {view}"
+        rows = spark.sql(_esc(f"SELECT * FROM {_from_ref(view, table)}"
                               + (f" WHERE {where}" if where else "")))
         st = xt.store.erase(table, rows.select("_id"))
         return _returning(spark, rows, ret, st)

@@ -41,6 +41,8 @@ import threading
 from collections import deque
 from dataclasses import dataclass
 
+from pyspark.sql import functions as F
+
 # ---------------------------------------------------------------- tokens
 
 _TOKEN_RE = re.compile(
@@ -295,7 +297,22 @@ class TemporalBounds:
         return "__".join(parts)
 
 
-def scan_with_bounds(store, table: str, b: TemporalBounds):
+def norm_instant(s):
+    """Reference instant spellings → Spark-castable timestamps: a
+    trailing `Z` (`'1998-01-04Z'` — casts to NULL in Spark,
+    silently emptying a FOR … AS OF filter) and `[Zone]` brackets
+    are dropped (storage is naive-UTC), `T` separators become
+    spaces. Non-strings pass through."""
+    if not isinstance(s, str):
+        return s
+    t = re.sub(r"\[[^\]]*\]$", "", s.strip())
+    if t.endswith(("Z", "z")):
+        t = t[:-1]
+    return t.replace("T", " ")
+
+
+def scan_with_bounds(store, table: str, b: TemporalBounds,
+                     keep_meta: bool = False):
     from xtdb_spark import bitemporal
 
     if b.valid_range is not None:
@@ -312,7 +329,38 @@ def scan_with_bounds(store, table: str, b: TemporalBounds):
         system_time=b.system_asof,
         all_valid_time=b.all_valid,
         all_system_time=b.all_system,
+        keep_meta=keep_meta,
     )
+
+
+# temporal metadata columns a query can reference explicitly (the
+# reference exposes them on every table; SELECT * excludes them,
+# sql.clj table-info) — scalar bounds plus the `_valid_time` /
+# `_system_time` PERIOD pseudo-columns the period predicates consume
+_TEMPORAL_COL_WORDS = {
+    "_valid_from", "_valid_to", "_system_from", "_system_to",
+    "_valid_time", "_system_time",
+}
+
+
+def _with_period_meta(df):
+    """Attach the period struct pseudo-columns (and any missing
+    scalar bounds) to a scan that carries temporal metadata. NULL
+    `_to` means unbounded — the period predicate translator
+    coalesces to ±∞ (constructs._S/_E)."""
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    nul = F.lit(None).cast("timestamp")
+    for c in ("_valid_from", "_valid_to", "_system_from", "_system_to"):
+        if c not in cols:
+            df = df.withColumn(c, nul)
+    return (df.withColumn("_valid_time",
+                          F.struct(F.col("_valid_from").alias("_from"),
+                                   F.col("_valid_to").alias("_to")))
+            .withColumn("_system_time",
+                        F.struct(F.col("_system_from").alias("_from"),
+                                 F.col("_system_to").alias("_to"))))
 
 
 # ------------------------------------- WHERE-conjunct extraction
@@ -609,6 +657,12 @@ class _Rewriter:
     def run(self) -> tuple[str, list]:
         self._scan_refs: list = []
         self._ref_aliases: list = []
+        # explicit temporal-column references (reference: _valid_from
+        # etc. are queryable on every table, excluded from SELECT *)
+        # switch the scanned views to their meta-carrying variants
+        self._want_meta = any(
+            k == "word" and t.lower() in _TEMPORAL_COL_WORDS
+            for k, t in self.toks)
         self._setting_prefix()
         # FROM-list context per paren depth: a comma at a depth whose
         # FROM list is still open starts another table ref (`FROM a
@@ -645,13 +699,78 @@ class _Rewriter:
                         depth += self._open_parens
                         self._open_parens = 0
                         continue
-                self.out.append(self._take()[1])
+                tok = self._take()
+                if tok[0] == "word" and "$" in tok[1]:
+                    # the reference dialect allows bare $-identifiers
+                    # (foo$bar, Sql.g4 IDENTIFIER); Spark only parses
+                    # them quoted
+                    self.out.append("`" + tok[1].replace("`", "``") + "`")
+                else:
+                    self.out.append(tok[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
         self._inject_auto_prefilters()
         sql = "".join(self.out)
+        sql = self._null_missing_columns(sql)
         if getattr(self, "clock_time", None) is not None:
             sql = apply_clock(sql, self.clock_time)
         return spark_escape_strings(sql), remaining
+
+    def _null_missing_columns(self, sql: str) -> str:
+        """Schemaless semantics for QUALIFIED refs: a document key
+        the scanned table doesn't have reads as NULL (the reference
+        is schema-per-document — `GREATEST(5, t1.missing, 12, 8)`
+        evaluates with NULL, direct-sql/numeric-value-functions;
+        Spark would raise UNRESOLVED_COLUMN). Deliberately
+        CONSERVATIVE: only `alias.col` where the alias names exactly
+        one store scan, the alias isn't redefined elsewhere in the
+        emitted text (a subquery `AS t1` disables it), the ref isn't
+        part of a longer chain or a call, and the name isn't a
+        temporal/underscore column. Anything ambiguous keeps Spark's
+        analysis error."""
+        refs = getattr(self, "_scan_refs", None)
+        if not refs:
+            return sql
+        amap: dict = {}
+        for r in refs:
+            a = r["alias"].lower()
+            amap[a] = (None if a in amap
+                       else {c.lower() for c in r.get("cols", [])})
+        toks = _tokenize(sql)
+        sig = [(j, k, t) for j, (k, t) in enumerate(toks)
+               if k not in ("ws", "comment")]
+        # aliases introduced more than once (our scan view emits one
+        # `AS alias`; any second definition → hands off)
+        as_counts: dict = {}
+        for s in range(1, len(sig)):
+            pk, pt = sig[s - 1][1], sig[s - 1][2]
+            if pk == "word" and pt.upper() == "AS" and \
+                    sig[s][1] in ("word", "qident"):
+                n = _unquote((sig[s][1], sig[s][2])).lower()
+                as_counts[n] = as_counts.get(n, 0) + 1
+        drop_idx: dict = {}
+        for s in range(len(sig) - 2):
+            j0, k0, t0 = sig[s]
+            if k0 != "word" or amap.get(t0.lower()) is None \
+                    or as_counts.get(t0.lower(), 0) > 1:
+                continue
+            if s > 0 and sig[s - 1][2] == ".":
+                continue                      # deeper chain x.t1.col
+            if sig[s + 1][2] != "." or sig[s + 1][1] != "punct":
+                continue
+            ck, ct = sig[s + 2][1], sig[s + 2][2]
+            if ck != "word":
+                continue
+            col = ct.lower()
+            nxt = sig[s + 3][2] if s + 3 < len(sig) else ""
+            if (col in amap[t0.lower()] or col.startswith("_")
+                    or nxt in ("(", ".")):
+                continue
+            drop_idx[j0] = "NULL"             # alias token → NULL
+            drop_idx[sig[s + 1][0]] = ""      # the dot
+            drop_idx[sig[s + 2][0]] = ""      # the column name
+        if not drop_idx:
+            return sql
+        return "".join(drop_idx.get(j, t) for j, (k, t) in enumerate(toks))
 
     _SETTING_VARS = ("DEFAULT", "SNAPSHOT_TOKEN", "SNAPSHOT_TIME",
                      "CLOCK_TIME")
@@ -894,7 +1013,13 @@ class _Rewriter:
             # table-valued function: emit the name, let the main walk
             # handle the argument list (and anything inside it)
             return flush_verbatim(True)
-        table = ".".join(_unquote(t) for t in name_toks if t[0] != "punct")
+        # unquoted identifiers FOLD to lowercase (SQL identifier
+        # folding; the reference normalizes unquoted table idents —
+        # `FROM Prop_Owner` scans prop_owner, direct-sql/sl-demo);
+        # quoted segments stay exact
+        table = ".".join(
+            _unquote(t) if t[0] == "qident" else t[1].lower()
+            for t in name_toks if t[0] != "punct")
 
         if table.lower() in ("xt.txs", "xt_txs"):
             # the queryable tx log (reference xt.txs system table)
@@ -921,17 +1046,39 @@ class _Rewriter:
         bounds, _ = self._for_clauses(cap_take, cap_skip_ws)
         bounds = self._apply_defaults(bounds)
         alias = self._alias(cap_take, cap_skip_ws)
+        dcl = (self._derived_col_list(cap_take, cap_skip_ws)
+               if alias is not None else None)
 
         eff_alias = alias or table.split(".")[-1]
         self._ref_aliases.append(eff_alias)
         if not self._store_table_exists(table):
             return flush_verbatim(True)
         view = f"xt__{table.replace('.', '_')}__{bounds.view_suffix()}"
+        if self._want_meta:
+            # distinct deterministic name: a view name must always
+            # hold identical content (concurrency note below), and
+            # the meta variant adds columns
+            view += "__meta"
+        if dcl:
+            import hashlib as _hl
+
+            view += "__dcl" + _hl.md5(
+                "\x00".join(dcl).encode()).hexdigest()[:8]
         view = re.sub(r"\W", "_", view)
-        df = self._visible(scan_with_bounds(self.xt.store, table, bounds))
+        df = self._visible(scan_with_bounds(self.xt.store, table, bounds,
+                                            keep_meta=self._want_meta))
+        if self._want_meta:
+            df = _with_period_meta(df)
+        if dcl:
+            lower = {c.lower(): c for c in df.columns}
+            df = df.select(*[
+                F.col(lower[c.lower()]).alias(c) if c.lower() in lower
+                else F.lit(None).alias(c)       # schemaless: absent→NULL
+                for c in dcl])
         df.createOrReplaceTempView(view)
         self._scan_refs.append({"table": table, "bounds": bounds,
                                 "view": view, "alias": eff_alias,
+                                "cols": list(df.columns), "dcl": dcl,
                                 "out_idx": len(self.out)})
         # preserve an explicit alias; otherwise alias back to the bare
         # table name so qualified column refs keep resolving
@@ -1019,11 +1166,22 @@ class _Rewriter:
                     system_time=b.system_asof,
                     all_valid_time=b.all_valid,
                     all_system_time=b.all_system,
-                    prefilter=pred, prefilter_mode=mode)
+                    prefilter=pred, prefilter_mode=mode,
+                    keep_meta=self._want_meta)
             except Exception:
                 continue          # temporal/unknown column etc. —
                 #                   the plain view stays registered
             df = self._visible(df)
+            if self._want_meta:
+                # the replaced view carried the period pseudo-columns
+                # — the prefiltered replacement must too
+                df = _with_period_meta(df)
+            if r.get("dcl"):
+                lower = {c.lower(): c for c in df.columns}
+                df = df.select(*[
+                    F.col(lower[c.lower()]).alias(c)
+                    if c.lower() in lower else F.lit(None).alias(c)
+                    for c in r["dcl"]])
             uview = f"{r['view']}__pf{next(_PF_SEQ)}"
             df.createOrReplaceTempView(uview)
             self.out[r["out_idx"]] = self.out[r["out_idx"]].replace(
@@ -1264,7 +1422,7 @@ class _Rewriter:
             k, t = self._peek()
         if k == "str":
             cap_take()
-            return t[1:-1].replace("''", "'")
+            return norm_instant(t[1:-1].replace("''", "'"))
         if k == "param":
             ord_ = self.param_ord  # ordinal of THIS param (0-based)
             cap_take()
@@ -1327,6 +1485,40 @@ class _Rewriter:
             return _unquote(tok)
         self._restore(cp)
         return None
+
+    def _derived_col_list(self, cap_take, cap_skip_ws) -> list | None:
+        """`AS x (c1, c2, …)` after a store-table alias: the
+        reference's derived column list PROJECTS the named columns in
+        that order — including the normally-star-hidden temporal
+        columns (direct-sql/sl-demo lists _valid_from/_system_to to
+        surface them); names the table doesn't have come back NULL
+        (schemaless document model). Returns the names, or None if
+        the parenthesized group isn't a plain identifier list."""
+        cp = self._checkpoint()
+        cap_skip_ws()
+        if self._peek() != ("punct", "("):
+            self._restore(cp)
+            return None
+        cap_take()
+        names: list[str] = []
+        while True:
+            cap_skip_ws()
+            k, t = self._peek()
+            if k not in ("word", "qident") or \
+                    (k == "word" and t.upper() in _NOT_TABLE_START):
+                self._restore(cp)
+                return None
+            names.append(_unquote(cap_take()))
+            cap_skip_ws()
+            nxt = self._peek()
+            if nxt == ("punct", ","):
+                cap_take()
+                continue
+            if nxt == ("punct", ")"):
+                cap_take()
+                return names
+            self._restore(cp)
+            return None
 
 
 _FAIL = object()

@@ -628,6 +628,14 @@ class TableStore:
         # writer processes sharing a warehouse can never allocate the
         # same system time (reference: log offsets are unique by
         # construction, log.clj:70-87)
+        src = getattr(self, "instant_source", None)
+        if src is not None:
+            # injected InstantSource (reference test_util.clj:107
+            # ->mock-clock, wired by the SLT direct-sql runner):
+            # deterministic tx times, monotonicity is the source's
+            # contract
+            self._tx_counter += 1
+            return src()
         self._tx_counter += 1
         t_us = time.time_ns() // 1000
         if t_us <= getattr(self, "_last_alloc_us", 0):
@@ -696,6 +704,14 @@ class TableStore:
               else F.lit(system_from).cast("timestamp"))
         vt = F.lit(valid_to).cast("timestamp") if valid_to is not None \
             else F.lit(None).cast("timestamp")
+        # a `_valid_from`/`_valid_to` DOCUMENT column sets that row's
+        # application time (reference: INSERT INTO t (_id, …,
+        # _valid_from) is the standard app-time write, tx.clj put-docs
+        # valid-time-from); rows without it keep the op default
+        if "_valid_from" in df.columns:
+            vf = F.coalesce(F.col("_valid_from").cast("timestamp"), vf)
+        if "_valid_to" in df.columns:
+            vt = F.coalesce(F.col("_valid_to").cast("timestamp"), vt)
         return (df
                 .withColumn("_iid", self._iid_expr(df))
                 .withColumn("_valid_from", vf)
@@ -756,6 +772,11 @@ class TableStore:
 
         if not isinstance(rows, list) or not rows \
                 or not all(isinstance(r, dict) for r in rows):
+            return False
+        if any("_valid_from" in r or "_valid_to" in r for r in rows):
+            # per-row valid-time bounds (reference: inserting
+            # `_valid_from` sets the event's application time) —
+            # Spark path handles the per-row coalesce
             return False
         order: list[str] = []
         for r in rows:
@@ -887,9 +908,15 @@ class TableStore:
         """ids may be a local list OR a DataFrame with an `_id` column
         — the DataFrame path stays fully distributed (a broad
         `DELETE … WHERE` must never collect its id set to the
-        driver)."""
+        driver). A DataFrame may also carry `_valid_from`/`_valid_to`
+        columns: PER-ROW valid bounds for the delete events (the
+        SQL `DELETE … FOR ALL VALID_TIME WHERE <segment pred>` shape,
+        reference direct-sql/sl-demo — each matching version segment
+        is deleted over ITS OWN range; _events_df coalesces them)."""
         if isinstance(ids, DataFrame):
-            return ids.select("_id")
+            keep = [c for c in ("_id", "_valid_from", "_valid_to")
+                    if c in ids.columns]
+            return ids.select(*keep)
         return [{"_id": i} for i in ids]
 
     def delete(self, table, ids, valid_from=None, valid_to=None, system_from=None):
@@ -1702,7 +1729,55 @@ class TableStore:
             # empty/missing table: keep the directory-read error shape
             return self.spark.read.option("mergeSchema", "true") \
                 .parquet(self._path(table))
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        try:
+            return self.spark.read.option("mergeSchema", "true") \
+                .parquet(*files)
+        except Exception as e:
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            return self._events_lub(files)
+
+    def _events_lub(self, files: list[str]) -> DataFrame:
+        """Cross-put dynamic typing: a column written as one scalar
+        type in one tx and another later (`UPDATE t1 SET col1 = 30`
+        over a string column — reference direct-sql/dml.test; its
+        columns are Arrow dense unions, types.clj LUB) defeats
+        parquet schema merge. Fallback: per-file reads unioned under
+        a least-upper-bound — numeric mixes widen to double (the
+        reference's own LUB), anything else lowers to string at the
+        SQL surface (renders naturally; comparisons follow Spark's
+        string⇄numeric coercions). Explicitly union-typed data keeps
+        the faithful legs-struct encoding (dyntypes.encode_rows) —
+        this path only catches UNDECLARED drift, so tables stay on
+        the fast merged read unless they actually mixed types."""
+        from functools import reduce
+
+        from pyspark.sql.types import NumericType
+
+        frames = [self.spark.read.parquet(f) for f in files]
+        types: dict = {}
+        for df in frames:
+            for fld in df.schema.fields:
+                types.setdefault(fld.name, set()).add(fld.dataType)
+        lub = {}
+        for c, ts in types.items():
+            if len(ts) > 1:
+                lub[c] = ("double" if all(isinstance(t, NumericType)
+                                          for t in ts) else "string")
+        outs = []
+        order = list(types)
+        for df in frames:
+            cols = []
+            for c in order:
+                if c in df.columns:
+                    col = (F.col(c).cast(lub[c]) if c in lub
+                           else F.col(c))
+                else:
+                    tgt = lub.get(c) or next(iter(types[c]))
+                    col = F.lit(None).cast(tgt)
+                cols.append(col.alias(c))
+            outs.append(df.select(cols))
+        return reduce(lambda a, b: a.unionByName(b), outs)
 
     # columns a prefilter predicate must NOT reference: resolution
     # rewrites them (later versions clip _valid_to/_system_to, range
@@ -1903,7 +1978,8 @@ class TableStore:
     def scan(self, table: str, valid_time=None, system_time=None,
              all_valid_time=False, all_system_time=False,
              prefilter=None, prefilter_mode: str = "force",
-             prefilter_threshold: float = 0.005) -> DataFrame:
+             prefilter_threshold: float = 0.005,
+             keep_meta: bool = False) -> DataFrame:
         """The :scan operator (reference operator/scan.clj:46-368):
         temporal bounds → resolution strategy. Column pruning +
         predicate pushdown on the returned DataFrame reach the parquet
@@ -1949,7 +2025,7 @@ class TableStore:
         applies it — existing callers unchanged."""
         if (self.serve_cache and prefilter is None and valid_time is None
                 and system_time is None and not all_valid_time
-                and not all_system_time):
+                and not all_system_time and not keep_meta):
             p = self._path(table)
             cl0, cents = compactor.live_files(p)
             tok = (tuple(sorted(cl0)),
@@ -2070,10 +2146,22 @@ class TableStore:
                     cand = F.broadcast(cand)
                 ev = ev.join(cand, "_iid", "left_semi")
         return self._resolve(ev, valid_time, system_time,
-                             all_valid_time, all_system_time)
+                             all_valid_time, all_system_time,
+                             keep_meta=keep_meta)
 
     def _resolve(self, ev: DataFrame, valid_time=None, system_time=None,
-                 all_valid_time=False, all_system_time=False) -> DataFrame:
+                 all_valid_time=False, all_system_time=False,
+                 keep_meta: bool = False) -> DataFrame:
+        """keep_meta=True surfaces `_valid_from/_valid_to/
+        _system_from/_system_to` on the POINT path too (the range /
+        ALL paths always carry them) — the reference exposes these as
+        queryable columns on every table (its SELECT * just excludes
+        them). On the as-of path `_system_to` is NULL: the winning
+        version is the system-latest at the bound, and for the
+        current-state scan (no bound) that is exactly ∞; for a
+        historical AS OF bound a later correction's system_from is
+        not computed (documented approximation — the range spellings
+        are exact via the polygon paths)."""
         doc_cols = [c for c in ev.columns if c not in bitemporal.META_COLS]
         if all_valid_time and all_system_time:
             return bitemporal.polygon_history(ev, doc_cols)
@@ -2087,4 +2175,9 @@ class TableStore:
             return hist.filter((F.col("_valid_from") <= v)
                                & (v < F.coalesce(F.col("_valid_to"),
                                                  F.lit(bitemporal.MAX_TS).cast("timestamp"))))
-        return bitemporal.resolve_asof(ev, valid_time, system_time)
+        out = bitemporal.resolve_asof(ev, valid_time, system_time,
+                                      keep_meta=keep_meta)
+        if keep_meta:
+            out = out.drop("op").withColumn(
+                "_system_to", F.lit(None).cast("timestamp"))
+        return out
