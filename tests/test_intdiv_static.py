@@ -49,7 +49,12 @@ def test_intness_functions():
     assert iness("NULLIF ( - 60, COUNT ( * ) )") is True
     assert iness("NULLIF ( 1.5, 2 )") is False
     assert iness("COALESCE ( - 88, 1 + 2 )") is True
-    assert iness("COALESCE ( 1, 2.5 )") is False
+    # DYNAMIC COALESCE typing (round-11 refinement): the first
+    # definitely-non-null arg decides — SQLite returns 1 (int) here,
+    # the 2.5 is unreachable
+    assert iness("COALESCE ( 1, 2.5 )") is True
+    assert iness("COALESCE ( NULLIF ( 1, 2 ), 2.5 )") is False
+    assert iness("COALESCE ( 65, AVG ( col0 ) )") is True
     assert iness("wibble ( 1 )") is None             # unknown fn
 
 

@@ -152,25 +152,39 @@ class _IntnessParser:
 
     def parse(self):
         try:
-            v = self._additive()
+            v, _ = self._additive()
         except _Bail:
             return None
         return v if self.i == len(self.toks) else None
 
+    # every level returns (intness, definitely_non_null) — the
+    # second flag drives COALESCE's DYNAMIC typing: SQLite's result
+    # type is the FIRST reachable non-null argument's, so args past
+    # a definitely-non-null one never contribute
+    # (`COALESCE(65, AVG(x)) / 12` TRUNCATES — round-11 corpus fix)
+
     def _additive(self):
-        vals = [self._mult()]
+        vi, vn = self._mult()
+        vals, nn = [vi], vn
         while self._peek() in (("punct", "+"), ("punct", "-")):
             self._next()
-            vals.append(self._mult())
-        return _comb(vals)
+            xi, xn = self._mult()
+            vals.append(xi)
+            nn = nn and xn
+        return _comb(vals), nn
 
     def _mult(self):
-        # int-ness only — * / % all keep int iff every operand int
-        vals = [self._unary()]
+        # int-ness: * / % all keep int iff every operand int;
+        # non-null survives * but not / or % (division by zero
+        # yields NULL under the adapter session)
+        vi, vn = self._unary()
+        vals, nn = [vi], vn
         while self._peek()[0] == "punct" and self._peek()[1] in "*/%":
-            self._next()
-            vals.append(self._unary())
-        return _comb(vals)
+            op = self._next()[1]
+            xi, xn = self._unary()
+            vals.append(xi)
+            nn = nn and xn and op == "*"
+        return _comb(vals), nn
 
     def _unary(self):
         while self._peek() in (("punct", "+"), ("punct", "-")):
@@ -228,20 +242,22 @@ class _IntnessParser:
                 self._next()
                 skip_until(("THEN",))
                 self._next()               # THEN
-                results.append(self._additive())
+                results.append(self._additive()[0])
                 continue
             if kw == "ELSE":
                 self._next()
-                results.append(self._additive())
+                results.append(self._additive()[0])
                 continue
             if kw == "END":
                 self._next()
-                return _comb(results) if results else True
+                # nullability of a CASE is data-dependent — never
+                # claim definitely-non-null
+                return (_comb(results) if results else True), False
             raise _Bail
 
     def _func_args(self):
-        """Parse '(' arg [, arg]* ')' → list of int-ness values
-        (leading DISTINCT/ALL stripped; '*' → int)."""
+        """Parse '(' arg [, arg]* ')' → list of (int-ness, non-null)
+        pairs (leading DISTINCT/ALL stripped; '*' → int)."""
         self._next()                       # (
         vals = []
         if self._peek() == ("punct", ")"):
@@ -252,7 +268,7 @@ class _IntnessParser:
                 self._next()
             if self._peek() == ("punct", "*"):
                 self._next()
-                vals.append(True)
+                vals.append((True, True))
             else:
                 vals.append(self._additive())
             k, t = self._next()
@@ -265,14 +281,14 @@ class _IntnessParser:
         k, t = self._peek()
         if k == "num":
             self._next()
-            return "." not in t and "e" not in t.lower()
+            return ("." not in t and "e" not in t.lower()), True
         if k == "str":
             self._next()
-            return False
+            return False, True
         if k == "punct" and t == "(":
             if self._peek(1)[1].upper() == "SELECT":
                 self._skip_balanced()
-                return None                # scalar subquery: unknown
+                return None, False         # scalar subquery: unknown
             self._next()
             v = self._additive()
             if self._next() != ("punct", ")"):
@@ -283,13 +299,13 @@ class _IntnessParser:
         up = t.upper()
         if up == "NULL":
             self._next()
-            return True                    # NULL / x is NULL either way
+            return True, False             # NULL / x is NULL either way
         if up == "CASE":
             return self._case()
         if up == "CAST" and self._peek(1) == ("punct", "("):
             self._next()                   # CAST
             self._next()                   # (
-            self._additive()
+            _, inner_nn = self._additive()
             if self._peek()[1].upper() != "AS":
                 raise _Bail
             self._next()
@@ -308,31 +324,43 @@ class _IntnessParser:
                 ty.append(tt.upper())
             ts = " ".join(ty)
             if any(x in ts for x in _FLOAT_CASTS):
-                return False
+                return False, inner_nn
             if any(x in ts for x in _INT_CASTS):
-                return True
-            return False                   # TEXT/CHAR/BLOB/…
+                return True, inner_nn
+            return False, inner_nn         # TEXT/CHAR/BLOB/…
         if self._peek(1) == ("punct", "("):
             fn = up
             self._next()
             if fn == "COUNT":
                 self._skip_balanced()
-                return True
+                return True, True
             if fn in ("AVG", "TOTAL", "ROUND"):
                 self._skip_balanced()
-                return False               # SQLite: always float
+                return False, False        # SQLite: always float
             if fn in ("RANDOM", "LENGTH", "INSTR"):
                 self._skip_balanced()
-                return True
+                return True, False
             if fn in ("MIN", "MAX", "SUM", "ABS"):
-                return _comb(self._func_args() or [None])
+                args = self._func_args() or [(None, False)]
+                return _comb([a[0] for a in args]), False
             if fn == "NULLIF":
                 args = self._func_args()
-                return args[0] if args else None
+                return (args[0][0] if args else None), False
             if fn in ("COALESCE", "IFNULL"):
-                return _comb(self._func_args() or [None])
+                # DYNAMIC typing: SQLite's COALESCE takes the type of
+                # the first non-null VALUE, so int-ness combines only
+                # the args up to (and including) the first
+                # definitely-non-null one — later args are
+                # unreachable (`COALESCE(65, AVG(x))` is INT)
+                args = self._func_args() or [(None, False)]
+                seen = []
+                for ai, an in args:
+                    seen.append(ai)
+                    if an:
+                        return _comb(seen), True
+                return _comb(seen), False
             self._skip_balanced()
-            return None                    # unknown function
+            return None, False             # unknown function
         # (dotted) column reference — type from the declared schema
         self._next()
         name = t
@@ -342,10 +370,10 @@ class _IntnessParser:
             name = self._next()[1]
         ct = self.ct.get(name.strip('"').lower())
         if ct == "int":
-            return True
+            return True, False
         if ct in ("float", "text"):
-            return False
-        return None
+            return False, False
+        return None, False
 
 
 def _intness(toks, col_types):
