@@ -355,3 +355,75 @@ def prefilter_scan(spark, sf_dir):
     pruned = ev.join(cand, "_iid", "left_semi")
     return (bitemporal.resolve_asof(pruned)
             .filter(pred).select("_id", "value"))
+
+
+@register(
+    "bitemp_period_cols",
+    """
+    WITH ev AS (
+      SELECT user_id AS _id, value, ts AS _valid_from,
+             CASE WHEN event_type = 'purchase'
+                  THEN ts + INTERVAL 7 DAY ELSE NULL END AS _valid_to,
+             ts AS _system_from,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op
+      FROM events),
+    hist AS (
+      SELECT _id, value, _valid_from, op,
+             CASE WHEN next_vf IS NULL THEN _valid_to
+                  ELSE LEAST(COALESCE(_valid_to, TIMESTAMP '9999-12-31'),
+                             next_vf) END AS _valid_to_eff
+      FROM (SELECT *, LEAD(_valid_from) OVER (PARTITION BY _id
+                      ORDER BY _valid_from, _system_from) AS next_vf
+            FROM ev))
+    SELECT _id,
+           COUNT(*) AS n_slices,
+           COUNT(CASE WHEN _valid_from <= TIMESTAMP '2024-01-10 12:00:00'
+                       AND (_valid_to_eff IS NULL
+                            OR TIMESTAMP '2024-01-10 12:00:00' < _valid_to_eff)
+                      THEN 1 END) AS n_contain,
+           MIN(_valid_from) AS first_from
+    FROM hist WHERE op = 'put' GROUP BY _id
+    """,
+)
+def period_cols(spark, sf_dir):
+    """The `_VALID_TIME` period pseudo-column surface (round 11;
+    reference: every table exposes _valid_time/_system_time periods,
+    its period predicates and LOWER/UPPER consume them — Sql.g4
+    periodPredicate/periodBoundFunction; direct-sql corpus): the
+    validity timeline's slices carry a `_valid_time` struct, and the
+    aggregation runs through the SQL dialect layer with a CONTAINS
+    point predicate and a LOWER() bound — all translated to plain
+    Column comparisons by sql/constructs.py (no UDF; the period is a
+    named_struct, so the predicate stays in whole-stage codegen)."""
+    from xtdb_spark.sql.constructs import translate
+
+    e = ld(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("user_id").alias("_id"),
+        F.col("value"),
+        F.col("user_id").alias("_iid"),
+        F.col("ts").alias("_valid_from"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("ts") + F.expr("INTERVAL 7 DAY"))
+        .otherwise(F.lit(None).cast("timestamp")).alias("_valid_to"),
+        F.col("ts").alias("_system_from"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put").alias("op"),
+    )
+    h = bitemporal.valid_history(ev)
+    tl = h.select(
+        "_id", "value", "_valid_from",
+        F.col("_valid_to_eff").alias("_valid_to"),
+        F.struct(F.col("_valid_from").alias("_from"),
+                 F.col("_valid_to_eff").alias("_to"))
+        .alias("_valid_time"))
+    tl.createOrReplaceTempView("xt_period_tl")
+    return spark.sql(translate("""
+        SELECT _id,
+               COUNT(*) AS n_slices,
+               COUNT(CASE WHEN t._VALID_TIME CONTAINS
+                               TIMESTAMP '2024-01-10 12:00:00'
+                          THEN 1 END) AS n_contain,
+               MIN(LOWER(t._VALID_TIME)) AS first_from
+        FROM xt_period_tl AS t GROUP BY _id
+    """))
