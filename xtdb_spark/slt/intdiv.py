@@ -131,6 +131,17 @@ def _comb(vals):
     return True
 
 
+def _comb_nn(nns):
+    """Nullability is TERNARY: True = definitely non-null, "null" =
+    definitely NULL (a NULL literal, or an expression strictly over
+    one), False = unknown. NULL is absorbing across arithmetic."""
+    if any(n == "null" for n in nns):
+        return "null"
+    if all(n is True for n in nns):
+        return True
+    return False
+
+
 class _IntnessParser:
     """Recursive-descent int-ness over the SLT expression grammar
     (additive > multiplicative > unary > primary; CASE / CAST /
@@ -165,26 +176,28 @@ class _IntnessParser:
 
     def _additive(self):
         vi, vn = self._mult()
-        vals, nn = [vi], vn
+        vals, nns = [vi], [vn]
         while self._peek() in (("punct", "+"), ("punct", "-")):
             self._next()
             xi, xn = self._mult()
             vals.append(xi)
-            nn = nn and xn
-        return _comb(vals), nn
+            nns.append(xn)
+        return _comb(vals), _comb_nn(nns)
 
     def _mult(self):
         # int-ness: * / % all keep int iff every operand int;
         # non-null survives * but not / or % (division by zero
         # yields NULL under the adapter session)
         vi, vn = self._unary()
-        vals, nn = [vi], vn
+        vals, nns = [vi], [vn]
         while self._peek()[0] == "punct" and self._peek()[1] in "*/%":
             op = self._next()[1]
             xi, xn = self._unary()
             vals.append(xi)
-            nn = nn and xn and op == "*"
-        return _comb(vals), nn
+            # division by zero yields NULL under the adapter session
+            nns.append(xn if op == "*" else
+                       ("null" if xn == "null" else False))
+        return _comb(vals), _comb_nn(nns)
 
     def _unary(self):
         while self._peek() in (("punct", "+"), ("punct", "-")):
@@ -299,7 +312,7 @@ class _IntnessParser:
         up = t.upper()
         if up == "NULL":
             self._next()
-            return True, False             # NULL / x is NULL either way
+            return True, "null"            # NULL / x is NULL either way
         if up == "CASE":
             return self._case()
         if up == "CAST" and self._peek(1) == ("punct", "("):
@@ -335,17 +348,36 @@ class _IntnessParser:
                 self._skip_balanced()
                 return True, True
             if fn in ("AVG", "TOTAL", "ROUND"):
-                self._skip_balanced()
-                return False, False        # SQLite: always float
+                # float-valued; AVG/TOTAL over a definitely-NULL arg
+                # is definitely NULL (common generator shape
+                # `AVG(CAST(NULL AS INTEGER))`)
+                if fn == "ROUND":
+                    self._skip_balanced()
+                    return False, False
+                args = self._func_args() or [(None, False)]
+                nn = args[0][1]
+                return False, ("null" if nn == "null" else False)
             if fn in ("RANDOM", "LENGTH", "INSTR"):
                 self._skip_balanced()
                 return True, False
             if fn in ("MIN", "MAX", "SUM", "ABS"):
+                # aggregate nullability follows the argument: over a
+                # definitely-non-null arg the corpus tables (always
+                # non-empty) never produce NULL; over a NULL literal
+                # the result IS NULL (COALESCE then skips it)
                 args = self._func_args() or [(None, False)]
-                return _comb([a[0] for a in args]), False
+                nn = args[0][1]
+                return _comb([a[0] for a in args]), \
+                    (nn if nn in (True, "null") else False)
             if fn == "NULLIF":
+                # NULLIF(a, NULL): a = NULL is never TRUE → always a
                 args = self._func_args()
-                return (args[0][0] if args else None), False
+                if not args:
+                    return None, False
+                a = args[0]
+                if len(args) > 1 and args[1][1] == "null":
+                    return a
+                return a[0], False
             if fn in ("COALESCE", "IFNULL"):
                 # DYNAMIC typing: SQLite's COALESCE takes the type of
                 # the first non-null VALUE, so int-ness combines only
@@ -355,9 +387,14 @@ class _IntnessParser:
                 args = self._func_args() or [(None, False)]
                 seen = []
                 for ai, an in args:
+                    if an == "null":
+                        continue           # definitely-NULL arg is
+                        #                    never the result
                     seen.append(ai)
-                    if an:
+                    if an is True:
                         return _comb(seen), True
+                if not seen:
+                    return True, "null"    # COALESCE of all NULLs
                 return _comb(seen), False
             self._skip_balanced()
             return None, False             # unknown function
