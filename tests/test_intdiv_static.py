@@ -63,7 +63,11 @@ def test_intness_cast_and_case():
     assert iness("CAST ( 1 AS REAL )") is False
     assert iness("CAST ( 1 AS TEXT )") is False
     assert iness("CASE 61 WHEN 93 THEN NULL ELSE 12 END") is True
-    assert iness("CASE WHEN col0 = 1 THEN 1 ELSE 2.5 END") is False
+    # branch int-ness DIVERGES → marked for the division-
+    # distribution rewrite (round 11): SQLite types by the branch
+    # the runtime takes
+    assert iness("CASE WHEN col0 = 1 THEN 1 ELSE 2.5 END") == "div"
+    assert iness("CASE WHEN col0 = 1 THEN 1.5 ELSE 2.5 END") is False
     # a float in a CONDITION (skipped) must not contaminate results
     assert iness("CASE - CAST ( NULL AS REAL ) WHEN 1.5 THEN 2 "
                  "ELSE 3 END") is True

@@ -123,11 +123,14 @@ class _Bail(Exception):
 
 def _comb(vals):
     """float contaminates (any False → False); else unknown
-    propagates (any None → None); else int."""
+    propagates (any None → None); else DIVERGENT (a CASE whose
+    branches differ — "div") propagates; else int."""
     if any(v is False for v in vals):
         return False
     if any(v is None for v in vals):
         return None
+    if any(v == "div" for v in vals):
+        return "div"
     return True
 
 
@@ -265,7 +268,14 @@ class _IntnessParser:
                 self._next()
                 # nullability of a CASE is data-dependent — never
                 # claim definitely-non-null
-                return (_comb(results) if results else True), False
+                v = _comb(results) if results else True
+                if (v is False and any(r is True for r in results)
+                        and not any(r is None for r in results)):
+                    # branches DIVERGE (some int, some float, none
+                    # unknown): the runtime-taken branch decides —
+                    # mark for the division-distribution rewrite
+                    v = "div"
+                return v, False
             raise _Bail
 
     def _func_args(self):
@@ -417,6 +427,79 @@ def _intness(toks, col_types):
     return _IntnessParser(toks, col_types).parse()
 
 
+def _case_parts(toks):
+    """Structure of a PURE CASE atom (optional unary ± prefixes, one
+    CASE…END, nothing after): (negate, comparand_toks|None,
+    [(cond_toks, result_toks)…], else_toks|None), or None when the
+    slice isn't that shape. Used by the division-distribution
+    rewrite for branch-DIVERGENT int-ness."""
+    neg = False
+    i, n = 0, len(toks)
+
+    def skip_ws(j):
+        while j < n and toks[j][0] in ("ws", "comment"):
+            j += 1
+        return j
+
+    i = skip_ws(i)
+    while i < n and toks[i] in (("punct", "+"), ("punct", "-")):
+        if toks[i][1] == "-":
+            neg = not neg
+        i = skip_ws(i + 1)
+    if i >= n or toks[i][0] != "word" or toks[i][1].upper() != "CASE":
+        return None
+    i += 1
+    depth = 0          # parens/brackets + NESTED case
+    segs: list = []    # (kind, tok_list) kind ∈ comparand/cond/res/else
+    cur: list = []
+    kind = "comparand"
+    end_at = None
+    while i < n:
+        k, t = toks[i]
+        up = t.upper() if k == "word" else ""
+        if k == "punct" and t in ("(", "["):
+            depth += 1
+        elif k == "punct" and t in (")", "]"):
+            depth -= 1
+        elif up == "CASE":
+            depth += 1
+        elif depth == 0 and up in ("WHEN", "THEN", "ELSE", "END"):
+            segs.append((kind, cur))
+            cur = []
+            if up == "END":
+                end_at = i + 1
+                break
+            kind = {"WHEN": "cond", "THEN": "res", "ELSE": "else"}[up]
+            i += 1
+            continue
+        elif up == "END":
+            depth -= 1
+        cur.append(toks[i])
+        i += 1
+    if end_at is None:
+        return None
+    j = skip_ws(end_at)
+    if j < n:
+        return None                    # trailing tokens — not pure
+    comparand = segs[0][1] if segs and segs[0][0] == "comparand" else None
+    arms, els = [], None
+    pend_cond = None
+    for kind2, body in (segs[1:] if segs and segs[0][0] == "comparand"
+                        else segs):
+        if kind2 == "cond":
+            pend_cond = body
+        elif kind2 == "res":
+            if pend_cond is None:
+                return None
+            arms.append((pend_cond, body))
+            pend_cond = None
+        elif kind2 == "else":
+            els = body
+    if not arms:
+        return None
+    return neg, comparand, arms, els
+
+
 class _DivRewriter:
     def __init__(self, toks, col_types=None):
         self.toks = toks
@@ -540,6 +623,7 @@ class _DivRewriter:
         if head is None:
             return None
         ints = [_intness(self.toks[i0:self.i], self.ct)]
+        slices = [(i0, self.i)]
         steps: list[tuple[str, str, str]] = []
         while True:
             save = self.i
@@ -556,6 +640,7 @@ class _DivRewriter:
                     self.i = save
                     break
                 ints.append(_intness(self.toks[r0:self.i], self.ct))
+                slices.append((r0, self.i))
                 steps.append((ws, t, right))
                 continue
             self.i = save
@@ -564,12 +649,72 @@ class _DivRewriter:
             # untouched chains keep their original spelling (and
             # their original Spark types)
             return head + "".join(f"{ws}{op}{r}" for ws, op, r in steps)
-        if all(v is not None for v in ints):
+        if all(v in (True, False) for v in ints):
             # every operand's int-ness resolved statically — emit
             # bare DIV (stays BIGINT, so ENCLOSING divisions still
             # see an integral operand) or plain float `/`
             return _fold_static(head.strip(), steps, ints)
+        div_idx = [j for j, v in enumerate(ints) if v == "div"]
+        if len(div_idx) == 1 and all(
+                v in (True, False) for j, v in enumerate(ints)
+                if j != div_idx[0]):
+            out = self._distribute_case(head, steps, ints, slices,
+                                        div_idx[0])
+            if out is not None:
+                return out
         return _fold_chain(head.strip(), steps)
+
+    def _distribute_case(self, head, steps, ints, slices, k):
+        """One operand is a CASE whose branches have DIVERGENT
+        int-ness — SQLite types the division by the branch the
+        runtime TAKES, which a single statically-typed Spark
+        expression cannot express. Rewrite by DISTRIBUTING the whole
+        multiplicative chain into the CASE's branches, folding each
+        branch with ITS result's static int-ness:
+            14 / CASE c WHEN w THEN avg(x) ELSE 29 END
+          → CASE c WHEN w THEN 14 / avg(x) ELSE 14 DIV 29 END
+        (the last random/expr failure class, round 11). Returns None
+        when the divergent atom isn't a pure CASE — caller falls
+        back to the runtime guard."""
+        parts = _case_parts(self.toks[slices[k][0]:slices[k][1]])
+        if parts is None:
+            return None
+        neg, comparand, arms, els = parts
+        branch_srcs = [r for _, r in arms] + [els]
+        branches = []
+        for res in branch_srcs:
+            if res is None:            # implicit ELSE NULL
+                branches.append(("NULL", True))
+                continue
+            ri = _intness(res, self.ct)
+            if ri not in (True, False):
+                return None            # nested divergence/unknown
+            rtext = _DivRewriter(list(res), self.ct).run().strip()
+            if not rtext:
+                return None
+            branches.append((rtext, ri))
+
+        texts = [head.strip()] + [r.strip() for _, _, r in steps]
+
+        def fold_with(btext, bint):
+            t2 = list(texts)
+            t2[k] = f"- ({btext})" if neg else f"({btext})"
+            i2 = list(ints)
+            i2[k] = bint
+            steps2 = [(ws, op, t2[j + 1])
+                      for j, (ws, op, _) in enumerate(steps)]
+            return _fold_static(t2[0], steps2, i2)
+
+        comp = ("" if not comparand else
+                " " + _DivRewriter(list(comparand), self.ct)
+                .run().strip())
+        out = ["CASE" + comp]
+        for (cond, _), (btext, bint) in zip(arms, branches):
+            ctext = _DivRewriter(list(cond), self.ct).run().strip()
+            out.append(f" WHEN {ctext} THEN {fold_with(btext, bint)}")
+        btext, bint = branches[-1]
+        out.append(f" ELSE {fold_with(btext, bint)} END")
+        return "(" + "".join(out) + ")"
 
     def run(self) -> str:
         out = []
