@@ -53,7 +53,11 @@ def test_intness_functions():
     # definitely-non-null arg decides — SQLite returns 1 (int) here,
     # the 2.5 is unreachable
     assert iness("COALESCE ( 1, 2.5 )") is True
-    assert iness("COALESCE ( NULLIF ( 1, 2 ), 2.5 )") is False
+    # value-dependent (round 12): NULLIF(1,2) is 1 at runtime, so
+    # the COALESCE takes the INT arm — statically that's "div"
+    # (mixed reachable int-ness) and the distribution rewrite picks
+    # the runtime branch; the old `False` typed it float, wrongly
+    assert iness("COALESCE ( NULLIF ( 1, 2 ), 2.5 )") == "div"
     assert iness("COALESCE ( 65, AVG ( col0 ) )") is True
     assert iness("wibble ( 1 )") is None             # unknown fn
 

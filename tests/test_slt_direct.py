@@ -19,10 +19,9 @@ run, each verified by hand:
 - heterogeneous inline tables: `(VALUES ({b: 42}), ({d: 100}))` needs
   a dynamic struct union inside a VALUES literal — Spark inline
   tables are statically typed (object-array, 2 errors).
-- correlated scalar/IN subqueries in JOIN ON conditions: Spark's
-  optimizer rejects the category (UNSUPPORTED_CORRELATED_SCALAR_
-  SUBQUERY); the reference runs these through its dedicated
-  decorrelation pass (qualified_joins, 26 errors / 28 ok).
+Correlated scalar/IN subqueries in JOIN ON conditions run through
+the key-skeleton decorrelation pass (sql/decorr.py, round 12) —
+qualified_joins is fully clean (54/54, was 26 errors).
 
 The two files the reference does NOT list in direct_sql_test.clj
 (outer-join-predicate-pushdown — prose mid-file breaks SLT parsing,
@@ -53,7 +52,7 @@ EXPECT = {
     "period_predicates.test": (5, 0, 0),
     "period_specifications.test": (8, 0, 0),
     "periods-and-derived-cols.test": (1, 0, 0),
-    "qualified_joins.test": (28, 0, 26),
+    "qualified_joins.test": (54, 0, 0),
     "set-functions.test": (9, 0, 0),
     "sl-a5.test": (7, 0, 0),
     "sl-demo.test": (29, 0, 0),

@@ -716,3 +716,67 @@ def test_intdiv_scientific_notation(spark):
     # int literals still truncate
     out2 = rewrite_int_div("SELECT 7 / 2 AS r")
     assert spark.sql(out2).collect()[0]["r"] == 3.0
+
+
+def test_meta_switch_is_per_alias(spark, tmp_path):
+    """ADVICE r11: one temporal reference used to switch EVERY scan
+    to the meta-carrying view, so `SELECT *` leaked _valid_from etc.
+    and an unrelated join side grew meta columns. Now: qualified
+    temporal refs switch only their own alias's scan, and star
+    expansion over a meta-switched scan is re-narrowed to document
+    columns (the reference always excludes temporal columns from *,
+    sql.clj table-info)."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("mt_a", [{"_id": 1, "v": "x"}], system_from="2024-01-01")
+    xt.store.put("mt_b", [{"_id": 1, "w": "y"}], system_from="2024-01-01")
+
+    # bare * with a temporal WHERE ref: meta columns must NOT appear
+    out = rewrite_sql(
+        xt, "SELECT * FROM mt_a WHERE _valid_from < TIMESTAMP '2099-01-01'")
+    assert sorted(out.columns) == ["_id", "v"]
+    assert out.count() == 1
+
+    # qualified star over the meta-switched alias: same narrowing
+    out2 = rewrite_sql(
+        xt, "SELECT a.* FROM mt_a a "
+            "WHERE a._valid_from < TIMESTAMP '2099-01-01'")
+    assert sorted(out2.columns) == ["_id", "v"]
+
+    # join: only the referenced alias's scan is meta-switched — the
+    # OTHER side's star stays its document columns
+    out3 = rewrite_sql(
+        xt, "SELECT b.*, a._valid_from AS vf FROM mt_a a "
+            "JOIN mt_b b ON a._id = b._id")
+    assert sorted(out3.columns) == ["_id", "vf", "w"]
+    assert out3.count() == 1
+
+    # explicit selection still works, and COUNT(*) is untouched
+    out4 = rewrite_sql(
+        xt, "SELECT COUNT(*) AS n FROM mt_a "
+            "WHERE _system_from <= CURRENT_TIMESTAMP")
+    assert out4.collect()[0]["n"] == 1
+
+
+def test_meta_period_cols_still_queryable(spark, tmp_path):
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("mt_c", [{"_id": 7, "v": 1}], system_from="2024-01-01")
+    out = rewrite_sql(
+        xt, "SELECT _id, _valid_from, _valid_to FROM mt_c")
+    row = out.collect()[0]
+    assert row["_id"] == 7 and row["_valid_from"] is not None
+
+
+def test_bare_alias_derived_table_disables_null_missing(spark, tmp_path):
+    """ADVICE r11: a BARE-alias derived table (`FROM (SELECT …) t1`,
+    no AS) sharing a store-scan alias used to be invisible to the
+    alias-redefinition guard, so its `t1.c` was NULLed instead of
+    resolving to the subquery column."""
+    xt = make_xt(spark, tmp_path)
+    xt.store.put("t1", [{"_id": 1, "k": 1}], system_from="2024-01-01")
+    out = rewrite_sql(
+        xt, "SELECT (SELECT t1.c FROM (SELECT 5 AS c) t1) AS v FROM t1")
+    assert [r["v"] for r in out.collect()] == [5]
+
+    # the NULL-for-missing-key behavior itself still works
+    out2 = rewrite_sql(xt, "SELECT t1.nosuchkey AS x FROM t1")
+    assert [r["x"] for r in out2.collect()] == [None]

@@ -250,3 +250,44 @@ def sql_series_direction(spark, sf_dir):
            CAST(cardinality(range(1, 4)) AS INT) AS n_range_asc
     """
     return spark.sql(translate(q))
+
+
+@register(
+    "sql_join_on_subquery",
+    """
+    SELECT n.n_name AS n_name, r.r_name AS r_name
+    FROM nation n LEFT JOIN region r
+      ON r.r_regionkey = (SELECT r2.r_regionkey FROM region r2
+                          WHERE r2.r_regionkey = n.n_regionkey
+                            AND n.n_nationkey < 10)
+    ORDER BY n_name
+    """,
+)
+def sql_join_on_subquery(spark, sf_dir):
+    """Correlated scalar subquery in a JOIN ... ON condition — the
+    reference decorrelates these through its apply rules (reference
+    logical_plan.clj:991-1210); Spark rejects the category, so the
+    dialect layer rewrites to the key-skeleton form (sql/decorr.py,
+    round 12: matched-pair `_id` tuples computed under a WHERE —
+    where Spark DOES evaluate correlated scalars — then equi-spliced
+    back to restore outer-join multiplicity and NULL-extension).
+    DuckDB decorrelates natively, so the oracle runs the same query
+    verbatim."""
+    from xtdb_spark.sql.decorr import decorrelate_join_on
+
+    ld(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS _id", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("xt_djo_nation")
+    ld(spark, sf_dir, "region").selectExpr(
+        "r_regionkey AS _id", "r_name"
+    ).createOrReplaceTempView("xt_djo_region")
+    q = """
+    SELECT n.n_name AS n_name, r.r_name AS r_name
+    FROM xt_djo_nation n LEFT JOIN xt_djo_region r
+      ON r._id = (SELECT r2._id FROM xt_djo_region r2
+                  WHERE r2._id = n.n_regionkey AND n._id < 10)
+    ORDER BY n_name
+    """
+    out = decorrelate_join_on(q)
+    assert out != q, "decorrelation pass did not fire"
+    return spark.sql(out)

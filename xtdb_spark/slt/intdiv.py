@@ -145,15 +145,41 @@ def _comb_nn(nns):
     return False
 
 
+def _comb_reachable(seen):
+    """COALESCE typing over the REACHABLE argument int-nesses: any
+    unknown poisons; otherwise a mix of int and float (or an
+    explicit divergent member) is VALUE-dependent — the first
+    non-null argument decides at runtime — so it marks "div" for
+    the division-distribution rewrite (round 12; the plain _comb's
+    float-contaminates rule mistyped `COALESCE(nullable_int, 2.5)`
+    as float even when the int argument is the one that's non-null,
+    ADVICE r11)."""
+    if not seen:
+        return True
+    if any(v is None for v in seen):
+        return None
+    if any(v == "div" for v in seen):
+        return "div"
+    if any(v is True for v in seen) and any(v is False for v in seen):
+        return "div"
+    return seen[0] is True
+
+
 class _IntnessParser:
     """Recursive-descent int-ness over the SLT expression grammar
     (additive > multiplicative > unary > primary; CASE / CAST /
-    the sqllogictest generator's function set)."""
+    the sqllogictest generator's function set). `agg_nn` says
+    whether a MIN/MAX/SUM over a non-null argument may be taken as
+    definitely-non-null — only true when the enclosing query has no
+    row filtering (a WHERE/JOIN can filter EVERY row, and a scalar
+    aggregate over zero rows is NULL, ADVICE r11), restored under
+    GROUP BY (visible groups are non-empty by construction)."""
 
-    def __init__(self, toks, col_types):
+    def __init__(self, toks, col_types, agg_nn=True):
         self.toks = [t for t in toks if t[0] not in ("ws", "comment")]
         self.i = 0
         self.ct = col_types or {}
+        self.agg_nn = agg_nn
 
     def _peek(self, k=0):
         j = self.i + k
@@ -190,12 +216,28 @@ class _IntnessParser:
     def _mult(self):
         # int-ness: * / % all keep int iff every operand int;
         # non-null survives * but not / or % (division by zero
-        # yields NULL under the adapter session)
+        # yields NULL under the adapter session). The rewriter's own
+        # emitted `DIV` (word) is also accepted so that re-analysis
+        # of already-rewritten branch text — the distribution
+        # rewrite's recursion — keeps its static typing: x DIV y is
+        # integral REGARDLESS of the accumulated chain type.
         vi, vn = self._unary()
         vals, nns = [vi], [vn]
-        while self._peek()[0] == "punct" and self._peek()[1] in "*/%":
-            op = self._next()[1]
+        while True:
+            nk, nt = self._peek()
+            if nk == "punct" and nt in "*/%":
+                op = self._next()[1]
+            elif nk == "word" and nt.upper() == "DIV":
+                self._next()
+                op = "DIV"
+            else:
+                break
             xi, xn = self._unary()
+            if op == "DIV":
+                nn = ("null" if "null" in (_comb_nn(nns), xn)
+                      else False)
+                vals, nns = [True], [nn]
+                continue
             vals.append(xi)
             # division by zero yields NULL under the adapter session
             nns.append(xn if op == "*" else
@@ -371,12 +413,17 @@ class _IntnessParser:
                 self._skip_balanced()
                 return True, False
             if fn in ("MIN", "MAX", "SUM", "ABS"):
-                # aggregate nullability follows the argument: over a
-                # definitely-non-null arg the corpus tables (always
-                # non-empty) never produce NULL; over a NULL literal
-                # the result IS NULL (COALESCE then skips it)
+                # nullability follows the argument — but a scalar
+                # AGGREGATE over a filtered-empty input is NULL even
+                # for a non-null argument, so the aggregates only
+                # claim non-null when the query has no row filtering
+                # (self.agg_nn; ABS is a plain scalar fn — always
+                # follows its arg). Over a NULL literal the result
+                # IS NULL either way (COALESCE then skips it).
                 args = self._func_args() or [(None, False)]
                 nn = args[0][1]
+                if fn != "ABS" and not self.agg_nn and nn is True:
+                    nn = False
                 return _comb([a[0] for a in args]), \
                     (nn if nn in (True, "null") else False)
             if fn == "NULLIF":
@@ -393,7 +440,11 @@ class _IntnessParser:
                 # the first non-null VALUE, so int-ness combines only
                 # the args up to (and including) the first
                 # definitely-non-null one — later args are
-                # unreachable (`COALESCE(65, AVG(x))` is INT)
+                # unreachable (`COALESCE(65, AVG(x))` is INT). When
+                # the reachable args MIX int and float, the runtime
+                # value decides — _comb_reachable marks "div" and the
+                # distribution rewrite converts the COALESCE to CASE
+                # form (round 12, ADVICE r11).
                 args = self._func_args() or [(None, False)]
                 seen = []
                 for ai, an in args:
@@ -402,10 +453,12 @@ class _IntnessParser:
                         #                    never the result
                     seen.append(ai)
                     if an is True:
-                        return _comb(seen), True
+                        # a definitely-non-null arg was reached, so
+                        # the VALUE is non-null whatever its type
+                        return _comb_reachable(seen), True
                 if not seen:
                     return True, "null"    # COALESCE of all NULLs
-                return _comb(seen), False
+                return _comb_reachable(seen), False
             self._skip_balanced()
             return None, False             # unknown function
         # (dotted) column reference — type from the declared schema
@@ -423,8 +476,8 @@ class _IntnessParser:
         return None, False
 
 
-def _intness(toks, col_types):
-    return _IntnessParser(toks, col_types).parse()
+def _intness(toks, col_types, agg_nn=True):
+    return _IntnessParser(toks, col_types, agg_nn).parse()
 
 
 def _case_parts(toks):
@@ -500,10 +553,126 @@ def _case_parts(toks):
     return neg, comparand, arms, els
 
 
+def _strip_parens(toks):
+    """Drop redundant whole-expression parens (keeping any unary ±
+    prefixes, which may stack across levels): `-((CASE … END))` →
+    `- CASE … END` tokens — so _case_parts/_case_normal see the atom
+    itself. The distribution recursion always parenthesizes the
+    substituted branch, so this runs on every recursion level."""
+    while True:
+        n = len(toks)
+        i = 0
+        pref = []
+        while i < n and (toks[i][0] in ("ws", "comment")
+                         or toks[i] in (("punct", "+"), ("punct", "-"))):
+            if toks[i][0] not in ("ws", "comment"):
+                pref.append(toks[i])
+            i += 1
+        if i >= n or toks[i] != ("punct", "("):
+            return toks
+        depth = 0
+        close = None
+        for j in range(i, n):
+            k, t = toks[j]
+            if k == "punct" and t == "(":
+                depth += 1
+            elif k == "punct" and t == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            return toks
+        tail = close + 1
+        while tail < n and toks[tail][0] in ("ws", "comment"):
+            tail += 1
+        if tail < n:                  # tokens after the close paren
+            return toks
+        toks = pref + toks[i + 1:close]
+
+
+def _case_normal(toks):
+    """Equivalent pure-CASE token list for a NULLIF / COALESCE /
+    IFNULL atom (optionally ±-prefixed), or None. Used when the
+    divergent operand of a division chain isn't a literal CASE —
+    SQLite's value-dependent typing routes through these too:
+
+        NULLIF(a, b)       ≡ CASE WHEN (a) = (b) THEN NULL
+                                  ELSE (a) END
+        COALESCE(a, rest…) ≡ CASE WHEN (a) IS NOT NULL THEN (a)
+                                  ELSE COALESCE(rest…) END
+
+    Argument `a` is duplicated into the condition — safe, SLT
+    expressions are pure (no side effects; a doubled aggregate is
+    just computed twice)."""
+    n = len(toks)
+
+    def skip(j):
+        while j < n and toks[j][0] in ("ws", "comment"):
+            j += 1
+        return j
+
+    i = skip(0)
+    pref = ""
+    while i < n and toks[i] in (("punct", "+"), ("punct", "-")):
+        pref += toks[i][1]
+        i = skip(i + 1)
+    if i >= n or toks[i][0] != "word":
+        return None
+    fn = toks[i][1].upper()
+    if fn not in ("NULLIF", "COALESCE", "IFNULL"):
+        return None
+    i = skip(i + 1)
+    if i >= n or toks[i] != ("punct", "("):
+        return None
+    depth = 0
+    j = i
+    args, cur = [], []
+    while j < n:
+        k, t = toks[j]
+        if k == "punct" and t == "(":
+            depth += 1
+            if depth == 1:
+                j += 1
+                continue
+        elif k == "punct" and t == ")":
+            depth -= 1
+            if depth == 0:
+                j += 1
+                break
+        elif k == "punct" and t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+            j += 1
+            continue
+        cur.append(toks[j])
+        j += 1
+    if depth != 0 or skip(j) < n:      # unbalanced / trailing tokens
+        return None
+    args.append(cur)
+    ts = ["".join(t for _, t in a).strip() for a in args]
+    if any(not t for t in ts):
+        return None
+    if fn == "NULLIF":
+        if len(ts) != 2:
+            return None
+        text = (f"CASE WHEN ({ts[0]}) = ({ts[1]}) THEN NULL "
+                f"ELSE ({ts[0]}) END")
+    else:
+        if len(ts) < 2:
+            return None
+        rest = (f"COALESCE({', '.join(ts[1:])})" if len(ts) > 2
+                else f"({ts[1]})")
+        text = (f"CASE WHEN ({ts[0]}) IS NOT NULL THEN ({ts[0]}) "
+                f"ELSE {rest} END")
+    return _tokenize((pref + " " + text) if pref else text)
+
+
 class _DivRewriter:
-    def __init__(self, toks, col_types=None):
+    def __init__(self, toks, col_types=None, agg_nn=True):
         self.toks = toks
         self.ct = col_types
+        self.agg_nn = agg_nn
         self.i = 0
 
     def _ws(self) -> str:
@@ -538,7 +707,7 @@ class _DivRewriter:
                     break
             inner.append(self.toks[self.i])
             self.i += 1
-        out.append(_DivRewriter(inner, self.ct).run())
+        out.append(_DivRewriter(inner, self.ct, self.agg_nn).run())
         out.append(closer)
         return "".join(out)
 
@@ -560,7 +729,7 @@ class _DivRewriter:
                     break
             inner.append(self.toks[self.i])
             self.i += 1
-        out.append(_DivRewriter(inner, self.ct).run())
+        out.append(_DivRewriter(inner, self.ct, self.agg_nn).run())
         out.append(" END")
         return "".join(out)
 
@@ -622,7 +791,7 @@ class _DivRewriter:
         head = self._atom()
         if head is None:
             return None
-        ints = [_intness(self.toks[i0:self.i], self.ct)]
+        ints = [_intness(self.toks[i0:self.i], self.ct, self.agg_nn)]
         slices = [(i0, self.i)]
         steps: list[tuple[str, str, str]] = []
         while True:
@@ -639,7 +808,7 @@ class _DivRewriter:
                 if right is None:
                     self.i = save
                     break
-                ints.append(_intness(self.toks[r0:self.i], self.ct))
+                ints.append(_intness(self.toks[r0:self.i], self.ct, self.agg_nn))
                 slices.append((r0, self.i))
                 steps.append((ws, t, right))
                 continue
@@ -665,18 +834,27 @@ class _DivRewriter:
         return _fold_chain(head.strip(), steps)
 
     def _distribute_case(self, head, steps, ints, slices, k):
-        """One operand is a CASE whose branches have DIVERGENT
-        int-ness — SQLite types the division by the branch the
-        runtime TAKES, which a single statically-typed Spark
-        expression cannot express. Rewrite by DISTRIBUTING the whole
-        multiplicative chain into the CASE's branches, folding each
-        branch with ITS result's static int-ness:
+        """One operand's branches have DIVERGENT int-ness — SQLite
+        types the division by the branch the runtime TAKES, which a
+        single statically-typed Spark expression cannot express.
+        Rewrite by DISTRIBUTING the whole multiplicative chain into
+        the branches, folding each branch with ITS result's static
+        int-ness:
             14 / CASE c WHEN w THEN avg(x) ELSE 29 END
           → CASE c WHEN w THEN 14 / avg(x) ELSE 14 DIV 29 END
-        (the last random/expr failure class, round 11). Returns None
-        when the divergent atom isn't a pure CASE — caller falls
-        back to the runtime guard."""
-        parts = _case_parts(self.toks[slices[k][0]:slices[k][1]])
+        (the last random/expr failure class, round 11). Round 12
+        extends it two ways (ADVICE r11 / the 4 residual failures):
+        a divergent NULLIF/COALESCE/IFNULL atom is first converted
+        to its equivalent pure-CASE form (_case_normal), and a
+        branch that is ITSELF divergent recurses — the substituted
+        chain re-enters the rewriter, peeling one CASE/function node
+        per level. Returns None when the divergent atom can't be
+        normalized — caller falls back to the runtime guard."""
+        toks_k = _strip_parens(self.toks[slices[k][0]:slices[k][1]])
+        parts = _case_parts(toks_k)
+        if parts is None:
+            cn = _case_normal(toks_k)
+            parts = _case_parts(cn) if cn is not None else None
         if parts is None:
             return None
         neg, comparand, arms, els = parts
@@ -686,10 +864,16 @@ class _DivRewriter:
             if res is None:            # implicit ELSE NULL
                 branches.append(("NULL", True))
                 continue
-            ri = _intness(res, self.ct)
-            if ri not in (True, False):
-                return None            # nested divergence/unknown
-            rtext = _DivRewriter(list(res), self.ct).run().strip()
+            ri = _intness(res, self.ct, self.agg_nn)
+            if ri is None:
+                return None            # unknown — runtime guard
+            if ri == "div":
+                # keep the ORIGINAL text: the recursion re-analyzes
+                # and re-distributes it inside the substituted chain
+                rtext = "".join(t for _, t in res).strip()
+            else:
+                rtext = _DivRewriter(list(res), self.ct,
+                                     self.agg_nn).run().strip()
             if not rtext:
                 return None
             branches.append((rtext, ri))
@@ -699,18 +883,28 @@ class _DivRewriter:
         def fold_with(btext, bint):
             t2 = list(texts)
             t2[k] = f"- ({btext})" if neg else f"({btext})"
-            i2 = list(ints)
-            i2[k] = bint
-            steps2 = [(ws, op, t2[j + 1])
-                      for j, (ws, op, _) in enumerate(steps)]
-            return _fold_static(t2[0], steps2, i2)
+            if bint != "div":
+                i2 = list(ints)
+                i2[k] = bint
+                steps2 = [(ws, op, t2[j + 1])
+                          for j, (ws, op, _) in enumerate(steps)]
+                return _fold_static(t2[0], steps2, i2)
+            # nested divergence: re-enter the rewriter on the
+            # substituted chain (terminates — each level peels one
+            # CASE / NULLIF / COALESCE node off the operand)
+            expr = t2[0] + "".join(
+                f" {op} {t2[j + 1]}"
+                for j, (_, op, _) in enumerate(steps))
+            return _DivRewriter(_tokenize(expr), self.ct,
+                                self.agg_nn).run().strip()
 
         comp = ("" if not comparand else
-                " " + _DivRewriter(list(comparand), self.ct)
-                .run().strip())
+                " " + _DivRewriter(list(comparand), self.ct,
+                                   self.agg_nn).run().strip())
         out = ["CASE" + comp]
         for (cond, _), (btext, bint) in zip(arms, branches):
-            ctext = _DivRewriter(list(cond), self.ct).run().strip()
+            ctext = _DivRewriter(list(cond), self.ct,
+                                 self.agg_nn).run().strip()
             out.append(f" WHEN {ctext} THEN {fold_with(btext, bint)}")
         btext, bint = branches[-1]
         out.append(f" ELSE {fold_with(btext, bint)} END")
@@ -766,4 +960,12 @@ def rewrite_int_div(sql: str, col_types: dict | None = None) -> str:
     `/`."""
     if "/" not in sql:
         return sql
-    return _DivRewriter(_tokenize(sql), col_types).run()
+    toks = _tokenize(sql)
+    # a WHERE/JOIN can filter EVERY row, making a scalar aggregate
+    # NULL even over a non-null argument — so aggregate
+    # non-null-ness is only claimed for unfiltered queries (GROUP BY
+    # restores it: visible groups are non-empty by construction).
+    # ADVICE r11.
+    words = {t.upper() for k, t in toks if k == "word"}
+    agg_nn = not ({"WHERE", "JOIN"} & words) or "GROUP" in words
+    return _DivRewriter(toks, col_types, agg_nn).run()

@@ -366,6 +366,95 @@ def _ident_sql(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+_ATOM_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "LIKE", "BETWEEN", "WHEN",
+    "THEN", "ELSE", "END", "CASE", "SELECT", "FROM", "WHERE", "ON",
+    "AS", "BY", "ALL", "ANY", "SOME", "EXISTS", "DISTINCT",
+}
+
+
+def _trailing_atom_start(parts: list) -> int | None:
+    """Index into `parts` where its trailing ATOM starts, or None.
+    An atom is a dotted identifier chain, optionally ending in one
+    structural paren group `( … )` (function call / parenthesized
+    expression), or a single self-contained translated fragment
+    (balanced text). Structural parens are single-char entries in
+    the walker's output, so entry-level depth counting is exact;
+    fully-balanced multi-token entries (translated constructs like
+    `element_at(x, 1)`) count as atoms whole. Used by the subscript
+    fallback to recover a base the walker stopped tracking."""
+    def blank(e):
+        return e.strip() == ""
+
+    def identish(e):
+        e = e.strip()
+        return bool(re.fullmatch(r"[\w$]+", e)) and \
+            e.upper() not in _ATOM_KEYWORDS or \
+            bool(re.fullmatch(r"`(?:[^`]|``)*`|\"(?:[^\"]|\"\")*\"", e))
+
+    def balanced(e):
+        d = 0
+        in_s = False
+        for c in e:
+            if in_s:
+                in_s = c != "'"
+            elif c == "'":
+                in_s = True
+            elif c in "([{":
+                d += 1
+            elif c in ")]}":
+                d -= 1
+                if d < 0:
+                    return False
+        return d == 0 and not in_s
+
+    j = len(parts) - 1
+    while j >= 0 and blank(parts[j]):
+        j -= 1
+    if j < 0:
+        return None
+    e = parts[j].strip()
+    if e == ")":
+        depth = 0
+        while j >= 0:
+            s = parts[j].strip()
+            if s == ")":
+                depth += 1
+            elif s == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        start = j
+        # adjacent (no blank) callee name → function call
+        if j > 0 and not blank(parts[j - 1]) and identish(parts[j - 1]):
+            j -= 1
+            start = j
+        else:
+            return start
+    elif identish(e) or (balanced(e) and e.endswith((")", "]", "}"))
+                         and not e[0].isspace()):
+        start = j
+    else:
+        return None
+    # extend backward over a dotted chain: ident (. ident)* —
+    # blanks allowed around the dots
+    while True:
+        k = start - 1
+        while k >= 0 and blank(parts[k]):
+            k -= 1
+        if k < 0 or parts[k].strip() != ".":
+            return start
+        k2 = k - 1
+        while k2 >= 0 and blank(parts[k2]):
+            k2 -= 1
+        if k2 < 0 or not identish(parts[k2]):
+            return start
+        start = k2
+
+
 class _Translator:
     def __init__(self, sql: str):
         self.toks = [(m.lastgroup, m.group())
@@ -500,12 +589,25 @@ class _Translator:
                     idx = self._walk(closers=("]",)).strip()
                     if self._peek() == ("punct", "]"):
                         self._next()
+                    if expr_start is None:
+                        # no tracked start (the preceding atom came
+                        # from a branch that resets tracking) —
+                        # recover it from the emitted tail, so the
+                        # same source syntax never silently gets
+                        # 0-based access (ADVICE r11)
+                        expr_start = _trailing_atom_start(parts)
                     if expr_start is not None:
                         base = "".join(parts[expr_start:])
                         del parts[expr_start:]
                         parts.append(f"element_at({base}, {idx})")
-                    else:         # no tracked base — keep old shape
-                        parts.append(f"[{idx}]")
+                    else:         # unrecoverable — 1-based via index
+                        #           arithmetic (arrays; a quoted
+                        #           string is a MAP key, unshifted)
+                        istr = idx.strip()
+                        if istr.startswith("'") and istr.endswith("'"):
+                            parts.append(f"[{idx}]")
+                        else:
+                            parts.append(f"[({idx}) - 1]")
                     self.postfix = True
                 else:             # array literal [e1, e2]
                     expr_start = len(parts)

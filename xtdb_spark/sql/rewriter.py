@@ -659,10 +659,33 @@ class _Rewriter:
         self._ref_aliases: list = []
         # explicit temporal-column references (reference: _valid_from
         # etc. are queryable on every table, excluded from SELECT *)
-        # switch the scanned views to their meta-carrying variants
-        self._want_meta = any(
-            k == "word" and t.lower() in _TEMPORAL_COL_WORDS
-            for k, t in self.toks)
+        # switch the scanned views to their meta-carrying variants.
+        # Tracked PER QUALIFIER (round 12): `t._valid_from` switches
+        # only t's scan; an UNQUALIFIED temporal ref can't be
+        # attributed, so it conservatively switches every scan (the
+        # reference would reject it as ambiguous in a multi-table
+        # query anyway). Star expansion of a meta-switched scan is
+        # re-narrowed to document columns by _strip_meta_stars —
+        # the reference always excludes temporal columns from `*`
+        # (sql.clj table-info).
+        self._meta_quals: set = set()
+        self._meta_unqual = False
+        for j, (k, t) in enumerate(self.toks):
+            if k != "word" or t.lower() not in _TEMPORAL_COL_WORDS:
+                continue
+            p = j - 1
+            while p >= 0 and self.toks[p][0] in ("ws", "comment"):
+                p -= 1
+            if p >= 0 and self.toks[p] == ("punct", "."):
+                p -= 1
+                while p >= 0 and self.toks[p][0] in ("ws", "comment"):
+                    p -= 1
+                if p >= 0 and self.toks[p][0] in ("word", "qident"):
+                    self._meta_quals.add(
+                        self.toks[p][1].strip('"').lower())
+                    continue
+            self._meta_unqual = True
+        self._star_sites: list = []
         self._setting_prefix()
         # FROM-list context per paren depth: a comma at a depth whose
         # FROM list is still open starts another table ref (`FROM a
@@ -699,6 +722,11 @@ class _Rewriter:
                         depth += self._open_parens
                         self._open_parens = 0
                         continue
+                    elif text == "*":
+                        q = self._star_qualifier()
+                        if q is not None:
+                            self._star_sites.append(
+                                {"idx": len(self.out), "qual": q})
                 tok = self._take()
                 if tok[0] == "word" and "$" in tok[1]:
                     # the reference dialect allows bare $-identifiers
@@ -708,12 +736,108 @@ class _Rewriter:
                 else:
                     self.out.append(tok[1])
         remaining = [a for j, a in enumerate(self.args) if j not in self.consumed]
+        self._strip_meta_stars()
         self._inject_auto_prefilters()
         sql = "".join(self.out)
         sql = self._null_missing_columns(sql)
         if getattr(self, "clock_time", None) is not None:
             sql = apply_clock(sql, self.clock_time)
         return spark_escape_strings(sql), remaining
+
+    def _star_qualifier(self):
+        """Classify the `*` at self.i: returns the qualifier text for
+        `alias.*`, "" for a bare projection star (after SELECT /
+        DISTINCT / ALL / ','), or None when it isn't a projection
+        star (multiplication, COUNT(*))."""
+        p = self.i - 1
+        while p >= 0 and self.toks[p][0] in ("ws", "comment"):
+            p -= 1
+        if p < 0:
+            return None
+        k, t = self.toks[p]
+        if k == "punct" and t == ".":
+            p -= 1
+            while p >= 0 and self.toks[p][0] in ("ws", "comment"):
+                p -= 1
+            if p >= 0 and self.toks[p][0] in ("word", "qident"):
+                return self.toks[p][1]
+            return None
+        if (k == "word" and t.upper() in ("SELECT", "DISTINCT", "ALL")) \
+                or (k == "punct" and t == ","):
+            return ""
+        return None
+
+    def _strip_meta_stars(self) -> None:
+        """Reference semantics: `SELECT *` / `t.*` never expand the
+        temporal metadata columns (sql.clj table-info excludes them)
+        — but a meta-switched scan's view carries them, so star
+        expansion over it would leak `_valid_from` etc. Re-narrow:
+        replace each projection star over a meta-switched scan with
+        that scan's explicit document-column list. Bare `*` is only
+        narrowed when the query is single-SELECT/single-ref (the one
+        case its expansion is knowable from tokens); anything more
+        complex keeps the star — and, per the per-qualifier switch
+        above, only queries that temporally reference THAT alias can
+        hit it at all."""
+        sites = getattr(self, "_star_sites", [])
+        if not sites:
+            return
+        metas = {r["alias"].strip('"').lower(): r
+                 for r in self._scan_refs
+                 if r.get("meta") and not r.get("dcl")}
+        if not metas:
+            return
+
+        def q(c):
+            return (c if re.fullmatch(r"[A-Za-z_]\w*", c)
+                    else "`" + c.replace("`", "``") + "`")
+
+        nsel = sum(1 for k, t in self.toks
+                   if k == "word" and t.upper() == "SELECT")
+        for s in sites:
+            if s["qual"]:
+                r = metas.get(s["qual"].strip('"').lower())
+                if r is None or \
+                        self._ref_aliases.count(r["alias"]) > 1:
+                    continue
+                doc = [c for c in r["cols"]
+                       if c.lower() not in _TEMPORAL_COL_WORDS]
+                if not doc:
+                    continue
+                # `alias` and `.` are already emitted just before the
+                # star slot, so the first column rides that prefix
+                self.out[s["idx"]] = ", ".join(
+                    [q(doc[0])] + [f"{s['qual']}.{q(c)}"
+                                   for c in doc[1:]])
+            else:
+                if nsel != 1 or len(self._ref_aliases) != 1 \
+                        or len(self._scan_refs) != 1:
+                    continue
+                r = self._scan_refs[0]
+                if not r.get("meta") or r.get("dcl"):
+                    continue
+                doc = [c for c in r["cols"]
+                       if c.lower() not in _TEMPORAL_COL_WORDS]
+                if doc:
+                    self.out[s["idx"]] = ", ".join(q(c) for c in doc)
+
+    # keywords that can directly follow a table ref / `)` without
+    # being a bare alias (for _null_missing_columns's counting —
+    # anything NOT here that sits in alias position counts, which is
+    # the safe direction)
+    _BARE_STOP = {
+        "AS", "ON", "USING", "WHERE", "GROUP", "HAVING", "ORDER",
+        "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT",
+        "MINUS", "WINDOW", "QUALIFY", "RETURNING", "JOIN", "LEFT",
+        "RIGHT", "INNER", "FULL", "CROSS", "NATURAL", "OUTER",
+        "LATERAL", "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE",
+        "ILIKE", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END",
+        "OVER", "PARTITION", "BY", "ASC", "DESC", "NULLS", "FIRST",
+        "LAST", "SELECT", "FROM", "DISTINCT", "ALL", "ANY", "SOME",
+        "EXISTS", "VALUES", "SET", "FOR", "WITH", "ESCAPE",
+        "CONTAINS", "OVERLAPS", "EQUALS", "PRECEDES", "SUCCEEDS",
+        "IMMEDIATELY", "THEN", "ROWS", "RANGE", "TABLESAMPLE",
+    }
 
     def _null_missing_columns(self, sql: str) -> str:
         """Schemaless semantics for QUALIFIED refs: a document key
@@ -739,14 +863,33 @@ class _Rewriter:
         sig = [(j, k, t) for j, (k, t) in enumerate(toks)
                if k not in ("ws", "comment")]
         # aliases introduced more than once (our scan view emits one
-        # `AS alias`; any second definition → hands off)
+        # `AS alias`; any second definition → hands off). Besides
+        # `AS alias`, BARE aliases count too (ADVICE r11): a word
+        # right after a `)` (derived table / TVF close) or a
+        # FROM/JOIN/',' table-ref without AS — over-counting is safe
+        # (it only DISABLES the NULL replacement), under-counting
+        # could NULL a real subquery column.
         as_counts: dict = {}
         for s in range(1, len(sig)):
+            if sig[s][1] not in ("word", "qident"):
+                continue
+            cur = _unquote((sig[s][1], sig[s][2])).lower()
             pk, pt = sig[s - 1][1], sig[s - 1][2]
-            if pk == "word" and pt.upper() == "AS" and \
-                    sig[s][1] in ("word", "qident"):
-                n = _unquote((sig[s][1], sig[s][2])).lower()
-                as_counts[n] = as_counts.get(n, 0) + 1
+            if pk == "word" and pt.upper() == "AS":
+                as_counts[cur] = as_counts.get(cur, 0) + 1
+                continue
+            if sig[s][1] == "word" and \
+                    sig[s][2].upper() in self._BARE_STOP:
+                continue
+            if pk == "punct" and pt == ")":
+                as_counts[cur] = as_counts.get(cur, 0) + 1
+                continue
+            if s >= 2 and pk in ("word", "qident") and not (
+                    pk == "word" and pt.upper() in self._BARE_STOP):
+                gk, gt = sig[s - 2][1], sig[s - 2][2]
+                if (gk == "word" and gt.upper() in ("FROM", "JOIN")) \
+                        or (gk == "punct" and gt == ","):
+                    as_counts[cur] = as_counts.get(cur, 0) + 1
         drop_idx: dict = {}
         for s in range(len(sig) - 2):
             j0, k0, t0 = sig[s]
@@ -1053,8 +1196,14 @@ class _Rewriter:
         self._ref_aliases.append(eff_alias)
         if not self._store_table_exists(table):
             return flush_verbatim(True)
+        # per-qualifier meta switch (round 12): only scans whose
+        # alias is temporally referenced carry the meta columns — an
+        # unqualified temporal ref still switches every scan
+        want_meta = (self._meta_unqual
+                     or eff_alias.strip('"').lower() in self._meta_quals
+                     or table.split(".")[-1].lower() in self._meta_quals)
         view = f"xt__{table.replace('.', '_')}__{bounds.view_suffix()}"
-        if self._want_meta:
+        if want_meta:
             # distinct deterministic name: a view name must always
             # hold identical content (concurrency note below), and
             # the meta variant adds columns
@@ -1066,8 +1215,8 @@ class _Rewriter:
                 "\x00".join(dcl).encode()).hexdigest()[:8]
         view = re.sub(r"\W", "_", view)
         df = self._visible(scan_with_bounds(self.xt.store, table, bounds,
-                                            keep_meta=self._want_meta))
-        if self._want_meta:
+                                            keep_meta=want_meta))
+        if want_meta:
             df = _with_period_meta(df)
         if dcl:
             lower = {c.lower(): c for c in df.columns}
@@ -1079,6 +1228,7 @@ class _Rewriter:
         self._scan_refs.append({"table": table, "bounds": bounds,
                                 "view": view, "alias": eff_alias,
                                 "cols": list(df.columns), "dcl": dcl,
+                                "meta": want_meta,
                                 "out_idx": len(self.out)})
         # preserve an explicit alias; otherwise alias back to the bare
         # table name so qualified column refs keep resolving
@@ -1167,12 +1317,12 @@ class _Rewriter:
                     all_valid_time=b.all_valid,
                     all_system_time=b.all_system,
                     prefilter=pred, prefilter_mode=mode,
-                    keep_meta=self._want_meta)
+                    keep_meta=r["meta"])
             except Exception:
                 continue          # temporal/unknown column etc. —
                 #                   the plain view stays registered
             df = self._visible(df)
-            if self._want_meta:
+            if r["meta"]:
                 # the replaced view carried the period pseudo-columns
                 # — the prefiltered replacement must too
                 df = _with_period_meta(df)
@@ -1547,8 +1697,10 @@ def parse_clauses(clause_text: str, args: list | None = None) -> TemporalBounds:
 def rewrite(xt, query: str) -> str:
     """Rewrite temporal table references; no positional params."""
     from xtdb_spark.sql.constructs import translate
+    from xtdb_spark.sql.decorr import decorrelate_join_on
 
-    sql, _ = _Rewriter(xt, translate(query), None).run()
+    sql, _ = _Rewriter(xt, decorrelate_join_on(translate(query)),
+                       None).run()
     return sql
 
 
@@ -1558,10 +1710,15 @@ def rewrite_with_args(xt, query: str, args: list | None):
     remaining positions still line up for Spark's parameterized SQL.
     XTDB dialect constructs (object/array literals, NEST_ONE/
     NEST_MANY, RECORDS — sql/constructs.py) translate first; the
-    translation preserves `?` order, so param binding is unaffected."""
+    translation preserves `?` order, so param binding is unaffected.
+    Subquery-in-JOIN-ON decorrelation (sql/decorr.py) runs between
+    the two: it bails on any statement carrying `?` params, so
+    binding order is never disturbed."""
     from xtdb_spark.sql.constructs import translate
+    from xtdb_spark.sql.decorr import decorrelate_join_on
 
-    return _Rewriter(xt, translate(query), args).run()
+    return _Rewriter(xt, decorrelate_join_on(translate(query)),
+                     args).run()
 
 
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
