@@ -226,3 +226,36 @@ def test_range_join_left_outer_and_plan(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_xtql_from_binds_temporal_columns(store):
+    """Round 12 (VERDICT): binding a temporal column in an XTQL
+    `from_` switches the scan to its meta-carrying variant
+    (reference xtql.clj binds :xt/valid-from on any From)."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark import xtql as x
+
+    class XT:
+        def __init__(self, store):
+            self.store = store
+            self.spark = store.spark
+
+        def scan(self, table, **kw):
+            return self.store.scan(table, **kw)
+
+    xt = XT(store)
+    store.put("xq_meta", [{"_id": 1, "v": 7}],
+              system_from="2024-01-01", valid_from="2024-03-01")
+    out = x.q(xt, x.from_("xq_meta", bind={"_valid_from": "vf"}))
+    row = out.select("_id", "vf").collect()[0]
+    assert row["_id"] == 1 and str(row["vf"]).startswith("2024-03-01")
+
+    # the period structs ride along under keep_meta
+    out2 = x.q(xt, x.from_("xq_meta", keep_meta=True))
+    df = out2.select(F.col("_valid_time._from").alias("f"))
+    assert str(df.collect()[0]["f"]).startswith("2024-03-01")
+
+    # without a temporal bind the scan stays clean
+    out3 = x.q(xt, x.from_("xq_meta"))
+    assert sorted(out3.columns) == ["_id", "v"]

@@ -1248,3 +1248,22 @@ def test_close_actually_removes(xt, client):
     c.send(b"S", b"")
     msgs = _read_until_z(c)
     assert any(t == b"E" for t, _ in msgs)
+
+
+def test_period_pseudo_columns_over_wire(xt, client):
+    """Round 12 (VERDICT): the temporal meta surface works through
+    pgwire — simple query selecting `_valid_from`, and an
+    extended-query Bind of a period bound compared against it."""
+    xt.store.put("pw_meta", [{"_id": 1, "v": 10}],
+                 system_from="2024-01-01", valid_from="2024-01-01")
+    results, _ = client.query(
+        "SELECT _id, _valid_from FROM pw_meta")
+    (cols, rows), = results
+    assert [c[0] for c in cols] == ["_id", "_valid_from"]
+    assert rows[0][0] == "1" and rows[0][1].startswith("2024-01-01")
+
+    # extended protocol: bind a timestamp and compare a period bound
+    results2, tags = client.prepared(
+        "SELECT _id FROM pw_meta WHERE _valid_from <= $1", ["2024-06-01"])
+    assert results2[0][1] == [["1"]]
+    assert tags == ["SELECT 1"]

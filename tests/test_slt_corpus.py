@@ -56,7 +56,13 @@ def test_xtdb_test_full(spark):
     ("index/random/10/slt_good_0.test", 250),
     ("index/between/1/slt_good_0.test", 250),
     ("index/commute/10/slt_good_0.test", 250),
+    ("index/commute/100/slt_good_0.test", 250),
     ("index/orderby/10/slt_good_0.test", 250),
+    # round 12: prefixes for every remaining full-dir-soaked class,
+    # so a regression in a newly-clean surface fails fast in CI
+    ("index/orderby_nosort/10/slt_good_0.test", 250),
+    ("index/orderby_nosort/100/slt_good_0.test", 250),
+    ("index/delete/10/slt_good_0.test", 250),
     ("index/view/10/slt_good_1.test", 250),
     ("select2.test", 250),
 ])

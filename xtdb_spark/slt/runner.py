@@ -116,6 +116,10 @@ class SltEngine:
                 return t
 
             st.instant_source = _mock_clock
+            # the corpus's `nosort` expected blocks embed the
+            # reference's iid-hash scan order (round 12) — reproduce
+            # it (rewriter._ref_iid_order; direct-sql mode only)
+            st.scan_order_ref_iid = True
         # SLT tables are tiny and re-queried thousands of times:
         # serving cache on, speculative prefilter injection off (the
         # footer probes cost more than these scans)

@@ -996,6 +996,14 @@ class _Translator:
                     self.postfix = True
                     expr_start = None
                     continue
+                if up == "VALUES":
+                    vk = self._values_keyunion()
+                    if vk is not None:
+                        parts.append(vk)
+                        self.postfix = True
+                        expr_start = None
+                        last_sig = ""
+                        continue
             tok = self._next()
             if tok[0] in ("word", "qident", "num", "str") \
                     and not self.postfix and not self._after_dot \
@@ -2041,6 +2049,103 @@ class _Translator:
         if distinct:
             agg = f"array_distinct({agg})"
         return f"(SELECT {agg} {rest})".rstrip()
+
+    # -- heterogeneous inline VALUES (key-unioned object literals)
+
+    def _values_keyunion(self) -> str | None:
+        """VALUES rows whose object literals carry DIFFERING key
+        sets in the same column position (direct-sql/object-array:
+        ``VALUES ({b: 42}), ({d: 100})``): Spark's inline tables are
+        statically typed, so pad every literal with NULL for the
+        other rows' keys — NullType struct fields widen under
+        Spark's type coercion, and the reference's dynamic-document
+        model reads a missing key as NULL, so the padding IS the
+        semantics. Field order is normalized to first-seen union
+        order across rows (a struct type requires one order).
+        Returns None — with parser state restored — when the list
+        isn't that shape; the normal per-literal translation then
+        applies."""
+        save = (self.i, self.postfix, self._after_dot)
+
+        def bail():
+            self.i, self.postfix, self._after_dot = save
+            return None
+
+        try:
+            rows = self._values_rows()
+        except ValueError:
+            return bail()
+        if len(rows) < 2 or not rows[0] \
+                or any(len(r) != len(rows[0]) for r in rows):
+            return bail()
+        changed = False
+        out = [[None] * len(rows[0]) for _ in rows]
+        for j in range(len(rows[0])):
+            items = [r[j] for r in rows]
+            if all(kind == "obj" for kind, _ in items):
+                union: list[str] = []
+                for _, pairs in items:
+                    for key, _ in pairs:
+                        if key not in union:
+                            union.append(key)
+                if any({k for k, _ in pairs} != set(union)
+                       for _, pairs in items):
+                    changed = True
+                    for i, (_, pairs) in enumerate(items):
+                        have = dict(pairs)
+                        out[i][j] = self._named_struct(
+                            [(key, have.get(key, "NULL"))
+                             for key in union])
+                    continue
+            for i, (kind, payload) in enumerate(items):
+                out[i][j] = (self._named_struct(payload)
+                             if kind == "obj" else payload)
+        if not changed:
+            return bail()
+        return "VALUES " + ", ".join(
+            "(" + ", ".join(r) + ")" for r in out)
+
+    def _values_rows(self):
+        """Parse `VALUES (item, …) [, (item, …)]*` into rows of
+        ("obj", pairs) | ("txt", translated-text) items."""
+        self._next()                   # VALUES
+        rows = []
+        while True:
+            self._skip_ws()
+            if self._peek() != ("punct", "("):
+                raise ValueError("not an inline row")
+            self._next()
+            items = []
+            while True:
+                self._skip_ws()
+                if self._peek() == ("punct", "{"):
+                    self._next()
+                    items.append(("obj", self._object_pairs("}")))
+                    self._skip_ws()
+                else:
+                    self.postfix = False
+                    txt = self._walk(closers=(",", ")")).strip()
+                    if not txt:
+                        raise ValueError("empty item")
+                    items.append(("txt", txt))
+                k, t = self._peek()
+                if (k, t) == ("punct", ","):
+                    self._next()
+                    continue
+                if (k, t) == ("punct", ")"):
+                    self._next()
+                    break
+                raise ValueError("malformed row")
+            rows.append(items)
+            self._skip_ws()
+            if self._peek() == ("punct", ","):
+                mark = self.i
+                self._next()
+                self._skip_ws()
+                if self._peek() == ("punct", "("):
+                    continue
+                self.i = mark
+            return rows
 
     # -- RECORDS
 

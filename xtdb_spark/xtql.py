@@ -44,10 +44,26 @@ def from_(table: str, bind: dict[str, str] | None = None, **temporal) -> Step:
     give XTQL pipelines the same sideways candidate pruning the SQL
     path injects automatically (reference join.clj:172-226 applies
     it to every query surface); renames in `bind` happen AFTER the
-    scan, so the prefilter uses the table's own column names."""
+    scan, so the prefilter uses the table's own column names.
+
+    Binding a TEMPORAL column (`_valid_from` … `_system_to`, or the
+    `_valid_time`/`_system_time` period structs — reference
+    xtql.clj binds :xt/valid-from etc. on any From) switches the
+    scan to its meta-carrying variant automatically, same as the
+    SQL surface's per-qualifier switch; `keep_meta=True` forces it
+    without a bind."""
 
     def step(xt, _df):
-        df = xt.scan(table, **temporal)
+        from xtdb_spark.sql.rewriter import (_TEMPORAL_COL_WORDS,
+                                             _with_period_meta)
+
+        kw = dict(temporal)
+        want_meta = bool(kw.pop("keep_meta", False)) or bool(
+            bind and any(c.lower() in _TEMPORAL_COL_WORDS
+                         for c in bind))
+        df = xt.scan(table, keep_meta=want_meta, **kw)
+        if want_meta:
+            df = _with_period_meta(df)
         if "_iid" in df.columns:
             df = df.drop("_iid")  # internal key — not a logic var
         if bind:
