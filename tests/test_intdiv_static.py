@@ -102,3 +102,40 @@ def test_rewrite_nested_division_truncates(spark):
     q2 = "SELECT 3 / CAST ( 2 AS REAL ) AS r"
     r2 = spark.sql(rewrite_int_div(q2, ct)).collect()[0]["r"]
     assert r2 == 1.5
+
+
+def test_round12_divergence_machinery():
+    """Round 12 (ADVICE r11 + the 4 random/expr survivors): mixed
+    COALESCE marks "div"; NULLIF/COALESCE convert to CASE form for
+    the division distribution; the distribution recurses through
+    nested divergence; aggregates only claim non-null without row
+    filtering."""
+    # mixed reachable int-ness — value-dependent, not float
+    assert iness("COALESCE ( col0, 2.5 )") == "div"
+    assert iness("COALESCE ( NULLIF ( col0, 5 ), 2.5 )") == "div"
+    # all-int / all-float mixes stay plain
+    assert iness("COALESCE ( col0, 7 )") is True
+    assert iness("COALESCE ( col1, 2.5 )") is False
+    # emitted DIV re-analyzes as integral (distribution recursion)
+    assert iness("CAST ( col0 AS BIGINT ) DIV CAST ( 2 AS BIGINT )") is True
+    assert iness("2.5 * col0 DIV 2") is True      # DIV resets the chain
+
+    # mixed COALESCE distributes fully statically — no runtime guard
+    out = rewrite_int_div("SELECT COALESCE(col0, 2.5) / 2 FROM t", CT)
+    assert "typeof" not in out and "DIV" in out and "IS NOT NULL" in out
+    # nested divergent CASE inside NULLIF distributes recursively
+    out2 = rewrite_int_div(
+        "SELECT 14 / NULLIF(CASE WHEN col0=1 THEN 3 ELSE 2.5 END, 0) "
+        "FROM t", CT)
+    assert "typeof" not in out2 and "DIV" in out2
+
+
+def test_round12_agg_nn_gating():
+    # without filtering, COALESCE(MIN(int), float) still distributes
+    # (div) — and WITH filtering it must not be statically typed int
+    q = "SELECT COALESCE(MIN(col0), 2.5) / 2 FROM t WHERE col0 > 5"
+    out = rewrite_int_div(q, CT)
+    # the distribution handles both branches: DIV when MIN is
+    # non-null, float division when the filter emptied the table
+    assert "IS NOT NULL" in out and "DIV" in out
+    assert "/ (2)" in out.replace("((", "(").replace("))", ")") or "/" in out
