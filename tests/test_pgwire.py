@@ -1267,3 +1267,48 @@ def test_period_pseudo_columns_over_wire(xt, client):
         "SELECT _id FROM pw_meta WHERE _valid_from <= $1", ["2024-06-01"])
     assert results2[0][1] == [["1"]]
     assert tags == ["SELECT 1"]
+
+
+def test_tls_upgrade(xt, tmp_path):
+    """TLS on the wire (reference pgwire.clj:485 upgrade-to-ssl /
+    ->ssl-ctx:1837 keystore config): SSLRequest answered 'S', the
+    connection wrapped, and the normal protocol continuing inside
+    the TLS channel. A server WITHOUT a context still answers 'N'
+    (covered implicitly by every other test here — psql's default
+    sslmode=prefer then falls back to cleartext)."""
+    import ssl as ssl_mod
+    import subprocess
+
+    cert = tmp_path / "srv.crt"
+    key = tmp_path / "srv.key"
+    p = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        capture_output=True)
+    if p.returncode != 0:
+        pytest.skip("openssl unavailable for cert generation")
+
+    from xtdb_spark.pgwire import PgWireServer
+
+    xt.store.put("tls_t", [{"_id": 1, "v": 42}], system_from="2024-01-01")
+    srv = PgWireServer(xt, port=0, ssl_certfile=str(cert),
+                       ssl_keyfile=str(key)).start()
+    try:
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        # SSLRequest: length 8, code 80877103
+        raw.sendall(struct.pack(">ii", 8, 80877103))
+        assert raw.recv(1) == b"S"
+        ctx = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl_mod.CERT_NONE
+        tls = ctx.wrap_socket(raw)
+        client = PgClient.__new__(PgClient)
+        client.sock = tls
+        client.buf = b""
+        client.startup()
+        results, tags = client.query("SELECT v FROM tls_t")
+        assert results[0][1] == [["42"]] and tags == ["SELECT 1"]
+        client.close()
+    finally:
+        srv.stop()

@@ -365,10 +365,12 @@ class _Conn:
 
     BATCH = 1024  # DataRows per socket write
 
-    def __init__(self, sock: socket.socket, xt, auth: AuthRules | None = None):
+    def __init__(self, sock: socket.socket, xt, auth: AuthRules | None = None,
+                 ssl_context=None):
         self.sock = sock
         self.xt = xt
         self.auth = auth or AuthRules()
+        self.ssl_context = ssl_context
         self.buf = b""
         self.statements: dict[str, tuple[str, list[int]]] = {}
         self.portals: dict[str, str] = {}
@@ -432,8 +434,17 @@ class _Conn:
             (ln,) = struct.unpack(">i", self._recv(4))
             body = self._recv(ln - 4)
             (code,) = struct.unpack(">i", body[:4])
-            if code == 80877103:        # SSLRequest → not supported
-                self.sock.sendall(b"N")
+            if code == 80877103:        # SSLRequest
+                # TLS upgrade when the server carries a context
+                # (reference pgwire.clj:485-486 upgrade-to-ssl over
+                # its keystore ssl-ctx); refused with 'N' otherwise
+                if self.ssl_context is None:
+                    self.sock.sendall(b"N")
+                    continue
+                self.sock.sendall(b"S")
+                self.sock = self.ssl_context.wrap_socket(
+                    self.sock, server_side=True)
+                self.buf = b""
                 continue
             if code == 80877102:        # CancelRequest (pid, secret)
                 pid, secret = struct.unpack(">ii", body[4:12])
@@ -1441,17 +1452,32 @@ class PgWireServer:
     """
 
     def __init__(self, xt, host: str = "127.0.0.1", port: int = 0,
-                 auth: AuthRules | None = None):
+                 auth: AuthRules | None = None,
+                 ssl_certfile: str | None = None,
+                 ssl_keyfile: str | None = None):
+        """`ssl_certfile`/`ssl_keyfile` (PEM) enable the TLS upgrade
+        path: a client's SSLRequest is answered 'S' and the
+        connection wrapped (reference pgwire.clj ssl-ctx from its
+        `ssl {keystore …}` config, ->ssl-ctx:1837); without them the
+        server answers 'N' and continues in cleartext, which every
+        client negotiates (sslmode=prefer)."""
         self.xt = xt
         self.host = host
         self.auth = auth
+        self.ssl_context = None
+        if ssl_certfile:
+            import ssl as _ssl
+
+            self.ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            self.ssl_context.load_cert_chain(ssl_certfile, ssl_keyfile)
 
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):  # noqa: D401
                 try:
-                    _Conn(self.request, outer.xt, outer.auth).handle()
+                    _Conn(self.request, outer.xt, outer.auth,
+                          ssl_context=outer.ssl_context).handle()
                 except (ConnectionResetError, BrokenPipeError):
                     pass
 
