@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 
-from xtdb_spark.sql.rewriter import _TOKEN_RE, _unquote
+from xtdb_spark.sql.rewriter import _TOKEN_RE, _tokenize, _unquote
 
 _TRIGGER_RE = re.compile(
     r"[{\[]|\bNEST_ONE\b|\bNEST_MANY\b|\bRECORDS\b"
@@ -2018,6 +2018,26 @@ class _Translator:
         self._next()  # (
         self._skip_ws()
         k, t = self._peek()
+        if k == "word" and t.upper() == "FROM":
+            # FROM-first subquery (docs pull-sql-1: `NEST_ONE(FROM
+            # authors WHERE … SELECT …)`): fold to standard form
+            # first, then nest that text
+            depth = 1
+            raw = []
+            while self.i < len(self.toks):
+                kk, tt = self.toks[self.i]
+                if kk == "punct" and tt == "(":
+                    depth += 1
+                elif kk == "punct" and tt == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                raw.append(tt)
+                self.i += 1
+            if self._peek() == ("punct", ")"):
+                self._next()
+            std = _Translator("".join(raw)).run().strip()
+            return self._nest_std(kind, std)
         if k != "word" or t.upper() != "SELECT":
             raise ValueError(f"{kind} requires a subquery")
         self._next()  # SELECT
@@ -2049,6 +2069,78 @@ class _Translator:
         if distinct:
             agg = f"array_distinct({agg})"
         return f"(SELECT {agg} {rest})".rstrip()
+
+    @staticmethod
+    def _nest_std(kind: str, std: str) -> str:
+        """Nest an already-standard `SELECT … FROM … [ORDER BY k
+        [DESC]] [LIMIT n]` subquery text. Correlated subqueries with
+        LIMIT are rejected by Spark outright, so per-outer-row
+        ORDER/LIMIT (the docs' NEST_MANY comments example) lowers to
+        a comparator-sorted `collect_list` + `slice` INSIDE the
+        aggregate scalar subquery — correlation stays in the WHERE,
+        which Spark supports under aggregation."""
+        toks = _tokenize(std)
+        depth = 0
+        sel_i = from_i = order_i = limit_i = None
+        for idx, (k, t) in enumerate(toks):
+            if k == "punct" and t in "([":
+                depth += 1
+            elif k == "punct" and t in ")]":
+                depth -= 1
+            elif depth == 0 and k == "word":
+                u = t.upper()
+                if u == "SELECT" and sel_i is None:
+                    sel_i = idx
+                elif u == "FROM" and sel_i is not None and from_i is None:
+                    from_i = idx
+                elif u == "ORDER" and from_i is not None and order_i is None:
+                    order_i = idx
+                elif u == "LIMIT" and from_i is not None and limit_i is None:
+                    limit_i = idx
+        if sel_i is None or from_i is None:
+            raise ValueError(f"{kind} requires a subquery")
+
+        def txt(a, b):
+            return "".join(t for _, t in toks[a:b]).strip()
+
+        sel = txt(sel_i + 1, from_i)
+        tail_end = min(x for x in (order_i, limit_i, len(toks))
+                       if x is not None)
+        rest = txt(from_i, tail_end)
+        if kind == "NEST_ONE":
+            return f"(SELECT struct({sel}) {rest})"
+        if order_i is None and limit_i is None:
+            return f"(SELECT collect_list(struct({sel})) {rest})"
+        # ORDER BY <key> [ASC|DESC] [LIMIT n] — single key
+        limit_n = None
+        if limit_i is not None:
+            limit_n = txt(limit_i + 1, len(toks))
+        key_end = limit_i if limit_i is not None else len(toks)
+        desc = False
+        key = ""
+        if order_i is not None:
+            kt = toks[order_i + 1: key_end]
+            words = [(k, t) for k, t in kt if k not in ("ws", "comment")]
+            if words and words[0][1].upper() == "BY":
+                words = words[1:]
+            if words and words[-1][1].upper() in ("ASC", "DESC"):
+                desc = words[-1][1].upper() == "DESC"
+                words = words[:-1]
+            key = "".join(t for _, t in words).strip()
+        if not key:
+            agg = f"collect_list(struct({sel}))"
+            out = (f"slice({agg}, 1, {limit_n})" if limit_n else agg)
+            return f"(SELECT {out} {rest})"
+        lt, gt = ("<", ">") if not desc else (">", "<")
+        agg = (f"transform(array_sort("
+               f"collect_list(struct(({key}) AS __o, "
+               f"struct({sel}) AS __v)), "
+               f"(l, r) -> CASE WHEN l.__o {lt} r.__o THEN -1 "
+               f"WHEN l.__o {gt} r.__o THEN 1 ELSE 0 END), "
+               f"x -> x.__v)")
+        if limit_n:
+            agg = f"slice({agg}, 1, {limit_n})"
+        return f"(SELECT {agg} {rest})"
 
     # -- heterogeneous inline VALUES (key-unioned object literals)
 

@@ -28,6 +28,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from xtdb_spark.sql.rewriter import _tokenize
 from xtdb_spark.sql.rewriter import spark_escape_strings as _esc
 
 _INSERT_VALUES_RE = re.compile(
@@ -40,11 +41,15 @@ _INSERT_SELECT_RE = re.compile(
     r"(?P<select>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# the TO bound is optional (Sql.g4 allows `FOR PORTION OF VALID_TIME
+# FROM x` alone — docs DML-Delete-bitemporal — meaning [x, ∞)), and
+# either bound may be a DATE literal
 _PORTION_RE = (r"(?P<portion>\s+FOR\s+PORTION\s+OF\s+VALID_TIME\s+FROM\s+"
-               r"(?:NULL|(?:TIMESTAMP\s+)?'(?P<vf>[^']+)')\s+TO\s+"
-               r"(?:NULL|(?:TIMESTAMP\s+)?'(?P<vt>[^']+)'))?")
+               r"(?:NULL|(?:TIMESTAMP\s+|DATE\s+)?'(?P<vf>[^']+)')"
+               r"(?:\s+TO\s+"
+               r"(?:NULL|(?:TIMESTAMP\s+|DATE\s+)?'(?P<vt>[^']+)'))?)?")
 _UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+(?P<table>[\w.]+){_PORTION_RE}\s+"
+    rf"^\s*UPDATE\s+(?P<table>[\w.]+)(?:\s+AS\s+\w+)?{_PORTION_RE}\s+"
     r"SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -215,6 +220,52 @@ _PATCH_SELECT_RE = re.compile(
 )
 
 
+def _pylit(v) -> str:
+    """Python arg value → SQL literal (DML has no Spark-parameterized
+    path — the statements decompose into store ops, so binding IS
+    literal substitution, same as pgwire's $n path)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def bind_positional(query: str, args: list) -> str:
+    """Substitute `?` placeholders with literals, token-aware (a `?`
+    inside a string survives verbatim)."""
+    from xtdb_spark.sql.rewriter import _tokenize
+
+    out, n = [], 0
+    for kind, text in _tokenize(query):
+        if kind == "param" and n < len(args):
+            out.append(_pylit(args[n]))
+            n += 1
+        else:
+            out.append(text)
+    return "".join(out)
+
+
+def _dml_select(xt, sql: str):
+    """spark.sql for a DML-internal SELECT; routed through the
+    rewriter when it embeds a subquery, so store tables referenced
+    INSIDE the predicate register (docs DML-Delete-additional /
+    DML-Update-bitemporal-sql-2)."""
+    if re.search(r"\(\s*SELECT\b", sql, re.IGNORECASE):
+        from xtdb_spark.sql.rewriter import rewrite
+
+        return xt.spark.sql(rewrite(xt, sql))
+    return xt.spark.sql(_esc(sql))
+
+
 def execute_dml(xt, query: str):
     spark = xt.spark
     # XTDB dialect constructs first: `INSERT INTO t RECORDS {…}` /
@@ -299,6 +350,31 @@ def execute_dml(xt, query: str):
     m = _UPDATE_RE.match(query)
     if m:
         table, where = _fold_table(m.group("table")), m.group("where")
+        sets_src = m.group("sets")
+        if where is not None:
+            # the regex's lazy split stops at the FIRST ` WHERE ` —
+            # wrong when a SET expression holds a subquery with its
+            # own WHERE (docs DML-Update-bitemporal-sql-2). Re-split
+            # token-aware at the first DEPTH-0 WHERE.
+            full = sets_src + " WHERE " + where
+            toks = _tokenize(full)
+            depth = 0
+            cut = None
+            pos = 0
+            for k, t in toks:
+                if k == "punct" and t in "([":
+                    depth += 1
+                elif k == "punct" and t in ")]":
+                    depth -= 1
+                elif k == "word" and depth == 0 and t.upper() == "WHERE":
+                    cut = pos
+                    break
+                pos += len(t)
+            if cut is not None:
+                sets_src = full[:cut]
+                where = full[cut + 5:].strip()   # past the WHERE word
+            else:
+                sets_src, where = full, None
         vf, vt = _portion(m)
         portion = bool(m.group("portion"))
         # FOR PORTION targets the rows visible IN the portion (the
@@ -309,7 +385,7 @@ def execute_dml(xt, query: str):
         # intersection with the portion via per-row bounds
         view = (_portion_view(xt, table, vf, vt) if portion
                 else _current_view(xt, table))
-        sets = dict(_split_sets(m.group("sets")))
+        sets = dict(_split_sets(sets_src))
         meta = ("_iid", "_valid_from", "_valid_to",
                 "_system_from", "_system_to")
         cur_cols = [c for c in spark.table(view).columns
@@ -325,8 +401,9 @@ def execute_dml(xt, query: str):
                          for c in cur_cols)
         if portion:
             proj += ", " + _clip_bounds_sql(vf, vt)
-        rel = spark.sql(_esc(f"SELECT {proj} FROM {_from_ref(view, table)}"
-                             + (f" WHERE {where}" if where else "")))
+        rel = _dml_select(
+            xt, f"SELECT {proj} FROM {_from_ref(view, table)}"
+            + (f" WHERE {where}" if where else ""))
         st = xt.store.put(table, rel,
                           valid_from=None if portion else vf,
                           valid_to=None if portion else vt)
@@ -341,8 +418,9 @@ def execute_dml(xt, query: str):
         portion = bool(m.group("portion"))
         view = (_portion_view(xt, table, vf, vt) if portion
                 else _current_view(xt, table))
-        rows = spark.sql(_esc(f"SELECT * FROM {_from_ref(view, table)}"
-                              + (f" WHERE {where}" if where else "")))
+        rows = _dml_select(
+            xt, f"SELECT * FROM {_from_ref(view, table)}"
+            + (f" WHERE {where}" if where else ""))
         ids = rows.select("_id").distinct() if portion else \
             rows.select("_id")
         st = xt.store.delete(table, ids, valid_from=vf, valid_to=vt)
@@ -354,8 +432,9 @@ def execute_dml(xt, query: str):
     if m:
         table, where = _fold_table(m.group("table")), m.group("where")
         view = _current_view(xt, table)
-        rows = spark.sql(_esc(f"SELECT * FROM {_from_ref(view, table)}"
-                              + (f" WHERE {where}" if where else "")))
+        rows = _dml_select(
+            xt, f"SELECT * FROM {_from_ref(view, table)}"
+            + (f" WHERE {where}" if where else ""))
         st = xt.store.erase(table, rows.select("_id"))
         return _returning(spark, rows, ret, st)
 

@@ -1879,6 +1879,8 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
         xt.store.revoke_role(rm.group("role"), rm.group("user"))
         return None
     if dml.is_dml(query):
+        if args:
+            query = dml.bind_positional(query, args)
         return dml.execute_dml(xt, query)
     sql, remaining = rewrite_with_args(xt, query, args)
     if remaining:

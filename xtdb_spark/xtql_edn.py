@@ -225,18 +225,47 @@ def _tx_expr(e: Any) -> Any:
         op = str(op)
         if op == "row-count":
             return ["count"]
+        if op in ("exists?", "pull", "pull*"):
+            # subquery expressions over an fn closure (reference
+            # xtql.clj Exists/Pull/PullMany): `(pull (fn [args]
+            # <query>))` — the fn params are the correlation vars
+            (fn_form,) = args
+            if not (isinstance(fn_form, tuple) and fn_form
+                    and str(fn_form[0]) == "fn"):
+                raise ValueError(f"{op} requires an (fn [vars] query)")
+            params = [_name(str(s)) for s in fn_form[1]]
+            body = to_json_form(fn_form[2])
+            tag = "exists" if op == "exists?" else op
+            return [tag, body, params]
         return [op] + [_tx_expr(a) for a in args]
     if isinstance(e, list):
         return [_tx_expr(a) for a in e]
     return e  # numbers / bools / None pass through
 
 
+def _attr(s: str) -> str:
+    """Attribute keyword → stored column name: the reference
+    normalizes kebab-case keywords to snake_case columns
+    (`:customer-id` ⇄ `customer_id`, types.clj ->col-sym /
+    normalForm)."""
+    return _name(s).replace("-", "_")
+
+
 def _tx_bind(b: Any) -> Any:
-    """bind spec: sym | {:attr var} → "col" | {"col": "var"}."""
+    """bind spec: sym | {:attr var} → "col" | {"col": "var"}. A bare
+    kebab symbol binds the snake_case COLUMN to the kebab VAR
+    (`first-name` ≡ {:first-name first-name})."""
     if isinstance(b, Symbol):
-        return _name(str(b))
+        v = _name(str(b))
+        a = _attr(str(b))
+        return {a: v} if a != v else v
     if isinstance(b, dict):
-        return {_name(str(k)): _name(str(v)) for k, v in b.items()}
+        # a non-Symbol value is a LITERAL bind — an equality
+        # constraint on the attr (reference `{:xt/id "ivan"}`),
+        # not a rename
+        return {_attr(str(k)): (_name(str(v)) if isinstance(v, Symbol)
+                                else {"lit": v})
+                for k, v in b.items()}
     raise ValueError(f"malformed bind spec {b!r}")
 
 
@@ -281,7 +310,18 @@ def _tx_source(form: tuple) -> list:
                 for row in args[0]]
         return ["rel", rows]
     if op == "unify":
-        return ["unify"] + [_tx_source(a) for a in args]
+        # unify takes CLAUSES (reference xtql.clj Unify): sources
+        # (from/rel/unify) plus where/with/join/left-join/unnest
+        # logic clauses — the latter lower as tails over the unified
+        # sources
+        out: list = ["unify"]
+        for a in args:
+            if isinstance(a, tuple) and a and \
+                    str(a[0]) in ("from", "rel", "unify"):
+                out.append(_tx_source(a))
+            else:
+                out.append(_tx_tail(a))
+        return out
     raise ValueError(f"unknown source op {op!r}")
 
 
@@ -333,6 +373,12 @@ def _tx_tail(form: tuple) -> list:
             opts = {str(k): [_name(str(c)) for c in v]
                     for k, v in args[1].items()}
             out.append(opts)
+        elif len(args) > 1 and isinstance(args[1], list):
+            # `(left-join <query> [vars…])` — the clause's out-bind
+            # spec (reference xtql.clj Join/LeftJoin binding): the
+            # vars the joined query contributes; join keys are the
+            # shared logic vars, unify-style
+            out.append({"bind": [_name(str(c)) for c in args[1]]})
         return out
     raise ValueError(f"unknown tail op {op!r}")
 

@@ -160,7 +160,10 @@ def _temporal_kwargs(opts: dict | None) -> dict:
         if spec == "all-time" or spec == ["all-time"]:
             kw[arg_all] = True
         elif isinstance(spec, list) and len(spec) == 2 and spec[0] == "at":
-            kw[arg_at] = spec[1]
+            at = spec[1]
+            if isinstance(at, str) and len(at) == 4 and at.isdigit():
+                at += "-01-01"   # #inst "2018" — year-only instant
+            kw[arg_at] = at
         else:
             raise ValueError(f"malformed temporal spec {spec!r}")
     return kw
@@ -173,30 +176,174 @@ def _parse_source(form: list):
         table = args[0]
         bind = args[1] if len(args) > 1 and isinstance(args[1], list) else None
         opts = next((a for a in args[1:] if isinstance(a, dict)), None)
-        bm = _bind_map(bind)
-        base = X.from_(table, bind=bm, **_temporal_kwargs(opts))
-        if bind is None:
+        bm = _bind_map(bind) or {}
+        # literal binds ({"col": {"lit": v}}) are equality
+        # CONSTRAINTS on the scan (reference `{:xt/id "ivan"}`), not
+        # renames; they don't contribute an output var
+        lits = {c: v["lit"] for c, v in bm.items()
+                if isinstance(v, dict)}
+        renames = {c: v for c, v in bm.items() if not isinstance(v, dict)}
+        base = X.from_(table, bind=renames or None,
+                       **_temporal_kwargs(opts))
+        if bind is None and not lits:
             return base
+        out_cols = list(renames.values())
 
-        def step(xt, _df, _base=base, _cols=_bound_cols(bind)):
-            return _base(xt, None).select(*_cols)
+        def step(xt, _df, _base=base, _lits=lits, _cols=out_cols):
+            df = _base(xt, None)
+            for c, v in _lits.items():
+                df = df.filter(F.col(c) == F.lit(v))
+            return df.select(*_cols) if _cols else df
 
         return step
     if op == "rel":
         return X.rel(args[0])
     if op == "unify":
-        return X.unify(*[_parse_source(a) for a in args])
+        srcs = [a for a in args if a and a[0] in ("from", "rel", "unify")]
+        tails = [a for a in args if not (a and a[0] in ("from", "rel",
+                                                        "unify"))]
+        base = X.unify(*[_parse_source(a) for a in srcs])
+        if not tails:
+            return base
+        # logic clauses (where / with / join / left-join / unnest)
+        # apply over the unified sources, in clause order
+        steps = [_parse_tail(t) for t in tails]
+
+        def step(xt, df, _b=base, _s=steps):
+            out = _b(xt, df)
+            for s in _s:
+                out = s(xt, out)
+            return out
+
+        return step
     raise ValueError(f"unknown source op {op!r}")
+
+
+def _is_subq(e: Any, tags=("exists", "pull", "pull*")) -> bool:
+    return isinstance(e, list) and bool(e) and e[0] in tags
+
+
+def _exists_step(form: list, negate: bool):
+    """["exists", <subquery>, [corr_vars]] inside a where — the
+    reference's subquery expression (xtql.clj Exists over an fn
+    closure): a (anti-)semi join on the correlation vars. The
+    subquery plans as its own pipeline; correlation happens through
+    the shared variable NAMES, exactly the reference's unify
+    semantics."""
+    sub_steps = parse(form[1])
+    params = list(form[2])
+
+    def step(xt, df):
+        sub = X.q(xt, *sub_steps).select(*params).distinct()
+        how = "left_anti" if negate else "left_semi"
+        return df.join(sub, on=params, how=how)
+
+    return step
+
+
+def _pull_step(name: str, form: list):
+    """["pull"|"pull*", <subquery>, [corr_vars]] in a with/return —
+    the reference's pull expression (xtql.clj Pull/PullMany):
+    correlated record (pull) / record array (pull*) per outer row.
+    Executed set-oriented, not per-row: trailing order-by/limit
+    tails apply PER correlation key (row_number window — the
+    reference's apply gives the same per-key semantics), rows
+    collect into ordered struct arrays, and one left join attaches
+    them — no driver loop, no per-row subquery."""
+    many = form[0] == "pull*"
+    sub_form = form[1]
+    params = list(form[2])
+    if isinstance(sub_form, list) and sub_form and \
+            sub_form[0] == "pipeline":
+        src, *tails = sub_form[1:]
+    else:
+        src, tails = sub_form, []
+    order_spec: list = []
+    limit_n = None
+    while tails:
+        t = tails[-1]
+        if t[0] == "limit" and limit_n is None:
+            limit_n = int(t[1])
+            tails = tails[:-1]
+            continue
+        if t[0] == "order-by" and not order_spec:
+            order_spec = t[1:]
+            tails = tails[:-1]
+            continue
+        break
+    base = parse(["pipeline", src, *tails] if tails else src)
+
+    def step(xt, df):
+        from pyspark.sql.window import Window
+
+        sub = X.q(xt, *base)
+        others = [c for c in sub.columns if c not in params]
+        oc = []
+        for s in order_spec:
+            if isinstance(s, str):
+                oc.append(F.col(s).asc())
+            else:
+                c = F.col(s[0])
+                oc.append(c.desc() if s[1] == "desc" else c.asc())
+        if not oc:
+            oc = [F.lit(1)]
+        w = Window.partitionBy(*params).orderBy(*oc)
+        sub = sub.withColumn("__rn", F.row_number().over(w))
+        if limit_n is not None:
+            sub = sub.filter(F.col("__rn") <= limit_n)
+        payload = F.struct(*[F.col(c) for c in others])
+        arr = F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__rn").alias("o"), payload.alias("v")))),
+            lambda x: x["v"])
+        agg = sub.groupBy(*params).agg(arr.alias(name))
+        out = df.join(agg, on=params, how="left")
+        if not many:
+            out = out.withColumn(name, F.element_at(F.col(name), 1))
+        return out
+
+    return step
 
 
 def _parse_tail(form: list):
     op, *args = form
     if op == "where":
-        return X.where(*[build_expr(a) for a in args])
+        preds, steps = [], []
+        for a in args:
+            negate, b = False, a
+            if isinstance(b, list) and len(b) == 2 and b[0] == "not" \
+                    and _is_subq(b[1], ("exists",)):
+                negate, b = True, b[1]
+            if _is_subq(b, ("exists",)):
+                steps.append(_exists_step(b, negate))
+            else:
+                preds.append(build_expr(a))
+
+        def step(xt, df, _p=preds, _s=steps):
+            if _p:
+                df = X.where(*_p)(xt, df)
+            for s in _s:
+                df = s(xt, df)
+            return df
+
+        return step
     if op == "with":
-        cols = {name: build_expr(e)
-                for spec in args for name, e in spec.items()}
-        return X.with_(**cols)
+        cols, steps = {}, []
+        for spec in args:
+            for name, e in spec.items():
+                if _is_subq(e, ("pull", "pull*")):
+                    steps.append(_pull_step(name, e))
+                else:
+                    cols[name] = build_expr(e)
+
+        def step(xt, df, _c=cols, _s=steps):
+            if _c:
+                df = X.with_(**_c)(xt, df)
+            for s in _s:
+                df = s(xt, df)
+            return df
+
+        return step
     if op == "without":
         return X.without(*args)
     if op == "return":
@@ -233,10 +380,18 @@ def _parse_tail(form: list):
     if op == "union-all":
         return X.union_all(_parse_source(args[0]))
     if op in ("join", "left-join"):
-        # ["join", <source>, {"on": [cols]}] — on omitted = unify on
-        # shared logic vars (reference Join/LeftJoin records)
+        # ["join", <source>, {"on": [cols], "bind": [vars]}] — on
+        # omitted = unify on shared logic vars (reference
+        # Join/LeftJoin records); "bind" narrows the joined query's
+        # contributed vars (its out-bind spec)
         src = _parse_source(args[0])
         opts = args[1] if len(args) > 1 else {}
+        bind = opts.get("bind")
+        if bind:
+            inner = src
+
+            def src(xt, df, _i=inner, _b=bind):
+                return _i(xt, None).select(*_b)
         how = "inner" if op == "join" else "left"
         return X.join(src, on=opts.get("on"), how=how)
     raise ValueError(f"unknown tail op {op!r}")
