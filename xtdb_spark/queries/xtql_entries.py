@@ -273,3 +273,71 @@ def xtql_edn_pipeline(spark, sf_dir):
                                      {:mx (max o_totalprice)})
           (order-by o_orderpriority))
     """)
+
+
+class _PlainXT:
+    """Minimal session facade for edn pipelines over the plain test
+    parquet (no bitemporal store — scans ignore temporal kwargs,
+    which the catalog tables don't carry)."""
+
+    def __init__(self, spark, sf_dir):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def scan(self, table, **_kw):
+        return ld(self.spark, self.sf_dir, table)
+
+
+@register(
+    "xtql_pull_records",
+    """
+    SELECT r_name AS region,
+           (SELECT list(n_name ORDER BY n_name)[1:3]
+            FROM nation WHERE n_regionkey = r_regionkey) AS top_nations
+    FROM region ORDER BY region
+    """,
+)
+def xtql_pull_records(spark, sf_dir):
+    """`pull*` subquery expressions (reference xtql.clj PullMany,
+    round 12): per-outer-row record arrays with the subquery's OWN
+    order-by + limit applied PER correlation key — lowered to a
+    row_number window + ordered collect + one left join (set-
+    oriented, no per-row execution; the struct array is unwrapped to
+    names only for the value-hash compare)."""
+    from xtdb_spark import xtql_edn
+
+    out = xtql_edn.run(_PlainXT(spark, sf_dir), """
+      (-> (from :region [{:r_regionkey rid} {:r_name region}])
+          (with {:top_nations
+                 (pull* (fn [rid]
+                          (-> (from :nation [{:n_regionkey rid} n_name])
+                              (order-by n_name)
+                              (limit 3))))})
+          (order-by region))
+    """)
+    return out.select(
+        "region",
+        F.transform("top_nations", lambda x: x["n_name"])
+         .alias("top_nations"))
+
+
+@register(
+    "xtql_exists_where",
+    """
+    SELECT COUNT(*) AS n_without, MIN(c_custkey) AS first_ck
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def xtql_exists_where(spark, sf_dir):
+    """`(not (exists? (fn [vars] query)))` in an XTQL where
+    (reference xtql.clj Exists, round 12) — planned as a left-anti
+    join on the correlation vars."""
+    from xtdb_spark import xtql_edn
+
+    return xtql_edn.run(_PlainXT(spark, sf_dir), """
+      (-> (from :customer [{:c_custkey ck}])
+          (where (not (exists? (fn [ck]
+                                 (from :orders [{:o_custkey ck}])))))
+          (aggregate {:n_without (row-count)} {:first_ck (min ck)}))
+    """)
