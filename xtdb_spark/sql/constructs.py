@@ -2170,6 +2170,12 @@ class _Translator:
         if len(rows) < 2 or not rows[0] \
                 or any(len(r) != len(rows[0]) for r in rows):
             return bail()
+        # key-union reorders fields — positional params inside the
+        # literals would re-bind out of order, so leave those alone
+        if any("?" in (p if k == "txt"
+                       else " ".join(v for _, v in p))
+               for r in rows for k, p in r):
+            return bail()
         changed = False
         out = [[None] * len(rows[0]) for _ in rows]
         for j in range(len(rows[0])):
