@@ -68,6 +68,26 @@ _FUNCTIONS: list[str] = [
             (floor(unix_timestamp(ts) / width_seconds) + 1)
             * width_seconds))""",
 
+    # DATE_BIN(stride, ts) — Postgres-style bin-start truncation
+    # (reference exposes it via pgwire compat; fusion.sql uses it for
+    # the hourly series anchor). Epoch-origin, truncating DIV like
+    # the reference's quot; pure epoch arithmetic, codegen-friendly.
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_bin(
+         stride INTERVAL DAY TO SECOND, ts TIMESTAMP)
+       RETURNS TIMESTAMP
+       RETURN timestamp_micros(
+         (unix_micros(ts)
+          DIV unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP)
+                          + stride))
+         * unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP)
+                       + stride))""",
+
+    # The reference's weighted range_bins(stride, period[, origin])
+    # (expression/temporal.clj emit-range-bins) lives in the dialect
+    # layer instead (constructs._range_bins_sql): its call sites sit
+    # under UNNEST — a Generate node, where Spark forbids SQL UDFs —
+    # so it inlines as a transform(sequence(...)) expression.
+
     # uri accessors (same regexes as the oracle-checked battery)
     """CREATE OR REPLACE TEMPORARY FUNCTION uri_scheme(u STRING)
        RETURNS STRING

@@ -245,6 +245,11 @@ def _literal(value: str | None, oid: int) -> str:
         return "NULL"
     if oid in _NUMERIC_OIDS or (oid == 0 and _NUM_RE.match(value)):
         if _NUM_RE.match(value):
+            # float4/float8 stay DOUBLE via the D suffix — a bare
+            # `1234.5678` literal is DECIMAL to Spark, which would
+            # let a bound UPDATE drift a double column's stored type
+            if oid in (700, 701):
+                return value + "D"
             return value
     if oid == 16:
         return "TRUE" if value in ("t", "true", "1") else "FALSE"

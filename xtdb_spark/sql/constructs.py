@@ -45,7 +45,8 @@ _TRIGGER_RE = re.compile(
     r"|\*\s*(?:EXCLUDE|RENAME)\b|\bMATERIALIZED\b"
     r"|\bUNNEST\s*\(|\bGENERATE_SERIES\s*\(|\bRANGE\s*\("
     r"|\bLIKE_REGEX\b|~|\bSYMMETRIC\b|\bASYMMETRIC\b"
-    r"|\bMOD\s*\(|\bTIMESTAMP\s*'[^']*[Zz\]]'"
+    r"|\bMOD\s*\(|\bRANGE_BINS\s*\(|\bDATE_BIN\s*\("
+    r"|\bTIMESTAMP\s*'[^']*[Zz\]]'"
     r"|\bGREATEST\s*\(|\bLEAST\s*\("
     r"|\b_valid_time\b|\b_system_time\b"
     r"|[=<>!]\s*(?:ANY|SOME|ALL)\s*\(|\bPG_SLEEP"
@@ -151,9 +152,17 @@ def _period_intersection_sql(a: str, b: str) -> str:
     return f"named_struct('_from', {frm}, '_to', {to})"
 
 
-def _period_pred_sql(base: str, mod: str | None, a: str, b: str) -> str:
+_BARE_REF_RE = re.compile(
+    r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*\Z")
+
+
+def _period_pred_sql(base: str, mod: str | None, a: str, b: str,
+                     point_bias: bool = False) -> str:
     S, E = _S, _E
-    if base == "CONTAINS" and _is_point(b):
+    if base == "CONTAINS" and (
+            _is_point(b)
+            or (point_bias and _BARE_REF_RE.fullmatch(b.strip())
+                and not _periodish(b))):
         t = f"CAST({b} AS TIMESTAMP)"
         lo = "<" if mod == "STRICTLY" else "<="
         return f"({S(a)} {lo} {t} AND {t} < {E(a)})"
@@ -336,14 +345,37 @@ def _implicit_group_by(sel: str) -> str | None:
     return ", ".join(keys)
 
 
-def translate(sql: str) -> str:
+_TSTZ_RE = re.compile(r"\bTIMESTAMPTZ\b", re.IGNORECASE)
+
+
+def _map_tstz(sql: str) -> str:
+    """`TIMESTAMPTZ` → `TIMESTAMP` (type name and literal prefix,
+    reference Sql.g4 TsTzType/pg alias): Spark's TIMESTAMP is the
+    session-zoned instant type, the correct target; Spark rejects
+    the TIMESTAMPTZ spelling outright (`?::timestamptz`,
+    fusion.sql). Token-level so the word survives inside strings,
+    comments, and quoted identifiers."""
+    return "".join(
+        "TIMESTAMP" if m.lastgroup == "word"
+        and m.group().upper() == "TIMESTAMPTZ" else m.group()
+        for m in _TOKEN_RE.finditer(sql))
+
+
+def translate(sql: str, point_bias: bool = False) -> str:
     """Translate XTDB constructs to Spark SQL; no-op (same string)
-    when none are present."""
+    when none are present. `point_bias=True` is the analyze-retry
+    mode (rewriter.rewrite_and_run): a BARE column ref on the right
+    of CONTAINS is treated as a timestamp POINT instead of a period
+    — the reference dispatches on runtime type, this text-only pass
+    cannot, so the rewriter retries with the other reading when
+    Spark's analyzer rejects the period one."""
+    if _TSTZ_RE.search(sql):
+        sql = _map_tstz(sql)
     if _DT_RE.search(sql):
         sql = _quote_date_trunc(sql)
     if not _TRIGGER_RE.search(sql):
         return sql
-    return _Translator(sql).run()
+    return _Translator(sql, point_bias=point_bias).run()
 
 
 def _has_toplevel_word(text: str, word: str) -> bool:
@@ -456,7 +488,8 @@ def _trailing_atom_start(parts: list) -> int | None:
 
 
 class _Translator:
-    def __init__(self, sql: str):
+    def __init__(self, sql: str, point_bias: bool = False):
+        self.point_bias = point_bias
         self.toks = [(m.lastgroup, m.group())
                      for m in _TOKEN_RE.finditer(sql)]
         self.i = 0
@@ -825,6 +858,75 @@ class _Translator:
                     self.postfix = True
                     last_sig = ""
                     continue
+                if up == "DATE_BIN" and \
+                        self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # DATE_BIN(stride, ts[, origin]) — inline epoch
+                    # arithmetic, NOT the registered SQL UDF: Spark
+                    # rejects SQL UDFs inside Generate nodes, and
+                    # DATE_BIN anchors generate_series ranges
+                    # (fusion.sql). Truncating DIV = reference quot.
+                    expr_start = len(parts)
+                    self._next()          # DATE_BIN
+                    self._skip_ws()
+                    self._next()          # (
+                    args = [self._walk(closers=(",", ")")).strip()]
+                    while self._peek() == ("punct", ","):
+                        self._skip_ws()
+                        self._next()
+                        args.append(
+                            self._walk(closers=(",", ")")).strip())
+                    if self._peek() == ("punct", ")"):
+                        self._skip_ws()
+                        self._next()
+                    if len(args) in (2, 3):
+                        s = self._stride_us(args[0])
+                        o = (f"unix_micros(({args[2]}))"
+                             if len(args) == 3 else "0")
+                        t = f"unix_micros(CAST(({args[1]}) AS TIMESTAMP))"
+                        parts.append(
+                            f"timestamp_micros((({t} - {o}) DIV ({s}))"
+                            f" * ({s}) + {o})")
+                    else:                 # malformed — re-emit
+                        parts.append(f"DATE_BIN({', '.join(args)})")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "RANGE_BINS" and \
+                        self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # reference range_bins(stride, period[, origin])
+                    # (expression/temporal.clj:2105-2157): an ARRAY
+                    # of aligned {_from,_to,_weight} bins over the
+                    # period. Lowered to xt_range_bins_us (sqlfns) in
+                    # epoch micros. The legacy 2-arg scalar spelling
+                    # range_bins(ts, width_seconds) — first arg not
+                    # an interval — re-emits for the registered
+                    # scalar function.
+                    expr_start = len(parts)
+                    self._next()          # RANGE_BINS
+                    self._skip_ws()
+                    self._next()          # (
+                    args = [self._walk(closers=(",", ")")).strip()]
+                    while self._peek() == ("punct", ","):
+                        self._skip_ws()
+                        self._next()
+                        args.append(
+                            self._walk(closers=(",", ")")).strip())
+                    if self._peek() == ("punct", ")"):
+                        self._skip_ws()
+                        self._next()
+                    if len(args) in (2, 3) and \
+                            args[0].upper().startswith("INTERVAL"):
+                        parts.append(self._range_bins_sql(
+                            args[0], args[1],
+                            args[2] if len(args) == 3 else None))
+                    else:
+                        parts.append(
+                            f"range_bins({', '.join(args)})")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
                 if up in self._PG_CONST_FNS and \
                         self._peek(1) == ("punct", "("):
                     if not self.postfix:
@@ -918,7 +1020,9 @@ class _Translator:
                         self._skip_ws()
                         self._next()      # the predicate word
                     right = self._parse_primary()
-                    parts.append(_period_pred_sql(base, mod, left, right))
+                    parts.append(_period_pred_sql(
+                        base, mod, left, right,
+                        point_bias=self.point_bias))
                     self.postfix = True
                     expr_start = len(parts) - 1
                     continue
@@ -1612,6 +1716,18 @@ class _Translator:
         days = int(d or 0) + 7 * int(w or 0)
         h, mi = int(h or 0), int(mi or 0)
         s = s or "0"
+        # ISO-8601 admits out-of-range units (PT48H, PT300M); Spark's
+        # day-time string parser caps hour at 23 / minute+second at
+        # 59 — normalize by carrying whole units upward
+        carry_s, s_frac = int(float(s) // 1), float(s) % 1
+        mi += carry_s // 60
+        carry_s %= 60
+        h += mi // 60
+        mi %= 60
+        days += h // 24
+        h %= 24
+        s = (f"{carry_s}{str(round(s_frac, 9))[1:]}" if s_frac
+             else str(carry_s))
         ym = 12 * y + mo
         has_dt = days or h or mi or float(s) != 0.0
         if ym and has_dt:
@@ -1632,6 +1748,40 @@ class _Translator:
             s_fmt = f"{int(s):02d}"
         return (f"INTERVAL '{neg}{days} {h:02d}:{mi:02d}:{s_fmt}' "
                 f"DAY TO SECOND")
+
+    @staticmethod
+    def _stride_us(interval_sql: str) -> str:
+        """An interval expression's width in epoch microseconds
+        (exact for day-time intervals — the only strides a fixed
+        bin grid admits)."""
+        return ("unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP)"
+                f" + ({interval_sql}))")
+
+    @classmethod
+    def _range_bins_sql(cls, iv: str, p: str, origin: str | None) -> str:
+        """The reference's range_bins(stride, period[, origin])
+        (expression/temporal.clj:2109 emit-range-bins) as ONE inline
+        expression: the origin-aligned bins overlapping the period
+        [from, to), each carrying the fraction of the period it
+        covers. Inline (no SQL UDF) because the call site is usually
+        under UNNEST — a Generate node, where Spark forbids SQL
+        UDFs. Truncating DIV mirrors the reference's quot; NULL
+        period bounds (open periods) propagate to a NULL list."""
+        s = cls._stride_us(iv)
+        f = f"unix_micros(({p})._from)"
+        t = f"unix_micros(({p})._to)"
+        o = f"unix_micros(({origin}))" if origin is not None else "0"
+        base = f"((({f}) - {o}) DIV ({s})) * ({s}) + {o}"
+        n1 = (f"((((({t}) - {o} - 1) DIV ({s})) + 1)"
+              f" - ((({f}) - {o}) DIV ({s}))) - 1")
+        return (
+            f"transform(sequence(CAST(0 AS BIGINT), {n1}), "
+            f"i -> named_struct("
+            f"'_from', timestamp_micros(({base}) + i * ({s})), "
+            f"'_to', timestamp_micros(({base}) + (i + 1) * ({s})), "
+            f"'_weight', CAST(least(({base}) + (i + 1) * ({s}), {t})"
+            f" - greatest(({base}) + i * ({s}), {f}) AS DOUBLE)"
+            f" / CAST(({t}) - ({f}) AS DOUBLE)))")
 
     def _iso_interval_literal(self) -> str:
         self._next()            # INTERVAL

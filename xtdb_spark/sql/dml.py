@@ -230,7 +230,18 @@ def _pylit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # the D suffix keeps the literal DOUBLE: a bare `1234.5678`
+        # parses as DECIMAL in Spark, and an UPDATE binding one would
+        # drift the stored column's type away from the documents'
+        # double (parquet schema-merge conflict on the next scan)
+        import math as _math
+
+        if _math.isfinite(v):
+            return repr(v) + "D"
+        return ("CAST('NaN' AS DOUBLE)" if _math.isnan(v)
+                else f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)")
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"

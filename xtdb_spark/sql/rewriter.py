@@ -1737,7 +1737,8 @@ def rewrite(xt, query: str) -> str:
     return sql
 
 
-def rewrite_with_args(xt, query: str, args: list | None):
+def rewrite_with_args(xt, query: str, args: list | None,
+                      point_bias: bool = False):
     """Rewrite + bind any `?` inside temporal clauses from `args`;
     returns (sql, remaining_args) with the bound args removed so the
     remaining positions still line up for Spark's parameterized SQL.
@@ -1750,8 +1751,10 @@ def rewrite_with_args(xt, query: str, args: list | None):
     from xtdb_spark.sql.constructs import translate
     from xtdb_spark.sql.decorr import decorrelate_join_on
 
-    return _Rewriter(xt, decorrelate_join_on(translate(query)),
-                     args).run()
+    return _Rewriter(
+        xt, decorrelate_join_on(translate(query,
+                                          point_bias=point_bias)),
+        args).run()
 
 
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
@@ -1883,6 +1886,20 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
             query = dml.bind_positional(query, args)
         return dml.execute_dml(xt, query)
     sql, remaining = rewrite_with_args(xt, query, args)
-    if remaining:
-        return xt.spark.sql(sql, args=remaining)
-    return xt.spark.sql(sql)
+    try:
+        return xt.spark.sql(sql, args=remaining) if remaining \
+            else xt.spark.sql(sql)
+    except Exception as e:
+        # CONTAINS right-operand type retry: a bare column ref reads
+        # as a PERIOD by default (constructs._is_point is text-only;
+        # the reference dispatches on runtime type). When Spark's
+        # analyzer rejects that reading — field extraction from a
+        # non-struct — re-translate with the POINT reading
+        # (fusion.sql `system._valid_time CONTAINS dates.d`).
+        if "INVALID_EXTRACT_BASE_FIELD_TYPE" in str(e) \
+                and re.search(r"\bCONTAINS\b", query, re.IGNORECASE):
+            sql, remaining = rewrite_with_args(xt, query, args,
+                                               point_bias=True)
+            return xt.spark.sql(sql, args=remaining) if remaining \
+                else xt.spark.sql(sql)
+        raise
