@@ -46,6 +46,13 @@ _TRIGGER_RE = re.compile(
     r"|\bUNNEST\s*\(|\bGENERATE_SERIES\s*\(|\bRANGE\s*\("
     r"|\bLIKE_REGEX\b|~|\bSYMMETRIC\b|\bASYMMETRIC\b"
     r"|\bMOD\s*\(|\bRANGE_BINS\s*\(|\bDATE_BIN\s*\("
+    r"|\bCURRENT_CATALOG\b|\bCURRENT_USER\b|\bSESSION_USER\b"
+    r"|::|\bCONCAT\s*\(|\bREGEXP_REPLACE\s*\("
+    r"|\bAS\s+(?:VARCHAR|TEXT|CHAR|DECIMAL|NUMERIC|DEC|TIME)\b"
+    r"|\bCURRENT_SETTING\s*\(|\bEXTRACT\s*\("
+    r"|\bCURRENT_SCHEMAS?\b|\bPG_CATALOG\s*\."
+    r"|\bSTRING_TO_ARRAY\s*\(|\bARRAY_(?:LOWER|UPPER)\s*\("
+    r"|\bARRAY\s*\(\s*SELECT\b"
     r"|\bTIMESTAMP\s*'[^']*[Zz\]]'"
     r"|\bGREATEST\s*\(|\bLEAST\s*\("
     r"|\b_valid_time\b|\b_system_time\b"
@@ -156,13 +163,29 @@ _BARE_REF_RE = re.compile(
     r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*\Z")
 
 
+def _strip_outer_parens(x: str) -> str:
+    x = x.strip()
+    while x.startswith("(") and x.endswith(")"):
+        depth = 0
+        for i, c in enumerate(x):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(x) - 1:
+                    return x
+        x = x[1:-1].strip()
+    return x
+
+
 def _period_pred_sql(base: str, mod: str | None, a: str, b: str,
                      point_bias: bool = False) -> str:
     S, E = _S, _E
+    bb = _strip_outer_parens(b)
     if base == "CONTAINS" and (
-            _is_point(b)
-            or (point_bias and _BARE_REF_RE.fullmatch(b.strip())
-                and not _periodish(b))):
+            _is_point(bb)
+            or (point_bias and _BARE_REF_RE.fullmatch(bb)
+                and not _periodish(bb))):
         t = f"CAST({b} AS TIMESTAMP)"
         lo = "<" if mod == "STRICTLY" else "<="
         return f"({S(a)} {lo} {t} AND {t} < {E(a)})"
@@ -647,6 +670,46 @@ class _Translator:
                     parts.append(self._array_literal())
                     self.postfix = True
                 continue
+            if kind == "punct" and text == ":" \
+                    and self._peek(1) == ("punct", ":") \
+                    and self._peek(2)[0] in ("word", "qident") \
+                    and self.postfix:
+                # `expr::type` with XTDB/PG type spellings Spark
+                # rejects: quoted type names (x::"timestamp",
+                # expr_test.clj), bare VARCHAR/DECIMAL, DURATION.
+                # Re-emitted as CAST so multi-word mapped types
+                # (INTERVAL DAY TO SECOND) stay parseable.
+                start = expr_start if expr_start is not None \
+                    else _trailing_atom_start(parts)
+                self._next()
+                self._skip_ws()
+                self._next()          # the two colons
+                self._skip_ws()
+                tk, tt = self._peek()
+                self._next()
+                typ = _unquote((tk, tt)) if tk == "qident" else tt
+                if self._peek() == ("punct", "("):
+                    self._next()
+                    self.postfix = False
+                    inner = self._walk(closers=(")",))
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    typ += f"({inner})"
+                elif typ.upper() == "DOUBLE" and \
+                        self._peek()[0] == "word" and \
+                        self._peek()[1].upper() == "PRECISION":
+                    self._next()
+                mapped = self._map_type(typ)
+                if start is not None:
+                    base = "".join(parts[start:])
+                    del parts[start:]
+                    parts.append(f"CAST({base} AS {mapped})")
+                    expr_start = start
+                else:
+                    parts.append(f"::{mapped}")
+                self.postfix = True
+                last_sig = ""
+                continue
             if kind == "punct" and text == "(":
                 was_call = self.postfix
                 if not self.postfix:  # group start, not a call
@@ -747,6 +810,8 @@ class _Translator:
                     # trailing `[Zone]` bracket (Sql.g4
                     # characterString instant forms)
                     raw = self._peek(1)[1][1:-1]
+                    zm = re.search(r"\[([^\]]*)\]$", raw)
+                    self._last_lit_zone = zm.group(1) if zm else None
                     norm = re.sub(r"\[[^\]]*\]$", "", raw).strip()
                     if norm.endswith(("Z", "z")):
                         norm = norm[:-1]
@@ -927,11 +992,233 @@ class _Translator:
                     self.postfix = True
                     last_sig = ""
                     continue
+                if up == "CONCAT" and self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # PG/reference CONCAT skips NULL args and yields
+                    # '' when all are NULL (expression.clj concat;
+                    # Spark's concat instead null-propagates)
+                    expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()
+                    args = []
+                    while True:
+                        self.postfix = False
+                        args.append(
+                            self._walk(closers=(",", ")")).strip())
+                        if self._peek() == ("punct", ","):
+                            self._next()
+                            continue
+                        break
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    parts.append("concat(" + ", ".join(
+                        f"coalesce(CAST(({a}) AS STRING), '')"
+                        for a in args) + ")")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "REGEXP_REPLACE" and \
+                        self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # PG \N group backreferences in the replacement
+                    # → Java $N (reference regexp_replace accepts
+                    # both; Spark is Java-only). Literal replacements
+                    # only — a computed replacement passes through.
+                    expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()
+                    args = []
+                    while True:
+                        self.postfix = False
+                        args.append(
+                            self._walk(closers=(",", ")")).strip())
+                        if self._peek() == ("punct", ","):
+                            self._next()
+                            continue
+                        break
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    if len(args) >= 3 and args[2].startswith("'") \
+                            and args[2].endswith("'"):
+                        args[2] = re.sub(r"\\(\d)", r"$\1", args[2])
+                    parts.append(
+                        f"REGEXP_REPLACE({', '.join(args)})")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "CURRENT_SETTING" and \
+                        self._peek(1) == ("punct", "(") \
+                        and not self.postfix:
+                    # node-level settings for the library surface
+                    # (pgwire answers per-connection)
+                    expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()
+                    self.postfix = False
+                    arg = self._walk(closers=(")",)).strip()
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    parts.append(
+                        f"(CASE lower({arg}) "
+                        "WHEN 'timezone' THEN 'UTC' "
+                        "WHEN 'server_version' THEN '16' "
+                        "WHEN 'standard_conforming_strings' THEN 'on' "
+                        "END)")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "EXTRACT" and self._peek(1) == ("punct", "(") \
+                        and self._peek(2)[0] == "word" \
+                        and self._peek(2)[1].upper() in (
+                            "DOW", "ISODOW", "TIMEZONE_HOUR",
+                            "TIMEZONE_MINUTE") \
+                        and not self.postfix:
+                    # PG fields Spark lacks or numbers differently:
+                    # DOW Sunday=0 (Spark's is 1-based), ISODOW
+                    # Monday=1..Sunday=7; TIMEZONE_* are 0 — storage
+                    # is UTC instants (reference tstz in UTC)
+                    expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()          # (
+                    fld = self._next()[1].upper()
+                    self._skip_ws()
+                    if self._peek()[1].upper() == "FROM":
+                        self._next()
+                    self.postfix = False
+                    e = self._walk(closers=(")",)).strip()
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    if fld == "DOW":
+                        parts.append(f"(dayofweek({e}) - 1)")
+                    elif fld == "ISODOW":
+                        parts.append(f"(pmod(dayofweek({e}) + 5, 7) + 1)")
+                    else:
+                        parts.append(f"(0 * dayofweek({e}))")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
                 if up in self._PG_CONST_FNS and \
                         self._peek(1) == ("punct", "("):
                     if not self.postfix:
                         expr_start = len(parts)
                     parts.append(self._pg_const_fn(self._PG_CONST_FNS[up]))
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up in self._PG_KEYWORD_CONSTS and not self.postfix \
+                        and not self._after_dot:
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    parts.append(self._pg_const_fn(
+                        self._PG_KEYWORD_CONSTS[up]))
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "CURRENT_SCHEMAS" and \
+                        self._peek(1) == ("punct", "(") and \
+                        not self.postfix:
+                    # CURRENT_SCHEMAS(include_implicit) →
+                    # ['pg_catalog','public'] / ['public']
+                    # (sql_test.clj test-qc-array-expr-3539)
+                    expr_start = len(parts)
+                    self._next()
+                    self._skip_ws()
+                    self._next()
+                    self.postfix = False
+                    arg = self._walk(closers=(")",)).strip()
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    parts.append(
+                        f"if(({arg}), array('pg_catalog', 'public'), "
+                        "array('public'))")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "PG_CATALOG" and \
+                        self._peek(1) == ("punct", ".") and \
+                        self._peek(2)[0] == "word" and \
+                        self._peek(3) == ("punct", "(") and \
+                        not self.postfix and not self._after_dot:
+                    # pg_catalog.fn(...) → fn(...) — the schema
+                    # qualifier names the same function set
+                    self._next()          # pg_catalog
+                    self._skip_ws()
+                    self._next()          # .
+                    continue
+                if up == "STRING_TO_ARRAY" and \
+                        self._peek(1) == ("punct", "("):
+                    if from_ctx and last_sig in ("FROM", ",", "JOIN"):
+                        parts.append(self._array_fn_table(up))
+                        self.postfix = False
+                        expr_start = None
+                        last_sig = ""
+                        continue
+                    if not self.postfix:
+                        expr_start = len(parts)
+                    parts.append(self._string_to_array_expr())
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up in ("ARRAY_LOWER", "ARRAY_UPPER") and \
+                        self._peek(1) == ("punct", "(") and \
+                        not self.postfix:
+                    # PG array bounds: 1 / size for a non-empty
+                    # array, NULL for empty (dim argument ignored —
+                    # one-dimensional arrays). Inline, not a SQL UDF:
+                    # these appear inside series bounds, which live
+                    # under Generate nodes where Spark bans SQL UDFs.
+                    expr_start = len(parts)
+                    fn = up
+                    self._next()
+                    self._skip_ws()
+                    self._next()
+                    self.postfix = False
+                    a0 = self._walk(closers=(",", ")")).strip()
+                    if self._peek() == ("punct", ","):
+                        self._next()
+                        self._walk(closers=(")",))   # dim — ignored
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    val = "1" if fn == "ARRAY_LOWER" else f"size({a0})"
+                    parts.append(
+                        f"(CASE WHEN size({a0}) > 0 THEN {val} END)")
+                    self.postfix = True
+                    last_sig = ""
+                    continue
+                if up == "ARRAY" and self._peek(1) == ("punct", "(") \
+                        and self._peek(2)[0] == "word" \
+                        and self._peek(2)[1].upper() == "SELECT" \
+                        and not self.postfix:
+                    # PG ARRAY(subquery) constructor → aggregate the
+                    # subquery's single select item with array_agg IN
+                    # PLACE (no extra nesting level — a correlated
+                    # operand must stay one subquery deep for Spark's
+                    # decorrelator); empty → [] via coalesce
+                    expr_start = len(parts)
+                    self._next()          # ARRAY
+                    self._skip_ws()
+                    self._next()          # (
+                    self._skip_ws()
+                    self._next()          # SELECT
+                    self.postfix = False
+                    item = self._walk(
+                        closers=(")",),
+                        stop_words=("FROM", "WHERE", "GROUP",
+                                    "HAVING", "ORDER", "LIMIT",
+                                    "OFFSET")).strip()
+                    rest = ""
+                    if self._peek() != ("punct", ")"):
+                        self.postfix = False
+                        rest = self._walk(closers=(")",)).strip()
+                    if self._peek() == ("punct", ")"):
+                        self._next()
+                    parts.append(
+                        f"coalesce((SELECT array_agg({item}) {rest}), "
+                        "array())")
                     self.postfix = True
                     last_sig = ""
                     continue
@@ -1655,6 +1942,16 @@ class _Translator:
     # 2228-2234): privilege predicates are TRUE (single-user),
     # pg_get_expr/_pg_expandarray/pg_get_indexdef are NULL,
     # pg_table_is_visible TRUE, pg_get_userbyid the server user
+    # keyword-style session constants (parens optional; reference
+    # expression.clj postgres compat: the catalog/user are fixed node
+    # identity, sql_test.clj test-current-catalog)
+    _PG_KEYWORD_CONSTS = {
+        "CURRENT_CATALOG": "'xtdb'",
+        "CURRENT_USER": "'xtdb'",
+        "SESSION_USER": "'xtdb'",
+        "CURRENT_SCHEMA": "'public'",
+    }
+
     _PG_CONST_FNS = {
         "HAS_ANY_COLUMN_PRIVILEGE": "TRUE",
         "HAS_TABLE_PRIVILEGE": "TRUE",
@@ -1664,13 +1961,16 @@ class _Translator:
         "_PG_EXPANDARRAY": "CAST(NULL AS STRING)",
         "PG_GET_INDEXDEF": "CAST(NULL AS STRING)",
         "PG_GET_USERBYID": "'xtdb'",
+        "VERSION": "'PostgreSQL 16'",
     }
 
     def _pg_const_fn(self, const: str) -> str:
-        """Swallow ``fn(args…)`` and emit the reference's constant."""
+        """Swallow ``fn(args…)`` and emit the reference's constant.
+        Bare-keyword spellings (CURRENT_CATALOG) keep their trailing
+        whitespace — _peek looks past it without consuming."""
         self._next()            # the function word
-        self._skip_ws()
         if self._peek() == ("punct", "("):
+            self._skip_ws()
             self._next()
             self.postfix = False
             self._walk(closers=(")",))   # discard args
@@ -1696,8 +1996,9 @@ class _Translator:
                 f"{ms}), 'void')")
 
     _ISO_DUR_RE = re.compile(
-        r"^([+-]?)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
-        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$",
+        r"^([+-]?)P(?:([+-]?\d+)Y)?(?:([+-]?\d+)M)?(?:([+-]?\d+)W)?"
+        r"(?:([+-]?\d+)D)?(?:T(?:([+-]?\d+)H)?(?:([+-]?\d+)M)?"
+        r"(?:([+-]?\d+(?:\.\d+)?)S)?)?$",
         re.IGNORECASE)
 
     @classmethod
@@ -1712,41 +2013,41 @@ class _Translator:
         if not m or iso.strip().upper().lstrip("+-") in ("P", ""):
             raise ValueError(f"cannot parse ISO duration {iso!r}")
         sign, y, mo, w, d, h, mi, s = m.groups()
-        y, mo = int(y or 0), int(mo or 0)
-        days = int(d or 0) + 7 * int(w or 0)
-        h, mi = int(h or 0), int(mi or 0)
-        s = s or "0"
-        # ISO-8601 admits out-of-range units (PT48H, PT300M); Spark's
-        # day-time string parser caps hour at 23 / minute+second at
-        # 59 — normalize by carrying whole units upward
-        carry_s, s_frac = int(float(s) // 1), float(s) % 1
-        mi += carry_s // 60
-        carry_s %= 60
-        h += mi // 60
-        mi %= 60
-        days += h // 24
-        h %= 24
-        s = (f"{carry_s}{str(round(s_frac, 9))[1:]}" if s_frac
-             else str(carry_s))
-        ym = 12 * y + mo
-        has_dt = days or h or mi or float(s) != 0.0
-        if ym and has_dt:
-            raise ValueError(
-                f"mixed year-month + day-time duration {iso!r} has no "
-                "single Spark interval type — split it into an "
-                "INTERVAL 'PnYnM' + INTERVAL 'PnDTnH…' sum at the "
-                "use site")
-        # a zero duration has no sign (-PT0S == PT0S; a '-0' literal
-        # is cosmetically wrong and trips strict parsers)
-        neg = "-" if sign == "-" and (ym or has_dt) else ""
+        neg = -1 if sign == "-" else 1
+        ym = neg * (12 * int(y or 0) + int(mo or 0))
+        # components may carry individual signs (reference
+        # PeriodDuration: 'P3M2DT-3S'); fold day-time to one total
+        us = neg * round(1_000_000 * (
+            86400 * (int(d or 0) + 7 * int(w or 0))
+            + 3600 * int(h or 0) + 60 * int(mi or 0) + float(s or 0)))
+        if ym and us:
+            # mixed year-month + day-time has no single TYPED Spark
+            # interval — the legacy multi-unit literal builds a
+            # CalendarInterval, which sequence()/timestamp addition
+            # accept (comparisons don't, matching the reference's
+            # non-comparable PeriodDuration)
+            dsign = -1 if us < 0 else 1
+            days, rem = divmod(abs(us), 86400 * 1_000_000)
+            whole, frac = divmod(rem, 1_000_000)
+            sec_txt = f"{whole}.{frac:06d}".rstrip("0").rstrip(".") \
+                if frac else str(whole)
+            return (f"INTERVAL {ym} MONTH {dsign * days} DAY "
+                    f"{'-' if dsign < 0 else ''}{sec_txt} SECOND")
         if ym:
-            return f"INTERVAL '{neg}{ym // 12}-{ym % 12}' YEAR TO MONTH"
-        if "." in s:
-            ip, fp = s.split(".")
-            s_fmt = f"{int(ip):02d}.{fp}"
-        else:
-            s_fmt = f"{int(s):02d}"
-        return (f"INTERVAL '{neg}{days} {h:02d}:{mi:02d}:{s_fmt}' "
+            a = abs(ym)
+            pre = "-" if ym < 0 else ""
+            return f"INTERVAL '{pre}{a // 12}-{a % 12}' YEAR TO MONTH"
+        # pure day-time (possibly zero): normalize the magnitude into
+        # Spark's capped day-time string fields
+        a = abs(us)
+        days, rem = divmod(a, 86400 * 1_000_000)
+        hh, rem = divmod(rem, 3600 * 1_000_000)
+        mm, rem = divmod(rem, 60 * 1_000_000)
+        ss, frac = divmod(rem, 1_000_000)
+        s_fmt = f"{ss:02d}.{frac:06d}".rstrip("0").rstrip(".") \
+            if frac else f"{ss:02d}"
+        pre = "-" if us < 0 else ""
+        return (f"INTERVAL '{pre}{days} {hh:02d}:{mm:02d}:{s_fmt}' "
                 f"DAY TO SECOND")
 
     @staticmethod
@@ -1787,7 +2088,9 @@ class _Translator:
         self._next()            # INTERVAL
         self._skip_ws()
         raw = self._next()[1]   # the quoted string
-        return self._iso_interval_sql(raw[1:-1].replace("''", "'"))
+        iso = raw[1:-1].replace("''", "'")
+        self._last_iso_raw = iso
+        return self._iso_interval_sql(iso)
 
     def _cast_call(self) -> str:
         """CAST(expr AS type) with the XTDB-only types mapped:
@@ -1834,6 +2137,13 @@ class _Translator:
         if up in ("VARCHAR", "TEXT", "CHAR"):
             return "STRING"   # CharacterStringType, Sql.g4:185 —
             #                   Spark needs a length on bare VARCHAR
+        if up in ("DECIMAL", "NUMERIC", "DEC"):
+            # bare DECIMAL is arbitrary-precision in the reference
+            # (value keeps its own scale); Spark's bare spelling is
+            # DECIMAL(10,0), which TRUNCATES — widest typed form
+            return "DECIMAL(38,18)"
+        if up == "TIME" or re.fullmatch(r"TIME\(\d+\)", up):
+            return "INTERVAL HOUR TO SECOND"
         if up == "DURATION" or re.fullmatch(r"DURATION\(\d+\)", up):
             return "INTERVAL DAY TO SECOND"
         m = re.fullmatch(r"(.*?)\s+ARRAY(?:\s*\[\s*\d+\s*\])?", t,
@@ -1921,6 +2231,10 @@ class _Translator:
         expr = self._walk(closers=(")",)).strip()
         if self._peek() == ("punct", ")"):
             self._next()
+        # a NULL / absent-column operand yields NO rows (reference
+        # unnest.clj skips null collections); Spark's explode(NULL)
+        # is an analysis error instead
+        expr = f"coalesce({expr}, array())"
         ordinality = self._with_ordinality_ahead()
         alias, cols = self._table_alias_part()
         self._ff_n += 1
@@ -1933,21 +2247,86 @@ class _Translator:
                 f"FROM posexplode({expr}) __xt_pe{self._ff_n}"
                 f"(__xt_pos, {v})) AS {alias}")
 
+    def _string_to_array_expr(self) -> str:
+        """string_to_array(s, d) → PG semantics over Spark split:
+        '' → empty array, NULL string → NULL; the delimiter is a
+        LITERAL (regex-quoted)."""
+        self._next()          # STRING_TO_ARRAY
+        self._skip_ws()
+        self._next()          # (
+        self.postfix = False
+        src = self._walk(closers=(",", ")")).strip()
+        delim = "','"
+        if self._peek() == ("punct", ","):
+            self._next()
+            self.postfix = False
+            delim = self._walk(closers=(")",)).strip()
+        if self._peek() == ("punct", ")"):
+            self._next()
+        return (f"(CASE WHEN ({src}) = '' THEN array() "
+                f"ELSE split({src}, "
+                f"concat('\\Q', {delim}, '\\E')) END)")
+
+    def _array_fn_table(self, fn: str) -> str:
+        """An array-valued function call in FROM position
+        (sql_test.clj string_to_array TVF usage) → LATERAL explode,
+        with the same WITH ORDINALITY shape as UNNEST."""
+        expr = self._string_to_array_expr()
+        ordinality = self._with_ordinality_ahead()
+        alias, cols = self._table_alias_part()
+        self._ff_n += 1
+        alias = alias or f"__xt_af{self._ff_n}"
+        v = cols[0] if cols else fn.lower()
+        expr = f"coalesce({expr}, array())"
+        if not ordinality:
+            return f"LATERAL explode({expr}) {alias}({v})"
+        o = cols[1] if len(cols) > 1 else "ordinality"
+        return (f"LATERAL (SELECT {v}, __xt_pos + 1 AS {o} "
+                f"FROM posexplode({expr}) __xt_pe{self._ff_n}"
+                f"(__xt_pos, {v})) AS {alias}")
+
     def _series_args(self) -> list[str]:
         self._next()          # GENERATE_SERIES | RANGE
         self._skip_ws()
         self._next()          # (
-        args = []
+        args, zones, isos = [], [], []
         while True:
             self.postfix = False
+            self._last_lit_zone = None
+            self._last_iso_raw = None
             args.append(self._walk(closers=(",", ")")).strip())
+            zones.append(getattr(self, "_last_lit_zone", None))
+            isos.append(getattr(self, "_last_iso_raw", None))
             if self._peek() == ("punct", ","):
                 self._next()
                 continue
             break
         if self._peek() == ("punct", ")"):
             self._next()
+        self._series_meta = (zones, isos)
         return args
+
+    def _series_zone(self, args: list[str]) -> str | None:
+        """Zone for calendar stepping: when BOTH bounds are
+        `[Zone]`-bracketed literals of the SAME zone and the step's
+        ISO form has a calendar part (days/weeks/months/years — a
+        java.time Period, which ZonedDateTime adds in LOCAL time,
+        reference sql.clj temporal literals), the series must step
+        in that zone: 2020-03-29 London crosses a DST gap, so local
+        midnights are NOT 24h apart as instants
+        (generate_series_test.clj). Pure PT… durations are instant
+        arithmetic — zone-independent — and plain bounds step in
+        UTC as before."""
+        zones, isos = getattr(self, "_series_meta", ([], []))
+        if len(args) != 3 or len(zones) < 2:
+            return None
+        if not zones[0] or zones[0] != zones[1]:
+            return None
+        iso = isos[2] if len(isos) > 2 else None
+        if not iso:
+            return None
+        m = re.match(r"[+-]?P([^T]*)", iso.strip(), re.IGNORECASE)
+        return zones[0] if m and m.group(1).strip() else None
 
     @staticmethod
     def _guarded_seq(args: list[str], exclude_end: bool = False) -> str:
@@ -1987,6 +2366,52 @@ class _Translator:
                     f"greatest(__xt_g.lo, __xt_g.hi)), "
                     f"__xt_gv -> {keep})))")
         s = f"({args[2]})"
+        mixed = re.match(
+            r"^\(?\s*INTERVAL\s+(-?\d+)\s+MONTH\s+(-?\d+)\s+DAY\s+"
+            r"(-?[\d.]+)\s+SECOND\s*\)?$", args[2].strip(),
+            re.IGNORECASE)
+        if mixed:
+            # mixed year-month + day-time step (reference
+            # PeriodDuration, e.g. 'P3M2DT3S'): ANSI Spark has no
+            # single interval value for it, so step by INDEX —
+            # element n = lo + n*months + n*day-time — over an index
+            # range bounded by the step's minimum width (28-day
+            # months), filtered back to <= hi. Positive steps only
+            # (the mixed-negative case has no reference coverage);
+            # empty when lo > hi, like the guarded sequence.
+            ym = int(mixed.group(1))
+            dt_us = round(1_000_000 * (86400 * int(mixed.group(2))
+                                       + float(mixed.group(3))))
+            if ym > 0 and dt_us >= 0:
+                min_us = ym * 28 * 86400 * 1_000_000 + dt_us
+                keep = "__xt_gv <= __xt_g.hi"
+                if exclude_end:
+                    keep += " AND __xt_gv <> __xt_g.hi"
+                return (
+                    "flatten(transform(array(struct("
+                    f"CAST({a} AS TIMESTAMP) AS lo, "
+                    f"CAST({b} AS TIMESTAMP) AS hi)), __xt_g -> "
+                    "filter(transform(sequence(CAST(0 AS BIGINT), "
+                    "greatest(CAST(0 AS BIGINT), "
+                    "(unix_micros(__xt_g.hi) - unix_micros(__xt_g.lo))"
+                    f" DIV {min_us})), "
+                    "__xt_n -> __xt_g.lo "
+                    f"+ make_ym_interval(0, CAST({ym} * __xt_n AS INT))"
+                    f" + make_dt_interval(0, 0, 0, "
+                    f"CAST({dt_us} * __xt_n AS DOUBLE) / 1000000.0)), "
+                    f"__xt_gv -> {keep})))")
+        # a step with a day-time component over DATE bounds: the
+        # reference recasts the bounds to timestamps and emits
+        # timestamps (temporal.clj generate_series :date :date
+        # :interval → month-day-micro recall-with-cast3); Spark's
+        # sequence instead errors on sub-day steps over dates. The
+        # cast is a no-op on timestamp bounds, and non-temporal
+        # bounds never take interval steps.
+        if re.match(r"\(?\s*INTERVAL\b", args[2], re.IGNORECASE) and \
+                re.search(r"\b(DAY|HOUR|MINUTE|SECOND)\b", args[2],
+                          re.IGNORECASE):
+            a = f"CAST({a} AS TIMESTAMP)"
+            b = f"CAST({b} AS TIMESTAMP)"
         cond = ("(__xt_g.lo <= __xt_g.hi AND "
                 "__xt_g.lo + __xt_g.st > __xt_g.lo) OR "
                 "(__xt_g.lo >= __xt_g.hi AND "
@@ -2000,6 +2425,21 @@ class _Translator:
                 f"if({cond}, __xt_g.hi, __xt_g.lo), __xt_g.st), "
                 f"__xt_gv -> {keep})))")
 
+    def _zoned_seq(self, args: list[str], zone: str | None,
+                   exclude_end: bool = False) -> str:
+        if zone is None:
+            return self._guarded_seq(args, exclude_end=exclude_end)
+        z = zone.replace("'", "''")
+        local = [
+            f"convert_timezone('UTC', '{z}', CAST(({args[0]}) "
+            "AS TIMESTAMP))",
+            f"convert_timezone('UTC', '{z}', CAST(({args[1]}) "
+            "AS TIMESTAMP))",
+            args[2]]
+        seq = self._guarded_seq(local, exclude_end=exclude_end)
+        return (f"transform({seq}, __xt_z -> "
+                f"convert_timezone('{z}', 'UTC', __xt_z))")
+
     def _series_table(self, fn: str) -> str:
         """``generate_series(a, b[, s])`` / ``range(a, b[, s])`` as a
         TABLE reference (Sql.g4:547 GenerateSeriesTable):
@@ -2010,6 +2450,7 @@ class _Translator:
         bound when the step lands on it exactly, so range's exclusion
         is a ``<> bound`` filter, direction-agnostic."""
         args = self._series_args()
+        zone = self._series_zone(args)
         ordinality = self._with_ordinality_ahead()
         alias, cols = self._table_alias_part()
         self._ff_n += 1
@@ -2018,8 +2459,8 @@ class _Translator:
         # range's end-exclusion rides inside the guarded lambda so
         # the end-bound expression (possibly a positional ?) is never
         # re-emitted
-        seq = self._guarded_seq(args,
-                                exclude_end=fn != "GENERATE_SERIES")
+        seq = self._zoned_seq(args, zone,
+                              exclude_end=fn != "GENERATE_SERIES")
         if not ordinality:
             return f"LATERAL explode({seq}) {alias}({v})"
         o = cols[1] if len(cols) > 1 else "ordinality"
@@ -2032,8 +2473,8 @@ class _Translator:
         an array value: ``sequence(…)``, with range's exclusive end
         as an ``array filter``."""
         args = self._series_args()
-        return self._guarded_seq(args,
-                                 exclude_end=fn != "GENERATE_SERIES")
+        return self._zoned_seq(args, self._series_zone(args),
+                               exclude_end=fn != "GENERATE_SERIES")
 
     def _parse_primary(self) -> str:
         """One primary expression (right operand of an infix period

@@ -1757,7 +1757,138 @@ def rewrite_with_args(xt, query: str, args: list | None,
         args).run()
 
 
+
+# select items whose LAST significant token is one of these cannot be
+# ending in a bare alias (the word is part of the expression)
+# words that can NEVER be a column alias (so an item ending in one
+# is anonymous). Deliberately minimal: anything that COULD be an
+# alias must be treated as one — a wrong "anonymous" verdict would
+# stack a second AS onto an aliased item (broken SQL), a wrong
+# "aliased" verdict merely skips a cosmetic rename.
+_ALIAS_TAIL_STOP = {"END", "NULL", "TRUE", "FALSE", "UNKNOWN"}
+
+_SELECT_ENDERS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "FETCH", "UNION", "INTERSECT", "EXCEPT", "MINUS", "WINDOW",
+    "INTO", "QUALIFY",
+}
+
+
+def name_anonymous_columns(sql: str) -> str:
+    """The reference names derived columns that carry no name
+    `_column_N` by SELECT-list position (sql.clj:827,857
+    ->col-sym "_column_"), and unquoted identifiers FOLD to
+    lowercase, so `SELECT 1, T.COL2` comes back as _column_1 /
+    col2 — Spark instead uses the expression text and the as-written
+    case. Token-level post-pass over the final SQL: each SELECT
+    list's items get ` AS _column_<pos>` when anonymous, or
+    ` AS <lowercase>` when a bare unquoted identifier chain with
+    uppercase. Conservative by construction: anything that might
+    already end in an alias is left alone (appending nothing is
+    always safe; appending wrongly never is)."""
+    toks = _tokenize(sql)
+    sig = [(j, k, t) for j, (k, t) in enumerate(toks)
+           if k not in ("ws", "comment")]
+    n = len(sig)
+    inserts: dict[int, str] = {}   # tok index (insert BEFORE) → text
+
+    def item_alias(lo: int, hi: int, pos: int) -> str | None:
+        """Alias to append for sig-range [lo, hi) or None."""
+        if hi <= lo:
+            return None
+        kinds = [sig[s][1] for s in range(lo, hi)]
+        texts = [sig[s][2] for s in range(lo, hi)]
+        # star items never rename
+        if texts[-1] == "*":
+            return None
+        # pure dotted identifier chain → named by its last segment
+        is_chain = (hi - lo) % 2 == 1 and all(
+            (kinds[i] in ("word", "qident")) if i % 2 == 0
+            else (kinds[i] == "punct" and texts[i] == ".")
+            for i in range(hi - lo))
+        if is_chain:
+            last_k, last_t = kinds[-1], texts[-1]
+            if last_k == "word" and last_t != last_t.lower() \
+                    and last_t.upper() not in _ALIAS_TAIL_STOP:
+                if hi - lo == 1 and last_t.upper() in _ALIAS_TAIL_STOP:
+                    return None
+                return last_t.lower()
+            return None
+        # already aliased? an `AS x` tail, or a bare trailing
+        # word/qident directly after an expression-ending token
+        last_k, last_t = kinds[-1], texts[-1]
+        if last_k in ("word", "qident"):
+            if hi - lo >= 2:
+                pk, pt = kinds[-2], texts[-2]
+                if pk == "word" and pt.upper() == "AS":
+                    return None            # explicit alias
+            if last_k == "word" and last_t.upper() in _ALIAS_TAIL_STOP:
+                return f"_column_{pos}"
+            if hi - lo >= 2:
+                pk, pt = kinds[-2], texts[-2]
+                if pk in ("word", "qident", "num", "str") \
+                        or (pk == "punct" and pt in (")", "]", "}")):
+                    return None            # bare alias — keep
+            return f"_column_{pos}"
+        return f"_column_{pos}"
+
+    # scopes: stack of [start_depth, item_start_sig, item_pos]
+    stack: list[list] = []
+    depth = 0
+    s = 0
+    while s < n:
+        j, k, t = sig[s]
+        up = t.upper() if k == "word" else None
+        if k == "punct" and t in "([{":
+            depth += 1
+        elif k == "punct" and t in ")]}":
+            while stack and depth == stack[-1][0]:
+                sc = stack.pop()
+                a = item_alias(sc[1], s, sc[2])
+                if a:
+                    inserts[j] = f" AS {a} "
+            depth -= 1
+        elif up == "SELECT":
+            stack.append([depth, s + 1, 1])
+            # skip DISTINCT / ALL qualifiers
+            if s + 1 < n and sig[s + 1][1] == "word" and \
+                    sig[s + 1][2].upper() in ("DISTINCT", "ALL"):
+                stack[-1][1] = s + 2
+        elif stack and depth == stack[-1][0]:
+            if k == "punct" and t == ",":
+                sc = stack[-1]
+                a = item_alias(sc[1], s, sc[2])
+                if a:
+                    inserts[j] = f" AS {a} "
+                sc[1] = s + 1
+                sc[2] += 1
+            elif up in _SELECT_ENDERS:
+                sc = stack.pop()
+                a = item_alias(sc[1], s, sc[2])
+                if a:
+                    inserts[j] = f" AS {a} "
+        s += 1
+    while stack:
+        sc = stack.pop()
+        if depth == sc[0]:
+            a = item_alias(sc[1], n, sc[2])
+            if a:
+                inserts[len(toks)] = f" AS {a} "
+    if not inserts:
+        return sql
+    out = []
+    for j, (k, t) in enumerate(toks):
+        if j in inserts:
+            out.append(inserts[j])
+        out.append(t)
+    if len(toks) in inserts:
+        out.append(inserts[len(toks)])
+    return "".join(out)
+
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+", re.IGNORECASE)
+
+_SHOW_CANNED_RE = re.compile(
+    r"^\s*SHOW\s+([A-Za-z_ ]+?)\s*;?\s*$", re.IGNORECASE)
 
 _XTQL_RE = re.compile(
     r"^\s*XTQL\s*(?:\(\s*)?'(?P<q>(?:[^']|'')*)'\s*\)?\s*;?\s*$",
@@ -1806,6 +1937,22 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
 
     sqlfns.ensure_registered(xt.spark)
 
+    sm = _SHOW_CANNED_RE.match(query)
+    if sm:
+        # canned SHOW responses (reference pgwire canned-responses;
+        # sql_test.clj show-canned-responses) for the LIBRARY sql
+        # surface — the pgwire layer answers these per-connection
+        name = "_".join(sm.group(1).lower().split())
+        name = {"transaction_isolation_level":
+                "transaction_isolation"}.get(name, name)
+        vals = {"transaction_isolation": "read committed",
+                "standard_conforming_strings": "on",
+                "server_version": "16",
+                "server_encoding": "UTF8",
+                "client_encoding": "UTF8"}
+        if name in vals:
+            return xt.spark.createDataFrame(
+                [(vals[name],)], f"{name} string")
     m = _EXPLAIN_RE.match(query)
     if m:
         # EXPLAIN [ANALYZE] <query> (reference Sql.g4 / query.clj:210-277):
@@ -1886,6 +2033,7 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
             query = dml.bind_positional(query, args)
         return dml.execute_dml(xt, query)
     sql, remaining = rewrite_with_args(xt, query, args)
+    sql = name_anonymous_columns(sql)
     try:
         return xt.spark.sql(sql, args=remaining) if remaining \
             else xt.spark.sql(sql)
@@ -1900,6 +2048,7 @@ def rewrite_and_run(xt, query: str, args: list | None = None):
                 and re.search(r"\bCONTAINS\b", query, re.IGNORECASE):
             sql, remaining = rewrite_with_args(xt, query, args,
                                                point_bias=True)
+            sql = name_anonymous_columns(sql)
             return xt.spark.sql(sql, args=remaining) if remaining \
                 else xt.spark.sql(sql)
         raise

@@ -656,20 +656,20 @@ class TableStore:
         dtype = dict(df.dtypes)["_id"]
         if dtype in ("tinyint", "smallint", "int", "bigint"):
             tag = "i"
-        elif dtype in ("float", "double") or dtype.startswith("decimal"):
-            tag = "f"
         elif dtype == "string":
             tag = "s"
         elif dtype == "binary":
-            tag = "b"
-        elif dtype == "date":
-            tag = "d"
-        elif dtype.startswith("timestamp"):
-            tag = "t"
+            tag = "b"            # UUID bytes (Iid.kt UUID branch)
         elif dtype == "boolean":
             tag = "z"
         else:
-            tag = "o"
+            # the reference admits ONLY UUID/string/keyword/integer
+            # ids (Iid.kt asIid: 'Invalid ID type', xtdb/invalid-id;
+            # sql_test.clj test-date-id-caught-3446) — a date or
+            # float id aborts the tx, it never reaches storage
+            raise ValueError(
+                f"Invalid ID type: {dtype} (_id must be a string, "
+                "integer, UUID, or keyword — xtdb/invalid-id)")
         return F.unhex(F.md5(F.concat(F.lit(tag + ":"),
                                       F.col("_id").cast("string"))))
 
