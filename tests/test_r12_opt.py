@@ -1,0 +1,71 @@
+"""Round-12 optimization invariants: the size-gated global-scalar
+strategy (q11/q15 window vs broadcast-aggregate paths) must produce
+identical rows, and the rewritten heads keep their plan properties.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", ["q11", "q15"])
+def test_global_scalar_paths_identical(spark, name):
+    from xtdb_spark.queries import tpch2
+
+    fn = getattr(tpch2, name)
+    small = fn(spark, SF_DIR, big=False)
+    big = fn(spark, SF_DIR, big=True)
+    assert small.columns == big.columns
+    assert _rows(small) == _rows(big)
+
+
+def test_global_scalar_big_path_reuses_exchange(spark):
+    """The broadcast-aggregate path must NOT recompute the value
+    subtree: its 1-row aggregate reads the grouped relation's shuffle
+    output via ReuseExchange. (AQE off: reuse resolution is hidden
+    until runtime in adaptive plans.)"""
+    from xtdb_spark.queries import tpch2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch2.q11(spark, SF_DIR, big=True)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan
+
+
+def test_q20_semi_join_has_no_prebuild_distinct(spark):
+    """q20's HAVING subquery feeds the semi join directly — exactly
+    two aggregate exchanges ((suppkey,partkey) partial+final), not a
+    third distinct pass."""
+    from xtdb_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q20_potential_promotion"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # the aggregate side contributes one Exchange; a distinct would
+    # add a second hashpartitioning(l_suppkey...) exchange
+    import re
+    supp_exchanges = re.findall(
+        r"hashpartitioning\(l_suppkey[^)]*\)", plan)
+    assert len(supp_exchanges) <= 1, plan
+
+
+def test_corpus_prep_single_text_scan(spark):
+    """pipe_corpus_prep reads documents ONCE (window dedup), not
+    twice (old aggregate + semi-join spelling)."""
+    from xtdb_spark.queries import QUERIES
+
+    df = QUERIES["pipe_corpus_prep"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert plan.count("documents.parquet]") == 1
+    assert "Window" in plan

@@ -61,10 +61,18 @@ def q2(spark, sf_dir):
     per-part aggregate joined back on (partkey, cost).
 
     Scale shape: the part filter and the EU-supplier set are both
-    broadcast-semi-joined into lineitem BEFORE the (partkey, suppkey)
+    broadcast-joined into lineitem BEFORE the (partkey, suppkey)
     aggregate — the reference's iid/bloom sideways pushdown
     (join.clj:172-226) — so the only big shuffle aggregates the
-    surviving sliver instead of all of lineitem."""
+    surviving sliver instead of all of lineitem.
+
+    r12 (guide §2.4/§3): the EU-supplier dimension is built ONCE —
+    the inner broadcast join replaces the old semi-join prune and its
+    attributes ride through the aggregate's grouping keys (suppkey →
+    attrs is functionally dependent, so the groups are unchanged),
+    instead of re-building the supplier⋈nation⋈region subtree a
+    second time after the window. Same rows; one dimension build and
+    one fewer join (same-JVM A/B 1.11×)."""
     l = ld(spark, sf_dir, "lineitem")
     p = ld(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
@@ -72,21 +80,22 @@ def q2(spark, sf_dir):
     n = F.broadcast(ld(spark, sf_dir, "nation"))
     r = F.broadcast(ld(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
     eu_supp = (s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-               .join(r, F.col("n_regionkey") == F.col("r_regionkey")))
+               .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     pruned = (l
               .join(F.broadcast(p.select("p_partkey")),
                     F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-              .join(F.broadcast(eu_supp.select("s_suppkey")),
-                    F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"))
+              .join(F.broadcast(eu_supp),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
     supply = (pruned.groupBy(F.col("l_partkey").alias("partkey"),
-                             F.col("l_suppkey").alias("suppkey"))
+                             F.col("l_suppkey").alias("suppkey"),
+                             "s_acctbal", "s_name", "n_name")
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                    .alias("cost")))
     from pyspark.sql import Window
     w = Window.partitionBy("partkey")
     return (supply.withColumn("min_cost", F.min("cost").over(w))
             .filter(F.col("cost") == F.col("min_cost"))
-            .join(F.broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
                     F.col("cost").alias("supplycost"))
@@ -207,10 +216,11 @@ def q9(spark, sf_dir):
     ORDER BY part_value DESC, partkey
     """,
 )
-def q11(spark, sf_dir):
+def q11(spark, sf_dir, big=None):
     """Q11 adapted: lineitem value per part for one nation's
     suppliers, kept if above a fraction of the national total
-    (global scalar subquery → broadcast of a 1-row aggregate)."""
+    (global scalar subquery; see the size-gated strategy note
+    below)."""
     l = ld(spark, sf_dir, "lineitem")
     s = ld(spark, sf_dir, "supplier")
     n = F.broadcast(ld(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
@@ -218,12 +228,29 @@ def q11(spark, sf_dir):
              .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
              .groupBy(F.col("l_partkey").alias("partkey"))
              .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("val")))
-    # global-scalar threshold as an empty-partition window: one pass
-    # over `value` instead of re-computing the aggregate subtree (the
-    # post-agg rel is tiny, so the single-partition window is free)
-    from pyspark.sql import Window
-    total = F.sum("val").over(Window.partitionBy())
-    return (value.withColumn("threshold", total.cast("double") * F.lit(0.001))
+    # r12 (guide §2.5): global-scalar strategy is SIZE-GATED on the
+    # grouping dimension (part): while per-part rows comfortably fit
+    # one task (part.parquet ≤ 256 MB ≈ 10^8 keys), the single-pass
+    # empty-partition window wins (the broadcast spelling serializes
+    # two jobs over the same subtree — measured 0.91× at sf10);
+    # beyond that the window is a one-task straggler over |part| rows
+    # and the broadcast 1-row aggregate takes over, re-reading the
+    # aggregate's shuffle via ReuseExchange instead of re-computing
+    # (plan: plans/r12/tpch_q11_important_stock_after_bigscale.txt).
+    # Both paths produce identical rows (tests/test_r12_opt.py).
+    if big is None:
+        big = big_input(sf_dir, "part", 256 << 20)
+    if big:
+        total = value.agg(F.sum("val").alias("__tot"))
+        thresholded = (value.crossJoin(F.broadcast(total))
+                       .withColumn("threshold",
+                                   F.col("__tot").cast("double") * F.lit(0.001)))
+    else:
+        from pyspark.sql import Window
+        total = F.sum("val").over(Window.partitionBy())
+        thresholded = value.withColumn(
+            "threshold", total.cast("double") * F.lit(0.001))
+    return (thresholded
             .filter(F.col("val").cast("double") > F.col("threshold"))
             .select("partkey", F.col("val").cast("double").alias("part_value"))
             .orderBy(F.desc("part_value"), "partkey"))
@@ -271,7 +298,7 @@ def q13(spark, sf_dir):
     ORDER BY s_suppkey
     """,
 )
-def q15(spark, sf_dir):
+def q15(spark, sf_dir, big=None):
     """Q15: revenue view + scalar MAX subquery. Exact decimal revenue
     makes the MAX-equality deterministic across engines."""
     l = ld(spark, sf_dir, "lineitem").filter(
@@ -280,12 +307,26 @@ def q15(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     revenue = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
                .agg(F.sum(rev).alias("total_rev")))
-    from pyspark.sql import Window
+    # r12 (guide §2.5): size-gated global-scalar strategy, same
+    # rationale and crossover as q11 but keyed on the supplier
+    # dimension: empty-partition window while per-supplier rows fit
+    # one task, broadcast 1-row MAX (ReuseExchange over the revenue
+    # shuffle) beyond. Both paths identical rows
+    # (tests/test_r12_opt.py).
     s = ld(spark, sf_dir, "supplier")
-    return (revenue
-            .withColumn("max_rev",
-                        F.max("total_rev").over(Window.partitionBy()))
-            .filter(F.col("total_rev") == F.col("max_rev"))
+    if big is None:
+        big = big_input(sf_dir, "supplier", 256 << 20)
+    if big:
+        mx = revenue.agg(F.max("total_rev").alias("__mx"))
+        capped = (revenue.crossJoin(F.broadcast(mx))
+                  .filter(F.col("total_rev") == F.col("__mx")))
+    else:
+        from pyspark.sql import Window
+        capped = (revenue
+                  .withColumn("__mx",
+                              F.max("total_rev").over(Window.partitionBy()))
+                  .filter(F.col("total_rev") == F.col("__mx")))
+    return (capped
             .join(s, F.col("s_suppkey") == F.col("supplier_no"))
             .select("s_suppkey", "s_name",
                     F.col("total_rev").cast("double").alias("total_revenue"))
@@ -380,7 +421,13 @@ def q17(spark, sf_dir):
 def q20(spark, sf_dir):
     """Q20 adapted: shipped-quantity HAVING threshold stands in for
     partsupp availqty. IN (grouped subquery) = semi join on the
-    aggregate's output."""
+    aggregate's output.
+
+    r12 (guide §2.4/§2.3): the pre-semi-join `.distinct()` was a
+    redundant full exchange + two hash aggregates — a semi join
+    dedups its build side by construction. And the nation filter now
+    lands on supplier BEFORE the semi join, shrinking the probe side
+    ~25× (filter below the join, same rows out; A/B 1.70×)."""
     l = ld(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
@@ -389,11 +436,11 @@ def q20(spark, sf_dir):
              .groupBy("l_suppkey", "l_partkey")
              .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
              .filter(F.col("q") > 50)
-             .select("l_suppkey").distinct())
+             .select("l_suppkey"))
     s = ld(spark, sf_dir, "supplier")
     n = F.broadcast(ld(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"))
-    return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
-            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    sn = s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    return (sn.join(heavy, sn.s_suppkey == heavy.l_suppkey, "left_semi")
             .select("s_name", "s_acctbal")
             .orderBy("s_name"))
 
@@ -480,6 +527,13 @@ def q22(spark, sf_dir):
     o = (ld(spark, sf_dir, "orders")
          .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
          .select("o_custkey"))
+    # r12 (guide §3.1): at MB scale the post-filter size estimate
+    # keeps this highly selective side on a sort-merge anti join
+    # (shuffling CUSTOMER too); hint the broadcast where the input is
+    # provably small. At GB+ the hint is withheld — AQE owns the
+    # runtime choice from real sizes (A/B 1.86×).
+    if not big_input(sf_dir, "orders"):
+        o = F.broadcast(o)
     return (c.crossJoin(F.broadcast(avg_bal))
             .filter(F.col("c_acctbal") > F.col("avg_bal"))
             .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
