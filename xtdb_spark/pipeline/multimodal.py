@@ -115,7 +115,8 @@ def extract_features(media: DataFrame, batch_size: int | None = 64,
                 "feat_dim": [len(f) for f in feats],
             })
 
-    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+    return (media.select("media_id", "kind", "content")
+            .mapInPandas(featurize, FEATURE_SCHEMA))
 
 
 def make_fake_media(spark, n: int = 100) -> DataFrame:
@@ -188,7 +189,8 @@ def resize_images(media: DataFrame, target_w: int = 224,
                 "n_bytes": [len(c) for c in contents],
             })
 
-    return images.mapInPandas(do_resize, RESIZED_SCHEMA)
+    return (images.select("media_id", "kind", "content")
+            .mapInPandas(do_resize, RESIZED_SCHEMA))
 
 
 FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms long, frame binary")
@@ -282,7 +284,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "ts_ms": tss, "frame": frames})
 
-    return videos.mapInPandas(do_sample, FRAME_SCHEMA)
+    return (videos.select("media_id", "content")
+            .mapInPandas(do_sample, FRAME_SCHEMA))
 
 
 # ---- real header sniffing (no codec libraries needed) -----------------------
@@ -375,7 +378,8 @@ def sniff_media(media: DataFrame, batch_size: int | None = 256) -> DataFrame:
                             for b in pdf["content"]],
             })
 
-    return media.mapInPandas(do_sniff, SNIFF_SCHEMA)
+    return (media.select("media_id", "content")
+            .mapInPandas(do_sniff, SNIFF_SCHEMA))
 
 
 PHASH_SCHEMA = "media_id long, phash long, ok boolean"
@@ -437,7 +441,8 @@ def phash_images(media: DataFrame,
             yield pd.DataFrame({"media_id": ids, "phash": hashes,
                                 "ok": oks})
 
-    return media.mapInPandas(do_hash, PHASH_SCHEMA)
+    return (media.select("media_id", "content")
+            .mapInPandas(do_hash, PHASH_SCHEMA))
 
 
 AUDIO_FP_SCHEMA = "media_id long, block_idx int, block_hash long"
@@ -512,7 +517,8 @@ def audio_fingerprints(media: DataFrame,
             yield pd.DataFrame({"media_id": ids, "block_idx": idxs,
                                 "block_hash": hashes})
 
-    return media.mapInPandas(do_fp, AUDIO_FP_SCHEMA)
+    return (media.select("media_id", "content")
+            .mapInPandas(do_fp, AUDIO_FP_SCHEMA))
 
 
 VIDEO_FP_SCHEMA = "media_id long, frame_idx int, phash long"
@@ -565,4 +571,5 @@ def video_fingerprints(media: DataFrame, n_frames: int = 8,
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "phash": hashes})
 
-    return media.mapInPandas(do_fp, VIDEO_FP_SCHEMA)
+    return (media.select("media_id", "content")
+            .mapInPandas(do_fp, VIDEO_FP_SCHEMA))
