@@ -71,6 +71,58 @@ def test_corpus_prep_single_text_scan(spark):
     assert "Window" in plan
 
 
+@pytest.mark.parametrize("name", [
+    "pipe_corpus_prep", "pipe_text_quality", "pipe_lang_id",
+    "pipe_dedup_keep_best"])
+def test_text_heads_single_regex_pass(spark, name):
+    """r12 pass 2: every text signal derives from ONE whitespace-
+    normalization regex pass (text.normalized) and ONE token-array
+    materialization — the plan must contain exactly one
+    regexp_replace and no \\s+ tokenizing split (the old spellings
+    carried up to 3 regex scans / 24 replicated split trees)."""
+    import re
+
+    from xtdb_spark.queries import QUERIES
+
+    df = QUERIES[name].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"regexp_replace", plan)) == 1, plan
+    # the tokenizer must be the literal-space split of the aliased
+    # normal form, evaluated once: no split(..., \s+, ...) anywhere
+    assert not re.search(r"split\([^)]*\\s\+", plan), plan
+
+
+def test_norm_tokens_equivalence_edge_cases(spark):
+    """The literal-split-of-normal-form tokenizer must agree with the
+    old \\s+ tokenizer on edge inputs: empty, all-whitespace, tabs/
+    newlines at the edges (both sides produce the same empty edge
+    tokens), multi-space runs, and unicode text."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.pipeline import text
+
+    rows = [("",), ("   ",), ("\t\t",), ("\ta b\t",), ("a  b   c",),
+            ("  left",), ("right  ",), ("Ünïcode  TEXT\nnewline",),
+            ("one",), ("\n\n\n",)]
+    df = spark.createDataFrame(rows, "text string")
+    norm = text.normalized(F.col("text"))
+    out = df.select(
+        text.tokens(F.lower(F.col("text"))).alias("old_toks"),
+        text.norm_tokens(norm).alias("new_toks"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("double").alias("old_ns"),
+        text.norm_nonspace_chars(norm, F.size(text.norm_tokens(norm)))
+        .alias("new_ns"),
+        text.fingerprint(F.col("text")).alias("old_fp"),
+        F.md5(norm).alias("new_fp"),
+    ).collect()
+    for r in out:
+        assert r.old_toks == r.new_toks, r
+        assert r.old_ns == r.new_ns, r
+        assert r.old_fp == r.new_fp, r
+
+
 def test_asof_same_source_equals_general(spark):
     """asof_join_same_source ≡ asof_join when both sides filter one
     relation (ties, strict mode, and null carry included)."""

@@ -39,18 +39,32 @@ def features(df: DataFrame, text_col: str = "text",
     bias, log token count, mean word length, stopword ratio,
     non-alphanumeric density."""
     t = F.col(text_col)
-    n = _text.token_count(t).cast("double")
-    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) \
-        .cast("double")
-    return df.select(
+    # r12: f1-f3 all derive from ONE whitespace-normalization regex
+    # pass (text.normalized — value-identical, see its docstring);
+    # only the punct density keeps its own (different-pattern) regex.
+    normed = df.select(
         "doc_id",
         F.expr(label).cast("int").alias("y"),
+        t.alias("__t"),
+        _text.normalized(t).alias("__norm"))
+    toked = normed.select(
+        "doc_id", "y", "__t", "__norm",
+        _text.norm_tokens(F.col("__norm")).alias("__toks"))
+    toks = F.col("__toks")
+    n_int = F.size(toks)
+    n = n_int.cast("double")
+    nonspace = _text.norm_nonspace_chars(F.col("__norm"), n_int)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_text.STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col("__t"), r"[A-Za-z0-9\s]", "")) \
+        .cast("double")
+    return toked.select(
+        "doc_id",
+        "y",
         F.lit(1.0).alias("f0"),
         F.round(F.log(F.lit(1.0) + n), 6).alias("f1"),
         F.round(nonspace / n, 6).alias("f2"),
-        F.round(_text.stopword_ratio(t), 6).alias("f3"),
-        F.round(punct / (F.lit(1.0) + F.length(t)), 6).alias("f4"))
+        F.round(n_stop.cast("double") / n_int, 6).alias("f3"),
+        F.round(punct / (F.lit(1.0) + F.length(F.col("__t"))), 6).alias("f4"))
 
 
 def first_step_gradient(feats: DataFrame) -> DataFrame:

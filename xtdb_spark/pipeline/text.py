@@ -26,6 +26,42 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def normalized(text: Column) -> Column:
+    r"""Whitespace-normal form: lowercased, space-trimmed, every \s+
+    run collapsed to ONE space — a single regex pass that every
+    downstream text signal can derive from (r12, guide §1.2 "don't
+    compute things twice" applied to per-row work):
+
+    - ``tokens(lower(text))``      == ``F.split(norm, " ")`` (literal
+      split, no regex scan of the document)
+    - exact-dup fingerprint        == ``F.md5(norm)``
+    - non-whitespace char count    == ``F.length(norm) - (n_tokens - 1)``
+
+    The equivalences hold for ALL inputs, including leading/trailing
+    non-space whitespace (each \s+ run maps to exactly one space, so
+    the literal split reproduces the same empty edge tokens) and
+    empty/all-whitespace strings (split("", " ") == [""] on both
+    spellings). Alias the result ONCE and derive from the alias —
+    CollapseProject keeps a multiply-referenced non-cheap alias in
+    its own Project, so the regex runs once per row."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def norm_tokens(norm: Column) -> Column:
+    """Tokens of the ORIGINAL text, recovered from the normal form by
+    a literal single-space split (identical to tokens(lower(text)) —
+    see normalized())."""
+    return F.split(norm, " ")
+
+
+def norm_nonspace_chars(norm: Column, n_tokens: Column) -> Column:
+    r"""Non-whitespace character count of the original text, from the
+    normal form: length minus the (n_tokens - 1) separator spaces —
+    identical to length(regexp_replace(text, '\s+', '')) without the
+    extra regex pass (lower() and trim() preserve non-\s content)."""
+    return (F.length(norm) - (n_tokens - F.lit(1))).cast("double")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -40,16 +76,19 @@ def bpe_ish_token_count(text: Column) -> Column:
     return pieces + F.length(F.regexp_replace(stripped, r"\s", ""))
 
 
-def marker_hits(text: Column, markers: list[str]) -> Column:
-    """How many tokens are in the marker list."""
-    t = tokens(F.lower(text))
+def marker_hits(text: Column, markers: list[str],
+                toks: Column | None = None) -> Column:
+    """How many tokens are in the marker list. Pass a precomputed
+    token array as `toks` to skip the tokenizing regex pass."""
+    t = toks if toks is not None else tokens(F.lower(text))
     return F.size(F.filter(t, lambda w: w.isin(*markers)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Marker-word language heuristic: argmax over per-language hit
     counts, ties broken by language code order, 'und' when all zero."""
-    scores = [(lang, marker_hits(text, m)) for lang, m in sorted(LANG_MARKERS.items())]
+    scores = [(lang, marker_hits(text, m, toks))
+              for lang, m in sorted(LANG_MARKERS.items())]
     # argmax: first language (alphabetical) with maximal score,
     # 'und' if the max score is 0
     max_score = F.greatest(*[s for _, s in scores])
@@ -64,16 +103,21 @@ def stopword_ratio(text: Column) -> Column:
     return marker_hits(text, STOPWORDS).cast("double") / F.size(t)
 
 
-def quality_score(text: Column, toks: Column | None = None) -> Column:
+def quality_score(text: Column, toks: Column | None = None,
+                  nonspace: Column | None = None) -> Column:
     """Deterministic quality heuristic: mean word length band +
     stopword presence + length band, scaled to [0, 1].
 
     Pass a precomputed lowercased token array as `toks` to avoid
-    re-tokenizing (regex split is the dominant cost of this score);
-    the default recomputes from `text`."""
+    re-tokenizing (regex split is the dominant cost of this score),
+    and a precomputed non-whitespace char count as `nonspace` (see
+    norm_nonspace_chars) to skip the strip-regex pass too; the
+    defaults recompute both from `text`."""
     t = toks if toks is not None else tokens(F.lower(text))
     n = F.size(t)
-    avg_wlen = (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n)
+    ns = (nonspace if nonspace is not None
+          else F.length(F.regexp_replace(text, r"\s+", "")).cast("double"))
+    avg_wlen = ns / n
     len_ok = (n >= 10) & (n <= 10000)
     wlen_ok = (avg_wlen >= 3.0) & (avg_wlen <= 10.0)
     n_stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))

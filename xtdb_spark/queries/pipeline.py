@@ -81,17 +81,29 @@ _STOP_SQL = "', '".join(text.STOPWORDS)
     """,
 )
 def text_quality(spark, sf_dir):
-    """Quality scoring: length/word-length/stopword-ratio heuristics."""
+    """Quality scoring: length/word-length/stopword-ratio heuristics.
+
+    r12: every signal derives from ONE whitespace-normalization regex
+    pass (text.normalized) instead of re-tokenizing / re-stripping
+    per output column — value-identical (see normalized())."""
     d = ld(spark, sf_dir, "documents")
-    t = F.col("text")
-    n = text.token_count(t).cast("double")
-    return d.select(
+    normed = d.select(
+        "doc_id", text.normalized(F.col("text")).alias("__norm"))
+    toked = normed.select(
+        "doc_id", "__norm",
+        text.norm_tokens(F.col("__norm")).alias("__toks"))
+    toks = F.col("__toks")
+    n_int = F.size(toks)
+    n = n_int.cast("double")
+    nonspace = text.norm_nonspace_chars(F.col("__norm"), n_int)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*text.STOPWORDS)))
+    return toked.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n, 6)
-        .alias("avg_word_len"),
-        F.round(text.stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(text.quality_score(t), 6).alias("quality"),
+        F.round(nonspace / n, 6).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_int, 6).alias("stop_ratio"),
+        F.round(text.quality_score(F.col("__norm"), toks,
+                                   nonspace=nonspace), 6).alias("quality"),
     )
 
 
@@ -119,11 +131,20 @@ def _lang_sql() -> str:
 
 @register("pipe_lang_id", _lang_sql())
 def lang_id(spark, sf_dir):
-    """Marker-word language-ID heuristic (argmax, alphabetical ties)."""
+    """Marker-word language-ID heuristic (argmax, alphabetical ties).
+
+    r12: tokenize once off the whitespace-normal form; the four
+    per-language hit counts share the one token array instead of
+    each re-running the tokenizing regex."""
     d = ld(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    text.lang_id(F.col("text")).alias("pred_lang"),
-                    F.col("lang").alias("labeled_lang"))
+    toked = d.select(
+        "doc_id", "lang",
+        text.norm_tokens(text.normalized(F.col("text"))).alias("__toks"))
+    return toked.select(
+        "doc_id",
+        text.lang_id(F.col("__toks"), toks=F.col("__toks"))
+        .alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"))
 
 
 @register(
@@ -443,16 +464,36 @@ def corpus_prep(spark, sf_dir):
     the old MIN-per-fp aggregate + doc_id semi join). One narrow
     shuffle of (doc_id, fp, n_tokens, quality) replaces two document
     scans + aggregate + semi join; the text never moves (A/B 1.43×
-    locally; at scale it halves the regex-dominated scan work)."""
+    locally; at scale it halves the regex-dominated scan work).
+
+    r12 pass 2 (guide §1.2 per-row work): ONE regex pass per document
+    — the whitespace-normal form (text.normalized) is aliased once
+    and fingerprint (md5), tokens (literal-space split) and the
+    non-whitespace char count (length arithmetic) all derive from it;
+    previously the row paid three independent \\s+ scans (tokenize
+    split + collapse-for-md5 + strip-for-charcount)."""
     d = ld(spark, sf_dir, "documents")
-    # tokenize once; fingerprint, score and count derive from the
-    # same scan
-    toks = text.tokens(F.lower(F.col("text")))
-    base = d.select(
+    # alias BOTH the normal form and the token array: multiply-
+    # referenced non-cheap aliases stay in their own Project
+    # (CollapseProject), so the regex AND the split each run once —
+    # repeated textual subtrees are NOT reliably subexpression-
+    # eliminated here (measured: lang_id's 4 identical tokenize
+    # trees each re-ran)
+    normed = d.select(
+        "doc_id", text.normalized(F.col("text")).alias("__norm"))
+    toked = normed.select(
+        "doc_id", "__norm",
+        text.norm_tokens(F.col("__norm")).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    base = toked.select(
         "doc_id",
-        text.fingerprint(F.col("text")).alias("fp"),
-        F.size(toks).alias("n_tokens"),
-        text.quality_score(F.col("text"), toks).alias("quality"))
+        F.md5(F.col("__norm")).alias("fp"),
+        n.alias("n_tokens"),
+        text.quality_score(
+            F.col("__norm"), toks,
+            nonspace=text.norm_nonspace_chars(F.col("__norm"), n))
+        .alias("quality"))
     w = Window.partitionBy("fp")
     return (base.withColumn("__keep", F.min("doc_id").over(w))
             .filter((F.col("doc_id") == F.col("__keep"))
@@ -1034,12 +1075,16 @@ def dedup_keep_best(spark, sf_dir):
     scale shape is unchanged; any scoring column (quality_score,
     source priority, recency) slots into the ORDER BY."""
     d = ld(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                r"\s+", " "))
-    n_tok = text.token_count(F.col("text")).cast("double")
+    # r12: fingerprint and token count both derive from ONE
+    # whitespace-normalization pass (text.normalized) — was two
+    # independent regex scans (collapse-for-md5 + tokenize split)
+    normed = d.select("doc_id",
+                      text.normalized(F.col("text")).alias("__norm"))
+    fp = F.md5(F.col("__norm"))
+    n_tok = F.size(text.norm_tokens(F.col("__norm"))).cast("double")
     w = Window.partitionBy("fp")
     wr = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), "doc_id")
-    return (d.select("doc_id", fp.alias("fp"), n_tok.alias("n_tokens"))
+    return (normed.select("doc_id", fp.alias("fp"), n_tok.alias("n_tokens"))
             .withColumn("n_dups", F.count("*").over(w))
             .withColumn("rn", F.row_number().over(wr))
             .filter(F.col("rn") == 1)
