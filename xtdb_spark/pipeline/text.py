@@ -192,14 +192,18 @@ def repetition_stats(df, id_col: str = "doc_id",
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.length(text_col).alias("tc"), ws.alias("ws"))
     w = base.select("doc_id", F.explode("ws").alias("w"))
-    wstats = w.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.countDistinct("w").alias("n_distinct"))
-    rank_w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
-    wtop = (w.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(rank_w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("cnt").alias("top_word_cnt")))
+    # r12 (guide §2.4): every word-level signal derives from the
+    # per-doc word counts, so ONE aggregate over them replaces the
+    # old wstats (countDistinct = its own two-shuffle pass over a
+    # second tokenize replay) + rank-1 window + join: n_words = Σcnt,
+    # n_distinct = #groups, and top_word_cnt = max(cnt) — the old
+    # window's (desc cnt, asc w) tie-break picked WHICH word wins,
+    # never the cnt value itself, so max(cnt) is value-identical.
+    wstats = (w.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+              .groupBy("doc_id").agg(
+                  F.sum("cnt").alias("n_words"),
+                  F.count("*").alias("n_distinct"),
+                  F.max("cnt").alias("top_word_cnt")))
     grams = F.when(
         F.size("ws") >= 2,
         F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
@@ -215,7 +219,7 @@ def repetition_stats(df, id_col: str = "doc_id",
                     F.round((F.col("cnt") * F.length("g"))
                             .cast("double") / F.col("tc"), 6)
                     .alias("top_bigram_char_frac")))
-    return (wstats.join(wtop, "doc_id").join(gtop, "doc_id", "left")
+    return (wstats.join(gtop, "doc_id", "left")
             .select("doc_id",
                     F.round(F.col("n_distinct").cast("double")
                             / F.col("n_words"), 6)
