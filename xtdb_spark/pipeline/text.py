@@ -264,9 +264,15 @@ def bigram_lm_xent(df, id_col: str = "doc_id", text_col: str = "text",
         F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"))
     bg = (toks.select("doc_id", F.explode(pairs).alias("p"))
           .select("doc_id", "p.w1", "p.w2"))
-    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # uni and vocab DERIVED from bgc instead of re-scanning bg (r12,
+    # guide §2.4): c(w1 ·) = Σ_w2 c(w1,w2) and the distinct-w2 set of
+    # bgc is the distinct-w2 set of bg, exactly. Tokenize+explode
+    # replays drop 4 → 2 and the two full-bigram-stream aggregates
+    # become aggregates over the (much smaller) distinct-bigram
+    # relation, whose shuffle ReuseExchange shares.
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    uni = bgc.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    vocab = bgc.agg(F.countDistinct("w2").alias("v"))
     lp6 = F.round(F.log((F.col("cb") + F.lit(k))
                         / (F.col("c1") + F.lit(k) * F.col("v"))),
                   6).cast("decimal(18,6)")
