@@ -261,20 +261,29 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
     rest = multi.join(elig, "_iid", "left_anti")
 
     # OPEN UPDATE-CHAIN FAST PATH (the DEFAULT multi-version shape —
-    # plain puts whose valid_from tracks system_from, valid_to
-    # open): with `_valid_from` non-decreasing in system order, the
-    # very first newer event covers [its vf, ∞), so the ceiling over
-    # everything at/after lead(vf) is exactly lead(sf) — each event's
+    # events whose valid_from tracks system_from, valid_to open):
+    # with `_valid_from` non-decreasing in system order, the very
+    # first newer event covers [its vf, ∞), so the ceiling over
+    # everything at/after lead(vf) is exactly lead(sf) — each PUT's
     # polygon collapses to at most TWO rectangles, pure lead():
     #   [vf, lead_vf) × [sf, ∞)        (skipped when vf == lead_vf)
-    #   [lead_vf, ∞)  × [sf, lead_sf)  (the overwritten tail)
+    #   [lead_vf, ∞)  × [sf, lead_sf)  (the overwritten tail;
+    #                                   skipped when sf == lead_sf)
+    # DELETES are chain-compatible (r12): a delete lowers the ceiling
+    # over its [vf, ∞) exactly like a put (the sweep's step 2 runs
+    # for every op) and emits nothing (step 1 is put-gated) — so
+    # eligibility ignores op, leads run over ALL events, and only
+    # put rows emit rectangles. Before this, ONE delete anywhere sent
+    # the whole iid to the pandas sweep (measured at the sf1 replica:
+    # every multi-version iid had a delete, so 100% of 1M rows paid
+    # Python).
     # (the O(V²) staircase only arises from RETROACTIVE writes —
     # newer events with EARLIER valid starts — which the
     # monotonicity condition excludes; those keep the arrow sweep).
     # Measured at 150k 2-version iids: 253.8 s (grouped pandas
     # sweep) → ~4 s, identical rectangles."""
     ws = Window.partitionBy("_iid").orderBy("_system_from")
-    chain_ok = ((F.col("op") == "put") & F.col("_valid_to").isNull()
+    chain_ok = (F.col("_valid_to").isNull()
                 & (F.lag("_valid_from").over(ws).isNull()
                    | (F.lag("_valid_from").over(ws)
                       <= F.col("_valid_from"))))
@@ -283,7 +292,8 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
              .filter(F.col("__ok") == 1).select("_iid"))
     cev = (rest.join(celig, "_iid", "left_semi")
            .withColumn("__nvf", F.lead("_valid_from").over(ws))
-           .withColumn("__nsf", F.lead("_system_from").over(ws)))
+           .withColumn("__nsf", F.lead("_system_from").over(ws))
+           .filter(F.col("op") == "put"))
     ts_null = F.lit(None).cast("timestamp")
     head = F.struct(F.col("_valid_from").alias("vf"),
                     F.col("__nvf").alias("vt"),
@@ -295,7 +305,8 @@ def polygon_history(events: DataFrame, doc_cols: list[str]) -> DataFrame:
     rects = F.filter(
         F.when(F.col("__nvf").isNull(), F.array(head))
         .otherwise(F.array(head, tail)),
-        lambda r: r["vt"].isNull() | (r["vf"] < r["vt"]))
+        lambda r: (r["vt"].isNull() | (r["vf"] < r["vt"]))
+        & (r["st"].isNull() | (r["sf"] < r["st"])))
     chain = (cev.withColumn("__r", F.explode(rects))
              .select("_iid", *doc_cols,
                      F.col("__r.vf").alias("_valid_from"),
