@@ -30,6 +30,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_np(a: Column, b: Column) -> Column:
+    """`cosine` as one Arrow-batched pandas UDF (r12, guide §4.2):
+    the fold spelling builds three interpreted ~2·dim-step lambda
+    folds PER PAIR, which dominates any relation that scores many
+    pairs (SemDeDup's within-cluster self-join measured 6×). Results
+    are BIT-identical to `cosine`: the numpy loop iterates dimensions
+    in order, accumulating `acc += a_d·b_d` across the whole batch —
+    the same left-to-right double additions as the fold, then the
+    same sqrt/multiply/divide. Null or empty inputs propagate exactly
+    like the JVM expression (null → null, zero-norm → NaN/±Inf by
+    IEEE division)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def cos_series(va, vb):
+        import pandas as pd
+
+        out = np.full(len(va), np.nan)
+        mask = va.notna() & vb.notna()
+        if mask.any():
+            x = np.array(va[mask].tolist(), dtype="float64")
+            y = np.array(vb[mask].tolist(), dtype="float64")
+            d = x.shape[1] if x.ndim == 2 else 0
+            ab = np.zeros(len(x))
+            aa = np.zeros(len(x))
+            bb = np.zeros(len(x))
+            for i in range(d):  # dim-ordered: fold-identical sums
+                ab += x[:, i] * y[:, i]
+                aa += x[:, i] * x[:, i]
+                bb += y[:, i] * y[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask.to_numpy()] = ab / (np.sqrt(aa) * np.sqrt(bb))
+        res = pd.Series(out)
+        res[~mask.to_numpy()] = None
+        return res
+
+    return pandas_udf(cos_series, "double")(a, b)
+
+
 def as_double_array(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -45,7 +84,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        as_double_array(F.col(q_vec_col)).alias("qv"))
     scored = (F.broadcast(q).crossJoin(c)
               .select("q_id", "nn_id",
-                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+                      cosine_np(F.col("qv"), F.col("v")).alias("cos_sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
@@ -127,6 +166,9 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     cand = (q.join(c, "sig")
             .select("q_id", "qv", "nn_id", "v")
             .dropDuplicates(["q_id", "nn_id"]))
+    # JVM cosine kept here: the deduped candidate set is bucket-local
+    # and small by construction, and the cosine_np swap measured
+    # parity (4.25 vs 4.42 s at sf1) while adding 2 exchanges
     scored = cand.select("q_id", "nn_id",
                          cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
@@ -240,7 +282,7 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     q_cells = _assign_cells(q, "q_id", "qv", crows, nprobe)
     scored = (q_cells.join(c_cells, "cell")
               .select("q_id", "nn_id",
-                      cosine(F.col("qv"), F.col("v")).alias("cos_sim")))
+                      cosine_np(F.col("qv"), F.col("v")).alias("cos_sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k).distinct())
@@ -340,7 +382,7 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, tau: float = 0.95,
                       | ((F.col("sim_b") == F.col("sim_a"))
                          & (F.col("id_b") < F.col("id_a"))))
               .withColumn("cos",
-                          F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+                          F.round(cosine_np(F.col("v_a"), F.col("v_b")), 6))
               .filter(F.col("cos") >= tau))
     w = Window.partitionBy("id_a").orderBy("sim_b", "id_b")
     drops = (better.withColumn("__rk", F.row_number().over(w))

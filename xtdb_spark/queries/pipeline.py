@@ -255,7 +255,7 @@ def ann_cosine_topk(spark, sf_dir):
         similarity.as_double_array(F.col("embedding")).alias("v"))
     scored = (F.broadcast(q).crossJoin(c)
               .select("q_id", "nn_id",
-                      F.round(similarity.cosine(F.col("qv"), F.col("v")), 6)
+                      F.round(similarity.cosine_np(F.col("qv"), F.col("v")), 6)
                       .alias("cos_sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -341,7 +341,7 @@ def dedup_embedding_cosine(spark, sf_dir):
                    & (F.col("sig_a") == F.col("sig_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b",
-                    F.round(similarity.cosine(F.col("ev_a"), F.col("ev_b")), 6)
+                    F.round(similarity.cosine_np(F.col("ev_a"), F.col("ev_b")), 6)
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.3))
 
