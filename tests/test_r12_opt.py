@@ -149,3 +149,54 @@ def test_asof_same_source_equals_general(spark):
             right_cols=["value"], strict=strict) \
             .select("event_id", "value", "asof_ts")
         assert _rows(general) == _rows(same), f"strict={strict}"
+
+
+def test_percentile_array_equals_per_cut_calls(spark):
+    """The shared percentile(col, array(...)) state must reproduce
+    the per-cut percentile() calls bit-for-bit (same sorted map, same
+    interpolation) for op_agg_percentile and
+    an_value_percentiles_by_type."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.queries import QUERIES
+    from xtdb_spark.queries.registry import ld
+
+    l = ld(spark, SF_DIR, "lineitem")
+    old_l = l.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"))
+    assert _rows(old_l) == _rows(
+        QUERIES["op_agg_percentile"].fn(spark, SF_DIR))
+
+    e = ld(spark, SF_DIR, "events")
+    old_e = (e.groupBy("event_type")
+             .agg(F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+                  F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+             .orderBy("event_type"))
+    assert _rows(old_e) == _rows(
+        QUERIES["an_value_percentiles_by_type"].fn(spark, SF_DIR))
+
+
+def test_agg_approx_split_equals_fused_aggregate(spark):
+    """op_agg_approx's split (distinct-alone + non-distinct pass,
+    broadcast-joined back) must equal the single fused aggregate it
+    replaced."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.queries import QUERIES
+    from xtdb_spark.queries.registry import ld
+
+    e = ld(spark, SF_DIR, "events")
+    fused = (e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("__acd"),
+        F.expr("percentile(value, 0.5)").alias("__em"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__am"))
+    ).select(
+        "event_type", "n_users_exact",
+        (F.abs(F.col("__acd") - F.col("n_users_exact"))
+         <= 0.05 * F.col("n_users_exact") + F.lit(2)).alias("approx_distinct_ok"),
+        (F.abs(F.col("__am") - F.col("__em"))
+         <= 0.05 * F.abs(F.col("__em")) + F.lit(0.01)).alias("approx_median_ok"))
+    assert _rows(fused) == _rows(QUERIES["op_agg_approx"].fn(spark, SF_DIR))

@@ -251,12 +251,19 @@ def hourly_traffic(spark, sf_dir):
 def value_percentiles(spark, sf_dir):
     """Exact continuous percentiles per group (reference
     percentile_cont, group_by.clj:353-465). Exact (not approx) so the
-    DuckDB comparison is bit-stable after 6dp rounding."""
+    DuckDB comparison is bit-stable after 6dp rounding.
+
+    One percentile(col, array(...)) state serves all three cut
+    points — three separate percentile() aggregates each buffer the
+    full value->count map (r12 A/B: 0.8 -> 0.7 s at sf1, identical
+    rows; the win scales with group width)."""
     e = ld(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
-            .agg(F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
-                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+    g = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.50D, 0.95D, 0.99D))").alias("__p"))
+    return (g.select("event_type",
+                     F.round(F.col("__p")[0], 6).alias("p50"),
+                     F.round(F.col("__p")[1], 6).alias("p95"),
+                     F.round(F.col("__p")[2], 6).alias("p99"))
             .orderBy("event_type"))
 
 
@@ -278,13 +285,26 @@ def agg_approx(spark, sf_dir):
     key set. The oracle contract: the entry returns the EXACT values
     plus booleans asserting the sketch landed inside its error bound,
     and DuckDB returns the exact values plus TRUE literals — so the
-    accuracy claim itself is value-hash-verified, not just row-counted."""
+    accuracy claim itself is value-hash-verified, not just row-counted.
+
+    The distinct aggregate runs ALONE: mixing COUNT(DISTINCT) with
+    the sketch/percentile aggregates makes Spark's single-distinct
+    rewrite evaluate their partials per (event_type, user_id) group —
+    a KB-scale HLL buffer and a value->count map PER USER shuffled
+    and merged (r12 A/B at sf1: 6.3-7.5 s -> 0.9-1.2 s, rows
+    identical). The non-distinct aggregates share one narrow pass;
+    the 1:1 join back on the grouping key is broadcast-sized."""
     e = ld(spark, sf_dir, "events")
-    out = (e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
+    d = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"))
+    nd = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("__acd"),
         F.expr("percentile(value, 0.5)").alias("__em"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("__am")))
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__am"))
+    # one row per event_type (enum-like) — broadcast skips the
+    # sort-merge the static planner picks at MB scale (AQE already
+    # chooses broadcast at GB scale; sf1 A/B parity-or-better)
+    out = d.join(F.broadcast(nd), "event_type")
     return out.select(
         "event_type", "n_users_exact",
         (F.abs(F.col("__acd") - F.col("n_users_exact"))

@@ -339,11 +339,19 @@ def agg_array(spark, sf_dir):
 def agg_percentile(spark, sf_dir):
     """percentile_cont WITHIN GROUP (group_by.clj:353-465). Exact
     interpolated percentile (Spark `percentile`, not approx);
-    rounded to absorb last-ulp interpolation differences."""
+    rounded to absorb last-ulp interpolation differences.
+
+    Both percentiles come from ONE percentile(col, array(...)) state:
+    two separate percentile() aggregates each build their own
+    value->count map over every row (r12 A/B at sf1: 4.6 -> 2.3 s,
+    rows identical — same sorted map, same interpolation)."""
     l = ld(spark, sf_dir, "lineitem")
-    return l.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    g = l.groupBy("l_linestatus").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("__p"))
+    return g.select(
+        "l_linestatus",
+        F.round(F.col("__p")[0], 4).alias("median_price"),
+        F.round(F.col("__p")[1], 4).alias("p90_price"),
     )
 
 
