@@ -106,6 +106,27 @@ def _gram_arrays(docs: DataFrame, id_col: str, text_col: str,
                        word_ngrams(F.col(text_col), n).alias("grams"))
 
 
+def _gram_arrays_ck(docs: DataFrame, id_col: str, text_col: str,
+                    n: int) -> DataFrame:
+    """(id, grams) materialized ONCE via localCheckpoint, partitioned
+    by id (the post-explode work key, see _shingle_table).
+
+    The gram computation (regex split + n-gram transform +
+    array_distinct) is the most expensive narrow pass in the banded
+    dedups, and the lazy plan replays it per consumer: blocking-side
+    explode, the df/rare aggregate, each arm of the candidate
+    self-join, and the verify arrays each re-derive it (r12 measured
+    ~27 s per replay at the sf1 replica; checkpointing took
+    pipe_dedup_ngram_jaccard 123-132 s -> 91-99 s same-JVM, output
+    bit-identical). Same materialization-barrier pattern as
+    duplicate_clusters' per-round checkpoints (guide §5.3); like
+    there, localCheckpoint trades executor-loss recovery of this
+    intermediate for never re-running the corpus regex pass."""
+    g = docs.select(F.col(id_col).alias("id"),
+                    word_ngrams(F.col(text_col), n).alias("grams"))
+    return g.repartition(F.col("id")).localCheckpoint()
+
+
 def _jaccard_for_pairs_arrays(g: DataFrame, cand: DataFrame,
                               threshold: float = 0.0) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set, computed by
@@ -174,7 +195,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     df-filtered blocking keeps recall while bounding each blocking
     bucket to ≤ max_gram_df² pairs. Jaccard for the surviving
     candidates is still computed over ALL shingles (exact)."""
-    sh = _shingle_table(docs, id_col, text_col, n)
+    g = _gram_arrays_ck(docs, id_col, text_col, n)
+    sh = g.select("id", F.size("grams").alias("n_grams"),
+                  F.explode("grams").alias("gram"))
     if max_gram_df is None:
         # exact blocking on every shared shingle; the intersection
         # count falls straight out of the one blocking join
@@ -197,8 +220,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    return _jaccard_for_pairs_arrays(_gram_arrays(docs, id_col, text_col, n),
-                                     cand, threshold)
+    return _jaccard_for_pairs_arrays(g, cand, threshold)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -209,6 +231,11 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     shingles — k aggregate expressions in ONE groupBy pass."""
     sh = (docs.select(F.col(id_col).alias("id"),
                       F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
+    return _signatures_from_shingles(sh, k)
+
+
+def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """k-permutation MinHash over an exploded (id, gram) relation."""
     aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"mh_{i}")
             for i in range(k)]
     return sh.groupBy("id").agg(*aggs)
@@ -230,7 +257,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     banded joins, LSH buckets are already sized by the full band hash,
     so the cap is only needed against adversarially-duplicated
     corpora."""
-    sigs = minhash_signatures(docs, id_col, text_col, n, k)
+    g = _gram_arrays_ck(docs, id_col, text_col, n)
+    sigs = _signatures_from_shingles(
+        g.select("id", F.explode("grams").alias("gram")), k)
     rows_per_band = k // bands
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
@@ -255,8 +284,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
     # verify with exact Jaccard for the LSH candidates ONLY — the
     # whole point of banding is never touching non-candidate pairs
-    return _jaccard_for_pairs_arrays(_gram_arrays(docs, id_col, text_col, n),
-                                     cand, threshold)
+    return _jaccard_for_pairs_arrays(g, cand, threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
