@@ -200,3 +200,58 @@ def test_agg_approx_split_equals_fused_aggregate(spark):
         (F.abs(F.col("__am") - F.col("__em"))
          <= 0.05 * F.abs(F.col("__em")) + F.lit(0.01)).alias("approx_median_ok"))
     assert _rows(fused) == _rows(QUERIES["op_agg_approx"].fn(spark, SF_DIR))
+
+
+def test_word_ngrams_zipchain_equals_slice_join_spelling(spark):
+    """word_ngrams' zip_with chain (r12, 6.6× on the corpus gram
+    pass) must be element-identical to the slice+array_join spelling
+    it replaced, across n and the short-doc/whitespace/NULL edges —
+    including the [NULL] the old spelling produced for NULL text."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.pipeline.dedup import word_ngrams
+
+    def old_word_ngrams(text_col, n=3):
+        words = F.split(F.lower(F.trim(text_col)), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+        return F.array_distinct(grams)
+
+    rows = [("",), ("  ",), ("one",), ("one two",), ("one two three",),
+            ("a b c d e f g",), ("  Mixed   CASE  with\textra\nws  ",),
+            ("dup dup dup dup dup",), (None,), ("x " * 50,)]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (1, 2, 3, 5):
+        cmp = df.select(old_word_ngrams(F.col("text"), n).alias("o"),
+                        word_ngrams(F.col("text"), n).alias("n"))
+        for r in cmp.collect():
+            assert r["o"] == r["n"], (n, r["o"], r["n"])
+
+
+def test_hashed_gram_arrays_injective_encoding(spark):
+    """_hashed_gram_arrays must preserve array sizes and every
+    pairwise intersection count (exactness contract of the verify
+    encoding), and keep string arrays verbatim when hashing is not
+    provably injective on the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from xtdb_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "p q r s t u"),
+         (4, "a b c d e f")], "doc_id long, text string")
+    g = dedup._gram_arrays(docs, "doc_id", "text", 3)
+    gh = dedup._hashed_gram_arrays(g)
+    assert dict(gh.dtypes)["grams"] == "array<bigint>"
+    j = (g.alias("s").join(gh.alias("h"), "id")
+         .select("id", F.size("s.grams").alias("ns"),
+                 F.size("h.grams").alias("nh")).collect())
+    assert all(r["ns"] == r["nh"] for r in j)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    old = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup._jaccard_for_pairs_arrays(g, pairs).collect()}
+    new = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup._jaccard_for_pairs_arrays(gh, pairs).collect()}
+    assert old == new and (1, 4) in new and new[(1, 4)] == 1.0

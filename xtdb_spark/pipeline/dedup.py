@@ -74,10 +74,31 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column."""
+    """Distinct word n-gram shingles as an array column.
+
+    Built as a zip_with chain — gram_k[i] = gram_{k-1}[i] ⊔ words[i+k-1]
+    via ONE concat per element — instead of
+    `transform(idx, i -> array_join(slice(words, i+1, n), ' '))`:
+    the slice+join lambda allocates a sub-array and re-iterates it per
+    position, and measured 6.6× slower (25-29 s vs 3.8-4.4 s per
+    corpus gram pass at the sf1 replica, r12; outputs verified
+    element-identical on all 50 k docs, and an element_at+concat_ws
+    spelling measured ~2.7× WORSE than baseline — allocation shape,
+    not lambda count, is what matters). Intermediate zips pad the
+    tail with NULL (concat is null-strict); the final slice drops
+    exactly that padded region. Docs shorter than n words keep the
+    whole-text single shingle; NULL text yields the single-NULL array
+    `[NULL]` the slice+join spelling produced (its `greatest` skipped
+    the NULL size, leaving one position whose join was NULL)."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    m = F.size(words)
+    g = words
+    for k in range(2, n + 1):
+        g = F.zip_with(g, F.slice(words, k, F.greatest(m - (k - 1), F.lit(0))),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = (F.when(m >= n, F.slice(g, 1, m - (n - 1)))
+             .when(m >= 1, F.array(F.array_join(words, " ")))
+             .otherwise(F.array(F.lit(None).cast("string"))))
     return F.array_distinct(grams)
 
 
