@@ -243,9 +243,23 @@ def dedup_simhash(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline). Ranked by the
     ROUNDED similarity in both engines so last-ulp float noise can't
-    flip ranks."""
+    flip ranks.
+
+    Kernel choice is size-gated like q1/q11/q15 (r12): the Arrow
+    cosine_np kernel wins 2× at the sf1 replica and beyond, but its
+    fixed Python-eval round-trip costs ~60 ms per execution, which
+    DOMINATES at MB-scale corpora (same-day idle bench pair: fold
+    0.165-0.189 s vs np 0.228-0.284 s at sf0.1) — fold below a 2 MB
+    embeddings parquet, Arrow kernel above. Both kernels are
+    bit-identical by construction (cosine_np docstring; r12 session-6
+    equality runs), so the gate changes timing only."""
     from pyspark.sql import Window
 
+    from xtdb_spark.queries.registry import big_input
+
+    kern = (similarity.cosine_np
+            if big_input(sf_dir, "embeddings", 2 << 20)
+            else similarity.cosine)
     e = ld(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
@@ -255,7 +269,7 @@ def ann_cosine_topk(spark, sf_dir):
         similarity.as_double_array(F.col("embedding")).alias("v"))
     scored = (F.broadcast(q).crossJoin(c)
               .select("q_id", "nn_id",
-                      F.round(similarity.cosine_np(F.col("qv"), F.col("v")), 6)
+                      F.round(kern(F.col("qv"), F.col("v")), 6)
                       .alias("cos_sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
