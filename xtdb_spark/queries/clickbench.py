@@ -140,14 +140,20 @@ def cb_distinct_counts(spark, sf_dir):
 def cb_minmax_ts(spark, sf_dir):
     """ClickBench Q6 shape: MIN/MAX over the event-time column —
     answerable from parquet footer stats at scale (see xt.trie_stats
-    / sources/info_schema.py footer-stats path). Span via
-    unix_timestamp (session tz pinned UTC, so NTZ epoch matches
-    DuckDB's epoch())."""
+    / sources/info_schema.py footer-stats path). Span mirrors the
+    oracle's CAST(epoch(max)-epoch(min) AS BIGINT): microsecond epochs
+    divided to fractional seconds, subtracted, then rounded HALF_UP
+    (DuckDB's double->bigint cast rounds ties away from zero; session
+    tz pinned UTC so NTZ epoch matches DuckDB's epoch()). The old
+    unix_timestamp spelling truncated EACH endpoint's fraction, which
+    overstates the span by 1 s whenever frac(max) < frac(min) and the
+    true fraction rounds down."""
     e = ld(spark, sf_dir, "events")
+    epoch = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(1000000.0)
     return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")) \
         .withColumn("span_seconds",
-                    F.unix_timestamp(F.col("max_ts").cast("timestamp"))
-                    - F.unix_timestamp(F.col("min_ts").cast("timestamp")))
+                    F.round(epoch(F.col("max_ts"))
+                            - epoch(F.col("min_ts"))).cast("long"))
 
 
 @register(
