@@ -52,6 +52,21 @@ def test_sessionize(spark):
     assert got[(2, "2024-01-01 09:00:00")] == 1
 
 
+def test_sessionize_fractional_boundary(spark):
+    # True gap 1800.5 s with frac(ts) > frac(prev): whole-second
+    # truncation of each endpoint reads floor(1810.7)-floor(10.2) =
+    # 1800 (NOT > 1800 -> same session), but fractional epoch
+    # semantics give 1800.5 > 1800 -> NEW session. Pins the
+    # microsecond-exact gap comparison in sessionize.
+    rows = [(1, T("2024-01-01 10:00:10.200000")),
+            (1, T("2024-01-01 10:30:10.700000")),   # +1800.5 s -> new
+            (1, T("2024-01-01 11:00:10.100000"))]   # +1799.4 s -> same
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = sessionize(df, key="u", ts="ts", gap_minutes=30)
+    seqs = [r["session_seq"] for r in out.orderBy("ts").collect()]
+    assert seqs == [1, 2, 2]
+
+
 def test_period_predicates(spark):
     df = spark.range(1)
     p1 = P.period(F.lit("2024-01-01"), F.lit("2024-02-01"))

@@ -114,10 +114,19 @@ def sessionize(
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap since the
     previous event of the same key exceeds `gap_minutes`. Classic
-    lag + cumulative-sum window — one shuffle on the key."""
+    lag + cumulative-sum window — one shuffle on the key.
+
+    The gap compares in MICROSECONDS (unix_micros), not whole seconds:
+    unix_timestamp truncates each endpoint's sub-second fraction, so a
+    true gap of e.g. 1800.4 s could read as 1800 or 1801 depending on
+    the endpoints' fractional alignment — diverging from fractional
+    `epoch(ts) - epoch(prev) > gap` semantics exactly at the boundary
+    (same bug class as the cb_minmax_ts span fix)."""
     w = Window.partitionBy(key).orderBy(ts)
-    gap_s = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(w))
-    new_session = (gap_s.isNull() | (gap_s > gap_minutes * 60)).cast("long")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap_us = us(F.col(ts)) - us(F.lag(ts).over(w))
+    new_session = (gap_us.isNull()
+                   | (gap_us > int(round(gap_minutes * 60 * 1000000)))).cast("long")
     return (events
             .withColumn("__new", new_session)
             .withColumn("session_seq",
