@@ -30,7 +30,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_np(a: Column, b: Column) -> Column:
+def cosine_np(a: Column, b: Column, single_eval: bool = False) -> Column:
     """`cosine` as one Arrow-batched pandas UDF (r12, guide §4.2):
     the fold spelling builds three interpreted ~2·dim-step lambda
     folds PER PAIR, which dominates any relation that scores many
@@ -40,7 +40,16 @@ def cosine_np(a: Column, b: Column) -> Column:
     the same left-to-right double additions as the fold, then the
     same sqrt/multiply/divide. Null or empty inputs propagate exactly
     like the JVM expression (null → null, zero-norm → NaN/±Inf by
-    IEEE division)."""
+    IEEE division).
+
+    `single_eval=True` marks the UDF non-deterministic (guide §4.4):
+    when a FILTER references the UDF's output column AND the column
+    survives into the final projection, Catalyst pushes the filter
+    below the projection and DUPLICATES the Arrow eval — every
+    surviving row pays the kernel twice. The mark forbids the
+    duplication; the function is pure, so results are unchanged. Only
+    set it at call sites with that filter-over-kept-column shape —
+    it also blocks pushing OTHER filters past the projection."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -66,7 +75,10 @@ def cosine_np(a: Column, b: Column) -> Column:
         res[~mask.to_numpy()] = None
         return res
 
-    return pandas_udf(cos_series, "double")(a, b)
+    udf = pandas_udf(cos_series, "double")
+    if single_eval:
+        udf = udf.asNondeterministic()
+    return udf(a, b)
 
 
 def as_double_array(c: Column) -> Column:

@@ -355,7 +355,8 @@ def dedup_embedding_cosine(spark, sf_dir):
                    & (F.col("sig_a") == F.col("sig_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b",
-                    F.round(similarity.cosine_np(F.col("ev_a"), F.col("ev_b")), 6)
+                    F.round(similarity.cosine_np(F.col("ev_a"), F.col("ev_b"),
+                                                 single_eval=True), 6)
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.3))
 
