@@ -110,12 +110,22 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
     work ~100×, and without the shuffle the downstream aggregation
     inherits the parquet scan's BYTE-sized partitioning (observed at
     sf10: a 2-task stage with one straggler spilling for minutes —
-    partition for post-explode work, not bytes scanned)."""
+    partition for post-explode work, not bytes scanned).
+
+    explode_OUTER, deliberately (r12, guide §4.4's duplication trap
+    in JVM form): plain explode makes InferFiltersFromGenerate add a
+    `size(grams) > 0` filter on the aliased column, and predicate
+    pushdown then substitutes the FULL word_ngrams tree into the
+    condition — every doc paid the gram pass twice (52 split trees in
+    pipe_contamination_check's Filter conditions). word_ngrams output
+    is never null and never empty (short/NULL docs yield a 1-element
+    array — see its docstring), so outer == inner row-for-row and no
+    filter is inferred (the rule only fires for outer=false)."""
     return (docs.select(F.col(id_col).alias("id"),
                         word_ngrams(F.col(text_col), n).alias("grams"))
             .repartition(F.col("id"))
             .withColumn("n_grams", F.size("grams"))
-            .select("id", "n_grams", F.explode("grams").alias("gram")))
+            .select("id", "n_grams", F.explode_outer("grams").alias("gram")))
 
 
 def _gram_arrays(docs: DataFrame, id_col: str, text_col: str,
@@ -250,8 +260,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     2.8× cheaper verify intersect (r12 A/Bs, both stages bit-identical
     at the sf1 replica)."""
     g = _hashed_gram_arrays(_gram_arrays_ck(docs, id_col, text_col, n))
+    # explode_outer: the hashed grams column is an aliased
+    # transform(...) Project over the checkpoint, so plain explode's
+    # inferred size()>0 filter would re-run the 52-hash transform per
+    # doc per consuming arm (see _shingle_table). word_ngrams output
+    # is never empty/null, and transform preserves that.
     sh = g.select("id", F.size("grams").alias("n_grams"),
-                  F.explode("grams").alias("gram"))
+                  F.explode_outer("grams").alias("gram"))
     if max_gram_df is None:
         # exact blocking on every shared shingle; the intersection
         # count falls straight out of the one blocking join
@@ -518,14 +533,22 @@ def duplicate_spans(docs: DataFrame, w: int = 12) -> DataFrame:
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
                                     r"\s+", " "), " ")
     sized = (docs.select("doc_id", toks.alias("toks"))
-             .withColumn("n_tokens", F.size("toks"))
-             .filter(F.col("n_tokens") >= w))
-    sh = sized.select(
+             .withColumn("n_tokens", F.size("toks")))
+    # No pre-explode `n_tokens >= w` filter: pushdown substitutes the
+    # tokenize tree into the condition — one extra regex pass per doc
+    # (see _shingle_table). The IF yields an EMPTY shingle array for
+    # short docs (and NULL n_tokens for NULL text → IF false), so
+    # posexplode_OUTER + isNotNull drops exactly the filtered docs
+    # (md5 is never null).
+    sh = (sized.select(
         "doc_id", "n_tokens",
-        F.posexplode(F.expr(
+        F.posexplode_outer(F.expr(
+            f"IF(n_tokens >= {w}, "
             f"transform(sequence(0, n_tokens - {w}), "
-            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w}))))"
+            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))), "
+            f"array())"
         )).alias("p", "h"))
+        .where(F.col("h").isNotNull()))
     marks = (sh.withColumn("c", F.count("*").over(Window.partitionBy("h")))
              .filter(F.col("c") > 1)
              .drop("c", "h"))
@@ -568,14 +591,17 @@ def span_pairs(docs: DataFrame, w: int = 12) -> DataFrame:
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
                                     r"\s+", " "), " ")
     sized = (docs.select("doc_id", toks.alias("toks"))
-             .withColumn("n_tokens", F.size("toks"))
-             .filter(F.col("n_tokens") >= w))
-    sh = sized.select(
+             .withColumn("n_tokens", F.size("toks")))
+    # Same no-pushed-filter spelling as duplicate_spans (see there).
+    sh = (sized.select(
         "doc_id",
-        F.explode(F.expr(
+        F.explode_outer(F.expr(
+            f"IF(n_tokens >= {w}, "
             f"transform(sequence(0, n_tokens - {w}), "
-            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w}))))"
-        )).alias("h")).distinct()
+            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))), "
+            f"array())"
+        )).alias("h"))
+        .where(F.col("h").isNotNull()).distinct())
     win = Window.partitionBy("h")
     marked = (sh.withColumn("m", F.min("doc_id").over(win))
               .withColumn("c", F.count("*").over(win)))

@@ -191,7 +191,13 @@ def repetition_stats(df, id_col: str = "doc_id",
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.length(text_col).alias("tc"), ws.alias("ws"))
-    w = base.select("doc_id", F.explode("ws").alias("w"))
+    # explode_outer + isNotNull ≡ explode here (split yields no null
+    # elements; outer's extra null row only stands in for NULL-text
+    # docs, which plain explode also drops) — but WITHOUT the inferred
+    # size(ws)>0 filter that re-derives the split per row (see
+    # dedup._shingle_table).
+    w = (base.select("doc_id", F.explode_outer("ws").alias("w"))
+         .where(F.col("w").isNotNull()))
     # r12 (guide §2.4): every word-level signal derives from the
     # per-doc word counts, so ONE aggregate over them replaces the
     # old wstats (countDistinct = its own two-shuffle pass over a
@@ -257,12 +263,20 @@ def bigram_lm_xent(df, id_col: str = "doc_id", text_col: str = "text",
     """
     ts = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                          "[^a-z]+", " ")), " +")
-    toks = (df.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
-            .filter(F.size("ts") >= 2))
+    # No pre-explode `size(ts) >= 2` filter: pushdown substitutes the
+    # full tokenize tree into the condition, re-running the regex per
+    # doc in EVERY arm that replays this subtree (4 arms → 4 extra
+    # regex passes; see dedup._shingle_table). The slices below yield
+    # an EMPTY pairs array for 1-token docs (slice length 0) and NULL
+    # for NULL text, so explode_outer + isNotNull drops exactly the
+    # docs that filter dropped (arrays_zip elements are structs,
+    # never null).
+    toks = df.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
     pairs = F.arrays_zip(
         F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
         F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"))
-    bg = (toks.select("doc_id", F.explode(pairs).alias("p"))
+    bg = (toks.select("doc_id", F.explode_outer(pairs).alias("p"))
+          .where(F.col("p").isNotNull())
           .select("doc_id", "p.w1", "p.w2"))
     # uni and vocab DERIVED from bgc instead of re-scanning bg (r12,
     # guide §2.4): c(w1 ·) = Σ_w2 c(w1,w2) and the distinct-w2 set of
