@@ -260,7 +260,8 @@ def test_hashed_gram_arrays_injective_encoding(spark):
 @pytest.mark.parametrize("name", [
     "pipe_contamination_check", "pipe_repetition_score",
     "pipe_perplexity_filter", "pipe_dedup_substring",
-    "pipe_dedup_span_pairs", "pipe_dedup_ngram_jaccard"])
+    "pipe_dedup_span_pairs", "pipe_dedup_ngram_jaccard",
+    "pipe_ann_lsh"])
 def test_no_expensive_exprs_in_filter_conditions(spark, name):
     """r12 pass 3: no Filter condition re-derives a tokenize/gram
     tree. Plain explode over an aliased computed array makes

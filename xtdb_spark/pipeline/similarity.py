@@ -167,7 +167,17 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     only the (tiny) query side by n_probes."""
     c = corpus.select(F.col(id_col).alias("nn_id"),
                       as_double_array(F.col(vec_col)).alias("v"))
-    c = c.withColumn("sig", hyperplane_signature(F.col("v"), dim, n_planes))
+    # sig rides through explode(array(...)) — one row out per row in,
+    # same values incl. NULLs — so the equi-join's inferred
+    # isnotnull(sig) lands on the GENERATED attribute instead of being
+    # substituted below the projection, where it re-ran all n_planes
+    # hyperplane folds per corpus vector as a Filter condition (the
+    # §4.4 duplication trap in join-key form; a plain withColumn paid
+    # the signature twice).
+    c = c.select("nn_id", "v",
+                 F.explode(F.array(
+                     hyperplane_signature(F.col("v"), dim, n_planes)))
+                 .alias("sig"))
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        as_double_array(F.col(q_vec_col)).alias("qv"))
     q = (q.withColumn("__comps",
